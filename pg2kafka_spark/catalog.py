@@ -1,0 +1,75 @@
+"""Table catalog over the driver-generated parquet test data.
+
+TESTDATA.md: ten tables per scale factor under
+``/root/testdata/sf{0.001,0.01,0.1}/<name>.parquet``. Loading stays a
+plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
+column pruning and partition-split sizing; we never materialize or cache
+here (at 100 TB a cache of a scan is a bug, not an optimization).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always hash-broadcast in joins.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Settings our queries depend on for *correctness* (not tuning),
+    applied to whatever session the caller hands us — the driver
+    harness builds its own vanilla session, so these cannot live only
+    in our session factory:
+
+    * ``nanosAsLong`` — events.ts is TIMESTAMP(NANOS) parquet, which
+      Spark 4 otherwise refuses to read;
+    * UTC session timezone — timestamp literals/formatting must agree
+      with the DuckDB oracle's naive-UTC semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as LONG
+        # ns under ``nanosAsLong`` (session.py). Convert to a µs
+        # timestamp (floor-truncated, matching DuckDB's ``epoch_us``)
+        # — a pure projection, still pushdown/pruning-friendly.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,59 @@
+"""Latest-state compaction — the quintessential pg2kafka-consumer query.
+
+The reference guarantees per-key in-order delivery (murmur2 key
+partitioning, main.go:193, README.md:38-40) precisely so a consumer can
+fold the change stream into current state. That fold is this operator:
+keep, per key, the event that sorts last.
+
+Two physical strategies, both correct:
+
+* ``latest_state`` — ``row_number() OVER (PARTITION BY key ORDER BY ord
+  DESC) = 1``. One shuffle on key + per-partition sort. Keeps *all*
+  columns with zero extra plumbing. Skew-sensitive (a hot key lands on
+  one task — AQE skew handling does not split window partitions).
+* ``latest_state_agg`` — ``max_by(struct(cols), ord)`` hash aggregate.
+  One shuffle but **partial aggregation runs map-side**, so at 100 TB
+  the shuffle carries one row per key per input partition instead of
+  every event — the right default at scale, and hot keys reduce
+  map-side first (skew-proof).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_state(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Window formulation: full rows, deterministic via ``order_cols``
+    (pass a total order per key, e.g. ``["ts", "event_id"]``)."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_state_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Aggregate formulation: map-side-combinable ``max_by``.
+
+    Returns ``key_cols + value_cols`` (default: all non-key columns).
+    ``order_cols`` form the per-key total order (struct-compares
+    lexicographically, so ties on the first break on the second).
+    """
+    value_cols = [c for c in df.columns if c not in key_cols] if value_cols is None else list(value_cols)
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    picked = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("__latest")
+    out = df.groupBy(*key_cols).agg(picked)
+    return out.select(*key_cols, *[F.col(f"__latest.{c}").alias(c) for c in value_cols])

@@ -1,0 +1,89 @@
+"""O15/O16/O20 — wire-format JSON encode, topic routing, null-safe key.
+
+Reference: ``json.Marshal(event)`` with ``json:"-"`` omissions leaves
+exactly ``uuid, external_id, statement, data, created_at`` on the wire
+(main.go:143-146, eventqueue/event_queue.go:41-50, README.md:76-86);
+topic is ``pg2kafka.$namespace.$table`` where namespace is the database
+name optionally prefixed by ``TOPIC_NAMESPACE`` (main.go:203-222);
+message key = external_id, NULL key ⇒ unkeyed message
+(eventqueue/event_queue.go:157-164, main_test.go:98-100).
+
+Spark-first: projections only — the Kafka sink consumes ``key``,
+``value``, ``topic`` columns directly, routing per-row, so one stream
+serves every tracked table (the reference runs one topic per table from
+one process the same way). NULL external_id naturally becomes a Kafka
+null key (round-robin partition — same ordering caveat as the
+reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def parse_topic_namespace(database: str, topic_namespace: str | None = None) -> str:
+    """``parseTopicNamespace`` (main.go:215-222): optional prefix + dbname."""
+    if topic_namespace:
+        return f"{topic_namespace}.{database}"
+    return database
+
+
+def topic_name(table_name: str, database: str, topic_namespace: str | None = None) -> str:
+    """``topicName`` (main.go:203-205): ``pg2kafka.$namespace.$table``."""
+    return f"pg2kafka.{parse_topic_namespace(database, topic_namespace)}.{table_name}"
+
+
+def topic_column(database: str, topic_namespace: str | None = None) -> Column:
+    """Per-row topic routing expression over ``table_name``."""
+    ns = parse_topic_namespace(database, topic_namespace)
+    return F.concat_ws(".", F.lit("pg2kafka"), F.lit(ns), F.col("table_name"))
+
+
+def with_topic(events: DataFrame, database: str, topic_namespace: str | None = None) -> DataFrame:
+    return events.withColumn("topic", topic_column(database, topic_namespace))
+
+
+def wire_value(timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX") -> Column:
+    """The JSON wire payload (O15). ``data`` is already a JSON string;
+    re-parsing it server-side just to re-serialize would be wasted work
+    at scale, so we splice it in as a raw fragment: serialize the other
+    four fields, strip the closing brace, append ``"data": <raw>``.
+
+    ``created_at`` renders ISO-8601 with microseconds, matching
+    Postgres/Go wire output (README.md:85).
+    """
+    head = F.to_json(
+        F.struct(
+            F.col("uuid"),
+            F.col("external_id"),
+            F.col("statement"),
+            F.date_format(F.col("created_at"), timestamp_format).alias("created_at"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    return F.concat(
+        head.substr(F.lit(1), F.length(head) - F.lit(1)),
+        F.lit(',"data":'),
+        F.col("data"),
+        F.lit("}"),
+    )
+
+
+def to_wire(
+    events: DataFrame,
+    database: str,
+    topic_namespace: str | None = None,
+) -> DataFrame:
+    """Project canonical events to Kafka sink shape:
+    ``key`` (nullable binary-safe string), ``value`` (JSON), ``topic``.
+
+    Drop-on-the-floor columns (``id``/``table_name``/``processed``)
+    match the ``json:"-"`` omissions; Kafka message timestamp would be
+    set from ``created_at`` by the sink config.
+    """
+    return events.select(
+        F.col("external_id").alias("key"),
+        wire_value().alias("value"),
+        topic_column(database, topic_namespace).alias("topic"),
+        F.col("created_at").alias("timestamp"),
+    )

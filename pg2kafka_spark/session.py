@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Single place where every entry point (tests, bench, driver harness)
+builds its session, so scale-relevant knobs are set once:
+
+* AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  dynamic broadcast) — at 100 TB the static plan is always wrong
+  somewhere; AQE fixes it from runtime stats.
+* ``spark.sql.shuffle.partitions`` sized to local cores here; on a real
+  cluster this is overridden to ~2-3× total cores (AQE coalescing makes
+  over-partitioning cheap, under-partitioning is what kills you).
+* Arrow on for every pandas interchange (Pandas UDFs, toPandas).
+* Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (naive parquet timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "pg2kafka_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the canonical session.
+
+    ``local[cpus]`` single-JVM for tests/bench; the same config block is
+    what we would ship on a 1000-executor cluster minus master/memory.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- shuffle sizing: match parallelism, let AQE coalesce down ---
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # --- adaptive execution: runtime re-plan from real stats ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- broadcast: dims (region/nation/customer/supplier/part at
+        # test SF) should broadcast; 64 MB is safe on 128 GiB heap and
+        # right for real clusters with 8-16 GiB executors ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interchange is Arrow-batched, never pickled rows ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic timestamp semantics (parity with DuckDB oracle) ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- TIMESTAMP(NANOS) parquet (events.ts) reads as LONG ns;
+        # the catalog converts to µs timestamps explicitly ---
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- parquet scan sizing: 128 MB splits is the scan sweet spot ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- quieter local runs ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
