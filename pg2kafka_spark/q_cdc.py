@@ -1,0 +1,194 @@
+"""CDC-consumer core queries — SURVEY §2 O1-O16 analogs on the
+events table (see qreg docstring for determinism rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.operators.queue import PAGE_SIZE
+from pg2kafka_spark.qreg import query
+
+
+# ---------------------------------------------------------------------------
+# CDC-consumer core (SURVEY §2 O1-O16 analogs on the events table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "latest_state_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, props, ts_us FROM (
+      SELECT user_id, event_id, event_type, value, props,
+             epoch_us(ts) AS ts_us,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-key latest-state compaction of the change stream —
+    the reference's per-key ordering contract folded to current state
+    (README.md:38-40). Aggregate (``max_by``) formulation: map-side
+    partial agg ⇒ the shuffle carries ≤ one row per key per input
+    partition — the 100 TB-safe strategy (vs. window sort).
+    """
+    ev = load_table(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    ord_struct = F.struct(F.col("ts_us"), F.col("event_id"))
+    value_cols = ["event_id", "event_type", "value", "props", "ts_us"]
+    latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("l")
+    return (
+        ev.groupBy("user_id")
+        .agg(latest)
+        .select("user_id", *[F.col(f"l.{c}").alias(c) for c in value_cols])
+    )
+
+
+@query(
+    "snapshot_part",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS external_id,
+           'part' AS table_name,
+           'SNAPSHOT' AS statement,
+           CAST(to_json(struct_pack(
+             p_partkey := p_partkey, p_name := p_name, p_brand := p_brand,
+             p_type := p_type, p_size := p_size)) AS VARCHAR) AS data
+    FROM part
+    """,
+)
+def snapshot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4 snapshot scan: every row wrapped as a SNAPSHOT event
+    (sql/triggers.sql:49-75). Deterministic subset of the envelope
+    (uuid/created_at/id are generated, so excluded from the oracle
+    check; covered by unit tests instead). Narrow map-only plan — scan
+    → project, no shuffle, JSON build inside codegen.
+    """
+    part = load_table(spark, "part", sf_dir)
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
+    return part.select(
+        F.col("p_partkey").cast("string").alias("external_id"),
+        F.lit("part").alias("table_name"),
+        F.lit("SNAPSHOT").alias("statement"),
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("data"),
+    )
+
+
+@query(
+    "update_diff_events",
+    oracle="""
+    SELECT user_id, event_id, changed_event_type, changed_value FROM (
+      SELECT user_id, event_id,
+             CASE WHEN event_type IS DISTINCT FROM prev_type
+                  THEN event_type END AS changed_event_type,
+             CASE WHEN value IS DISTINCT FROM prev_value
+                  THEN value END AS changed_value
+      FROM (
+        SELECT user_id, event_id, event_type, value,
+               lag(event_id) OVER w AS prev_id,
+               lag(event_type) OVER w AS prev_type,
+               lag(value) OVER w AS prev_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ) WHERE prev_id IS NOT NULL
+    ) WHERE changed_event_type IS NOT NULL OR changed_value IS NOT NULL
+    """,
+)
+def update_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6 relational flavor: changed-columns-only diff between
+    successive per-key row versions (sql/triggers.sql:23-37), emitted
+    as typed nullable columns; rows where nothing changed are
+    suppressed. One shuffle (window by user_id).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("value").over(w).alias("prev_value"),
+    ).filter(F.col("prev_id").isNotNull())
+    diffed = staged.select(
+        "user_id",
+        "event_id",
+        F.when(~F.col("event_type").eqNullSafe(F.col("prev_type")), F.col("event_type")).alias(
+            "changed_event_type"
+        ),
+        F.when(~F.col("value").eqNullSafe(F.col("prev_value")), F.col("value")).alias(
+            "changed_value"
+        ),
+    )
+    return diffed.filter(
+        F.col("changed_event_type").isNotNull() | F.col("changed_value").isNotNull()
+    )
+
+
+@query(
+    "unprocessed_page",
+    oracle=f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type <> 'error'
+    ORDER BY event_id ASC
+    LIMIT {PAGE_SIZE}
+    """,
+)
+def unprocessed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 ordered paginated scan: predicate + commit-order sort +
+    LIMIT 1000 (eventqueue/event_queue.go:15-21). Spark plans this as
+    TakeOrderedAndProject — per-partition bounded heaps, no global
+    sort; the predicate pushes down to the parquet scan.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .orderBy(F.col("event_id").asc())
+        .limit(PAGE_SIZE)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "unprocessed_pages_count",
+    oracle=f"""
+    SELECT count(*) AS cnt,
+           CAST(ceil(count(*) / {PAGE_SIZE}.0) AS BIGINT) AS pages
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+)
+def unprocessed_pages_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 count + page math (eventqueue/event_queue.go:29-33,115-116).
+    Partial count per partition, single-row exchange."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.filter(F.col("event_type") != "error").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.ceil(F.count(F.lit(1)) / F.lit(float(PAGE_SIZE))).cast("bigint").alias("pages"),
+    )
+
+
+@query(
+    "topic_routing",
+    oracle="""
+    SELECT DISTINCT
+      'pg2kafka.' || 'staging.testdb' || '.' || event_type AS topic
+    FROM events
+    """,
+)
+def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 topic naming ``pg2kafka.$namespace.$table``
+    (main.go:203-222) over the distinct "tables" in the feed (here:
+    event types stand in for table names). Distinct = partial-dedup
+    map-side, tiny shuffle.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.concat_ws(
+            ".", F.lit("pg2kafka"), F.lit("staging.testdb"), F.col("event_type")
+        ).alias("topic")
+    ).distinct()

@@ -1,0 +1,640 @@
+"""Relational consumer surface — SURVEY §7 M3: the batch operators a
+CDC-feed consumer needs, TPC-H-ish (see qreg docstring for
+determinism rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.qreg import query
+
+
+# ---------------------------------------------------------------------------
+# Relational consumer surface (SURVEY §7 M3) — TPC-H-ish
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-hash-agg. Filter + column pruning
+    push to parquet; partial aggregation map-side; 2-key groupBy keeps
+    the shuffle tiny regardless of input size.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    # exact DECIMAL arithmetic, cast to DOUBLE at the end: double
+    # `round()` at half-cent boundaries differs between engines (Spark
+    # rounds the shortest decimal repr, DuckDB the binary value)
+    disc_price = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    charge = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+        " * (1 + CAST(l_tax AS DECIMAL(18,2)))"
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort+limit → TakeOrderedAndProject (bounded heap per partition,
+    N×partitions rows to the driver merge — no global sort at scale).
+    Unique-key tiebreak makes the result deterministic.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    )
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analog of the streaming
+    windowed agg, SURVEY §7 M4): event-time bucketing + hash agg.
+    Hour emitted as a formatted string so ns-vs-µs parquet precision
+    cannot affect the comparison.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.1 "Joins": engine surface beyond the reference's
+# registry probe — broadcast for dims, semi/anti for existence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join fact→dims. All four dims broadcast
+    (≤ customer, which is 1.5 % of lineitem) so lineitem never
+    shuffles for the join — the only shuffle is the final 5-group agg.
+    At 100 TB customer may exceed the broadcast threshold; AQE would
+    then pick sort-merge with the same plan text.
+    """
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    joined = (
+        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                      lineitem.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.expr("CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))")
+    return joined.groupBy("r_name").agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spent,
+           round(max(o_totalprice), 2) AS max_order
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim⋈fact + per-key agg. Aggregate orders FIRST (shrinks the fact
+    to one row per customer), then broadcast-join the dim — the
+    scale-correct order; joining first would shuffle every order row.
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.round(F.max("o_totalprice"), 2).alias("max_order"),
+    )
+    return per_cust.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        per_cust.o_custkey == F.col("c_custkey"),
+    ).select("c_custkey", "c_name", "n_orders", "total_spent", "max_order")
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Left side is the small dim; the probe
+    side (orders) reduces to distinct keys before the join via
+    Catalyst's aggregate pushdown on left-anti."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) — no duplication from the many-side."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "brand_supplier_revenue",
+    oracle="""
+    SELECT p_brand, s_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY p_brand, s_name
+    """,
+)
+def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact with two broadcast dims on different keys — no fact shuffle
+    until the final small agg."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    return (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(F.sum(F.expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+        )).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → broadcast semi-reduction
+    of the fact → agg → top-k. The segment filter prunes customers
+    before broadcast; ordering on the rounded alias keeps Spark and
+    the oracle identical at ties."""
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.join(F.broadcast(building), orders.o_custkey == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        lineitem.join(F.broadcast(o), lineitem.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.expr(
+            "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+        )).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # formatted string, not DATE: pandas date-vs-timestamp dtypes
+            # differ between Spark and DuckDB result frames
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.1 "Window functions")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_rank_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window + top-N-per-key filter. One shuffle on the
+    partition key; Spark 3.5+ inserts WindowGroupLimit so each
+    partition keeps only 3 rows before the full sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice",
+                      F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day', prev_date, CAST(o_orderdate AS DATE)) AS gap_days
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_date
+      FROM orders
+    ) WHERE prev_date IS NOT NULL
+    """,
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() + date arithmetic: days between consecutive orders per
+    customer (frame-free analytic window)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w).alias("prev_date"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select("o_custkey", "o_orderkey", F.datediff("od", "prev_date").alias("gap_days"))
+    )
+
+
+@query(
+    "running_customer_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_customer_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: running sum with an explicit ROWS frame.
+    Deterministic because the frame order carries the unique orderkey
+    (rounding after the cumulative sum, same as the oracle)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_ts
+        FROM events
+      )
+    )
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min): lag → new-session flag →
+    per-user counts. The batch analog of a session window in
+    Structured Streaming; one shuffle on user_id serves both the
+    window and the aggregation (same key)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_new").cast("bigint").alias("n_sessions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops / grouping sets (SURVEY §2.1 "Set ops", "Aggregations")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "finished_only_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def finished_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) set op."""
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)  # subtract = ANSI EXCEPT (distinct)
+
+
+@query(
+    "both_status_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def both_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) set op."""
+    orders = load_table(spark, "orders", sf_dir)
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+@query(
+    "union_segments",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered scans of the same table —
+    Catalyst collapses to one scan with an OR filter."""
+    customer = load_table(spark, "customer", sf_dir)
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_mktsegment")
+    b = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+    return a.union(b).distinct()
+
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total; NULL markers on
+    rolled-up levels match ANSI)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 grouping combinations)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "order_stats_global",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price,
+           round(avg(o_totalprice), 4) AS avg_price,
+           round(stddev_samp(o_totalprice), 4) AS sd_price
+    FROM orders
+    """,
+)
+def order_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global aggregate incl. exact COUNT DISTINCT (expand+two-phase in
+    Spark) and sample stddev."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / subqueries (SURVEY §2.1 "Scalar functions")
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8)) AS prio_up,
+           length(o_orderpriority) AS prio_len,
+           concat(o_orderstatus, '-', CAST(o_orderkey % 7 AS VARCHAR)) AS tag,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS price_up,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+           abs(o_totalprice - 100000.0) > 50000.0 AS far_from_100k,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/conditional scalar surface in one projection
+    (reference's scalar inventory: format/cast/concat/ceil/
+    current_timestamp — SURVEY §2.1; extended to the full consumer
+    set). Pure codegen, no shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_up"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), (F.col("o_orderkey") % 7).cast("string")).alias("tag"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE)").alias("price_up"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_bucket"),
+        (F.abs(F.col("o_totalprice") - 100000.0) > 50000.0).alias("far_from_100k"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the dynamic payload column (the
+    reference's jsonb surface: `->`/`->>`, sql/triggers.sql:23-29) +
+    agg over the extracted value."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+@query(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+    """,
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: orders 1.5× above the global
+    mean. Spark plans the inner agg as a one-row broadcast into the
+    filter — no correlated re-execution."""
+    orders = load_table(spark, "orders", sf_dir)
+    avg_df = orders.agg((F.avg("o_totalprice") * 1.5).alias("__thr"))
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("__thr"))
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -2,324 +2,23 @@
 exposed as a (spark, sf_dir) → DataFrame callable with, where
 SQL-expressible, a DuckDB oracle string.
 
-Driver contract (__spark_entry__.py): the driver runs each query and
-its oracle side-by-side at sf0.01 and hash-matches row count + schema +
-order-insensitive values. Determinism rules used throughout:
-
-* every computed column is aliased identically in Spark and SQL;
-* double aggregates are ``round``-ed the same on both sides (partial
-  aggregation order differs between engines — raw double sums are not
-  bit-stable);
-* ``events.ts`` is nanosecond parquet; Spark truncates to micros, so it
-  is never emitted raw — always ``unix_micros`` / ``epoch_us`` or a
-  formatted string, and never used as a sort tiebreak without
-  ``event_id`` alongside;
-* sort-sensitive queries (limit/top-k) always carry a unique key in the
-  ordering.
+Thin aggregator: the registry lives in ``qreg``; query definitions in
+``q_cdc`` (CDC core), ``q_relational`` (batch consumer surface),
+``q_pipeline`` (dedup / similarity / text-analysis extras). Importing
+this module registers everything.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from pg2kafka_spark.qreg import ORACLES, QUERIES, QueryFn, query
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+# Importing for registration side effects.
+from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
+from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-from pg2kafka_spark.catalog import load_table
-from pg2kafka_spark.operators.queue import PAGE_SIZE
+try:  # pipeline extras land incrementally
+    from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-# ---------------------------------------------------------------------------
-# CDC-consumer core (SURVEY §2 O1-O16 analogs on the events table)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "latest_state_per_user",
-    oracle="""
-    SELECT user_id, event_id, event_type, value, props, ts_us FROM (
-      SELECT user_id, event_id, event_type, value, props,
-             epoch_us(ts) AS ts_us,
-             row_number() OVER (
-               PARTITION BY user_id
-               ORDER BY epoch_us(ts) DESC, event_id DESC
-             ) AS rn
-      FROM events
-    ) WHERE rn = 1
-    """,
-)
-def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: per-key latest-state compaction of the change stream —
-    the reference's per-key ordering contract folded to current state
-    (README.md:38-40). Aggregate (``max_by``) formulation: map-side
-    partial agg ⇒ the shuffle carries ≤ one row per key per input
-    partition — the 100 TB-safe strategy (vs. window sort).
-    """
-    ev = load_table(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
-    ord_struct = F.struct(F.col("ts_us"), F.col("event_id"))
-    value_cols = ["event_id", "event_type", "value", "props", "ts_us"]
-    latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("l")
-    return (
-        ev.groupBy("user_id")
-        .agg(latest)
-        .select("user_id", *[F.col(f"l.{c}").alias(c) for c in value_cols])
-    )
-
-
-@query(
-    "snapshot_part",
-    oracle="""
-    SELECT CAST(p_partkey AS VARCHAR) AS external_id,
-           'part' AS table_name,
-           'SNAPSHOT' AS statement,
-           CAST(to_json(struct_pack(
-             p_partkey := p_partkey, p_name := p_name, p_brand := p_brand,
-             p_type := p_type, p_size := p_size)) AS VARCHAR) AS data
-    FROM part
-    """,
-)
-def snapshot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/O4 snapshot scan: every row wrapped as a SNAPSHOT event
-    (sql/triggers.sql:49-75). Deterministic subset of the envelope
-    (uuid/created_at/id are generated, so excluded from the oracle
-    check; covered by unit tests instead). Narrow map-only plan — scan
-    → project, no shuffle, JSON build inside codegen.
-    """
-    part = load_table(spark, "part", sf_dir)
-    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size"]
-    return part.select(
-        F.col("p_partkey").cast("string").alias("external_id"),
-        F.lit("part").alias("table_name"),
-        F.lit("SNAPSHOT").alias("statement"),
-        F.to_json(F.struct(*cols), {"ignoreNullFields": "false"}).alias("data"),
-    )
-
-
-@query(
-    "update_diff_events",
-    oracle="""
-    SELECT user_id, event_id, changed_event_type, changed_value FROM (
-      SELECT user_id, event_id,
-             CASE WHEN event_type IS DISTINCT FROM prev_type
-                  THEN event_type END AS changed_event_type,
-             CASE WHEN value IS DISTINCT FROM prev_value
-                  THEN value END AS changed_value
-      FROM (
-        SELECT user_id, event_id, event_type, value,
-               lag(event_id) OVER w AS prev_id,
-               lag(event_type) OVER w AS prev_type,
-               lag(value) OVER w AS prev_value
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-      ) WHERE prev_id IS NOT NULL
-    ) WHERE changed_event_type IS NOT NULL OR changed_value IS NOT NULL
-    """,
-)
-def update_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O5/O6 relational flavor: changed-columns-only diff between
-    successive per-key row versions (sql/triggers.sql:23-37), emitted
-    as typed nullable columns; rows where nothing changed are
-    suppressed. One shuffle (window by user_id).
-    """
-    ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    staged = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.lag("event_id").over(w).alias("prev_id"),
-        F.lag("event_type").over(w).alias("prev_type"),
-        F.lag("value").over(w).alias("prev_value"),
-    ).filter(F.col("prev_id").isNotNull())
-    diffed = staged.select(
-        "user_id",
-        "event_id",
-        F.when(~F.col("event_type").eqNullSafe(F.col("prev_type")), F.col("event_type")).alias(
-            "changed_event_type"
-        ),
-        F.when(~F.col("value").eqNullSafe(F.col("prev_value")), F.col("value")).alias(
-            "changed_value"
-        ),
-    )
-    return diffed.filter(
-        F.col("changed_event_type").isNotNull() | F.col("changed_value").isNotNull()
-    )
-
-
-@query(
-    "unprocessed_page",
-    oracle=f"""
-    SELECT event_id, user_id, event_type, value
-    FROM events
-    WHERE event_type <> 'error'
-    ORDER BY event_id ASC
-    LIMIT {PAGE_SIZE}
-    """,
-)
-def unprocessed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O12 ordered paginated scan: predicate + commit-order sort +
-    LIMIT 1000 (eventqueue/event_queue.go:15-21). Spark plans this as
-    TakeOrderedAndProject — per-partition bounded heaps, no global
-    sort; the predicate pushes down to the parquet scan.
-    """
-    ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.filter(F.col("event_type") != "error")
-        .orderBy(F.col("event_id").asc())
-        .limit(PAGE_SIZE)
-        .select("event_id", "user_id", "event_type", "value")
-    )
-
-
-@query(
-    "unprocessed_pages_count",
-    oracle=f"""
-    SELECT count(*) AS cnt,
-           CAST(ceil(count(*) / {PAGE_SIZE}.0) AS BIGINT) AS pages
-    FROM events
-    WHERE event_type <> 'error'
-    """,
-)
-def unprocessed_pages_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O13 count + page math (eventqueue/event_queue.go:29-33,115-116).
-    Partial count per partition, single-row exchange."""
-    ev = load_table(spark, "events", sf_dir)
-    return ev.filter(F.col("event_type") != "error").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.ceil(F.count(F.lit(1)) / F.lit(float(PAGE_SIZE))).cast("bigint").alias("pages"),
-    )
-
-
-@query(
-    "topic_routing",
-    oracle="""
-    SELECT DISTINCT
-      'pg2kafka.' || 'staging.testdb' || '.' || event_type AS topic
-    FROM events
-    """,
-)
-def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O16 topic naming ``pg2kafka.$namespace.$table``
-    (main.go:203-222) over the distinct "tables" in the feed (here:
-    event types stand in for table names). Distinct = partial-dedup
-    map-side, tiny shuffle.
-    """
-    ev = load_table(spark, "events", sf_dir)
-    return ev.select(
-        F.concat_ws(
-            ".", F.lit("pg2kafka"), F.lit("staging.testdb"), F.col("event_type")
-        ).alias("topic")
-    ).distinct()
-
-
-# ---------------------------------------------------------------------------
-# Relational consumer surface (SURVEY §7 M3) — TPC-H-ish
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "pricing_summary",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
-           count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
-)
-def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-filter-hash-agg. Filter + column pruning
-    push to parquet; partial aggregation map-side; 2-key groupBy keeps
-    the shuffle tiny regardless of input size.
-    """
-    li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-    )
-
-
-@query(
-    "top_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-)
-def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sort+limit → TakeOrderedAndProject (bounded heap per partition,
-    N×partitions rows to the driver merge — no global sort at scale).
-    Unique-key tiebreak makes the result deterministic.
-    """
-    o = load_table(spark, "orders", sf_dir)
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-    )
-
-
-@query(
-    "events_hourly",
-    oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (batch analog of the streaming
-    windowed agg, SURVEY §7 M4): event-time bucketing + hash agg.
-    Hour emitted as a formatted string so ns-vs-µs parquet precision
-    cannot affect the comparison.
-    """
-    ev = load_table(spark, "events", sf_dir)
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-    )
+__all__ = ["QUERIES", "ORACLES", "QueryFn", "query"]
