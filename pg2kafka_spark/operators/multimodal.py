@@ -1,0 +1,136 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` stages. (SURVEY.md §7 M5 extras.)
+
+The *decode* step is STUBBED (no image/audio libraries in this
+container): ``decode_media(..., mode="fake")`` produces deterministic
+pseudo-features derived from the bytes; ``mode="real"`` raises
+``NotImplementedError`` at the exact point where PIL/ffmpeg/torchcodec
+would plug in. Everything Spark-side — schema, partition-preserving
+mapInPandas, Arrow batch shapes, downstream joins — is real and
+tested; swapping the stub for a real codec changes one pandas
+function.
+
+Scale notes: media rows are large (MBs of binary); the mapInPandas
+stage is map-only and partition-preserving, so decode parallelism ==
+input splits. Keep ``spark.sql.execution.arrow.maxRecordsPerBatch``
+modest (default 10k) so a batch of blobs fits executor memory;
+metadata-only consumers should select typed columns, never the binary
+(column pruning keeps blobs unread in parquet).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+#: Canonical multimodal table schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+#: Output schema of the decode/feature-extract stage.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table from the documents fixture: the text
+    bytes stand in for an encoded payload (media_type round-robins by
+    doc_id). Lets every downstream stage run on real testdata."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.col("source"),
+    )
+
+
+def _fake_decode(media_type: str, content: bytes) -> dict:
+    """Deterministic pseudo-decode: metadata + an 8-dim feature vector
+    derived from md5(content). Stands in for PIL/ffmpeg; same bytes →
+    same features on every executor."""
+    digest = hashlib.md5(content).digest()
+    words = [int.from_bytes(digest[i : i + 2], "big") for i in range(0, 16, 2)]
+    feature = [round(w / 65535.0, 6) for w in words]
+    out = {
+        "n_bytes": len(content),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "feature": feature,
+    }
+    if media_type == "image":
+        out["width"] = 16 + words[0] % 1024
+        out["height"] = 16 + words[1] % 1024
+    else:
+        out["duration_ms"] = 1000 + words[2] % 600_000
+    return out
+
+
+def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
+    """Decode/feature-extract stage over Arrow batches.
+
+    ``mode="real"`` is the integration point for actual codecs —
+    intentionally unimplemented here. ``mode="fake"`` exercises the
+    full distributed path with deterministic output.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown decode mode {mode!r}")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real media decode requires image/audio codecs not present "
+                    "in this environment; plug PIL/ffmpeg in here"
+                )
+            rows = [
+                {
+                    "media_id": mid,
+                    "media_type": mtype,
+                    **_fake_decode(mtype, bytes(content)),
+                }
+                for mid, mtype, content in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["content"]
+                )
+            ]
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def media_stats(features: DataFrame) -> DataFrame:
+    """Typed-metadata rollup by media type (runs entirely on the
+    decoded projection — never touches the binary column)."""
+    return features.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )

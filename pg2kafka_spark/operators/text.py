@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language-ID heuristic, fingerprinting,
+shingling. (BASELINE.json north-star extras beyond the reference's own
+surface — SURVEY.md §7 M5.)
+
+All pure column expressions (whole-stage codegen, zero shuffles, zero
+UDFs): at 100 TB every per-document feature here is a map-only pass
+that preserves input partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Marker tokens per language for the n-gram/stopword-hit heuristic.
+# Deliberately tiny: real language ID would load fastText-style
+# profiles; the heuristic shape (per-language hit counts → argmax) is
+# what matters for the pipeline.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "scan", "table"),
+    "es": ("data", "row", "query", "filter"),
+    "de": ("join", "merge", "stream", "window"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def unique_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: unique/total tokens (a standard quality
+    signal; near-zero for boilerplate/spam)."""
+    return unique_token_count(text) / token_count(text)
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse runs of
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text. Exact-dup
+    detection key; 128-bit so collision-free at any realistic corpus
+    size."""
+    return F.md5(normalized_text(text))
+
+
+def bag_of_words_fingerprint(text: Column) -> Column:
+    """Order-insensitive fingerprint: md5 of the sorted token list —
+    catches token-permutation near-dups exactly."""
+    return F.md5(F.concat_ws(" ", F.array_sort(tokens(text))))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (contiguous windows joined by a space).
+
+    1-based starts 1..size-n+1; documents shorter than ``n`` tokens
+    yield their whole text as a single shingle so they still
+    participate in similarity joins.
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token stream."""
+    toks = tokens(text)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return scores
+
+
+def predict_language(text: Column) -> Column:
+    """Argmax of marker hits (ties broken by fixed language order:
+    en > es > de), 'und' when nothing matched."""
+    s = language_scores(text)
+    return (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality columns; keeps the plan map-only."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(t))
+        .withColumn("n_uniq_tokens", unique_token_count(t))
+        .withColumn("ttr", type_token_ratio(t))
+        .withColumn("mean_token_len", (F.length(t) - F.col("n_tokens") + 1) / F.col("n_tokens"))
+    )
