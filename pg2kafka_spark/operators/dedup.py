@@ -24,11 +24,25 @@ Scale design notes (the point of each strategy at 100 TB):
 from __future__ import annotations
 
 import random
-from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from pg2kafka_spark.operators.text import fingerprint, shingles, tokens
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan gave
+    too few splits. The heavy stages here are per-row (shingle/hash)
+    compute — on a small local file Spark plans 1 split and the whole
+    sketch pass runs on one core. At 100 TB the scan has thousands of
+    splits and this is a no-op (never repartition DOWN)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # ---------------------------------------------------------------------------
 # Exact / fingerprint dedup
@@ -53,7 +67,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) pairs, distinct per document."""
-    return df.select(
+    return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("shingle"),
     )
@@ -73,13 +87,22 @@ def jaccard_pairs(
     this only LSH candidates (``minhash_lsh_pairs``) or pre-bucketed
     slices.
     """
-    sh = shingle_sets(df, text_col, id_col, n)
+    # consumed three times (sizes + both join sides) — persist beats
+    # re-running the tokenize/shingle pass per consumer. The join key
+    # is xxhash64(shingle), not the shingle string: 8-byte uniform
+    # shuffle keys instead of ~20-byte strings (collision odds over
+    # |shingles|² pairs are ≈ 2⁻⁶⁴·|pairs| — vanishing).
+    sh = (
+        shingle_sets(df, text_col, id_col, n)
+        .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -113,36 +136,62 @@ def _permutation_params(num_hashes: int, seed: int = 42) -> tuple[list[int], lis
     return a, b
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
-) -> Column:
-    """k-element MinHash signature as ``array<bigint>``.
-
-    One xxhash64 per shingle, then k affine permutations
-    ``pmod(a_i*h' + b_i, 2^61-1)`` with ``h' = pmod(h, 2^31)`` and
-    ``a_i, b_i < 2^31`` — the one-hash trick, k× cheaper than hashing
-    every shingle k times, and every intermediate stays < 2^62 so the
-    math is ANSI-safe (Spark 4 throws on long overflow by default).
-    """
-    a, b = _permutation_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(x) for x in a])
-    b_arr = F.array(*[F.lit(x) for x in b])
-    base = F.transform(
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    """``array<bigint>``: one ``xxhash64`` per *distinct* shingle,
+    reduced mod 2^31 so downstream affine permutations stay < 2^62
+    (ANSI-safe). Evaluated once per row in a plain projection —
+    keeping the string hashing out of any nested lambda is what makes
+    the signature pass linear instead of k× re-evaluated."""
+    return F.transform(
         F.array_distinct(shingles(tokens(text), shingle_n)),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_POW31)),
     )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(
-                    F.element_at(a_arr, i + 1) * h + F.element_at(b_arr, i + 1),
-                    F.lit(_MERSENNE61),
-                ),
-            )
-        ),
-    )
+
+
+def _minhash_udf(num_hashes: int, seed: int):
+    """Arrow-batched signature kernel: k affine permutations
+    ``(a_i*h + b_i) mod (2^61-1)`` folded with a segmented min.
+
+    Interpreted JVM higher-order functions re-evaluate their input
+    lambda tree per outer element (no CSE), which made the pure-column
+    formulation O(k × shingle-string-builds) per row — the dominant
+    cost of round 1's benchmark. numpy does the same integer math
+    (exact: products < 2^62 fit int64) over the whole Arrow batch.
+    Rows with NULL/empty shingle sets yield the sentinel 2^61-1 in
+    every slot; callers that band must filter them out first.
+    """
+    a_params, b_params = _permutation_params(num_hashes, seed)
+    a_np = np.array(a_params, dtype=np.int64)
+    b_np = np.array(b_params, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hs
+        ]
+        lens = np.array([len(x) for x in arrs], dtype=np.int64)
+        out = np.full((len(arrs), num_hashes), _MERSENNE61, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            h_all = np.concatenate([x for x in arrs if len(x)])
+            seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            seg[1:] = np.cumsum(lens[nonempty])[:-1]
+            for i in range(num_hashes):
+                v = (a_np[i] * h_all + b_np[i]) % _MERSENNE61
+                out[nonempty, i] = np.minimum.reduceat(v, seg)
+        return pd.Series(list(out))
+
+    return sig
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """k-element MinHash signature as ``array<bigint>`` (one-hash
+    trick: one xxhash64 per shingle + k affine permutations, k×
+    cheaper than hashing every shingle k times)."""
+    return _minhash_udf(num_hashes, seed)(shingle_hashes(text, shingle_n))
 
 
 def with_minhash(
@@ -176,10 +225,23 @@ def minhash_lsh_pairs(
     hashes are uniform; the quadratic step is per-bucket only.
     """
     rows = num_hashes // bands
-    sig = with_minhash(df, text_col, num_hashes, shingle_n, seed).select(id_col, "minhash")
+    # Signature once per doc; docs with no shingles (< n tokens) are
+    # dropped — they have no shingle set to be near-duplicates of.
+    # persist(): the signature table is consumed three times (banding
+    # + both sides of the pair join-back); recomputing the shingle
+    # pass per consumer tripled the cost. At scale sigs are 512 B/doc
+    # — the one intermediate in this pipeline worth caching.
+    sig = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .select(id_col, _minhash_udf(num_hashes, seed)(F.col("__sh")).alias("minhash"))
+        .persist()
+    )
+    # Band keys only — the self-join shuffles (id, band, bucket), never
+    # the 64-element signature (16× smaller shuffle than carrying it).
     banded = sig.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -194,7 +256,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, "minhash", "bk.band", "bk.bucket")
+    ).select(id_col, "bk.band", "bk.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -206,20 +268,29 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()  # dedup candidates BEFORE scoring: a pair colliding
+        # in m bands is scored once, not m times
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sig_b"))
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
             (
                 F.size(
                     F.filter(
-                        F.zip_with(F.col("a.minhash"), F.col("b.minhash"), lambda x, y: x == y),
+                        F.zip_with(F.col("__sig_a"), F.col("__sig_b"), lambda x, y: x == y),
                         lambda eq: eq,
                     )
                 )
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -227,34 +298,45 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+@F.pandas_udf(LongType())
+def _simhash_from_hashes(hs: pd.Series) -> pd.Series:
+    """64-bit sketch from per-token xxhash64 values: per bit the vote
+    is +1/−1 per token occurrence; bit set iff the vote sum is
+    positive. Segmented numpy reduction over the Arrow batch — exact
+    integer math, identical values to a per-row loop."""
+    arrs = [
+        np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+        for x in hs
+    ]
+    lens = np.array([len(x) for x in arrs], dtype=np.int64)
+    out = np.zeros(len(arrs), dtype=np.uint64)
+    nonempty = lens > 0
+    if nonempty.any():
+        h_all = np.concatenate([x for x in arrs if len(x)]).view(np.uint64)
+        seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        seg[1:] = np.cumsum(lens[nonempty])[:-1]
+        acc = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+        for i in range(64):
+            votes = (((h_all >> np.uint64(i)) & np.uint64(1)).astype(np.int64) * 2 - 1)
+            bit = np.add.reduceat(votes, seg) > 0
+            acc |= bit.astype(np.uint64) << np.uint64(i)
+        out[nonempty] = acc
+    return pd.Series(list(out.view(np.int64)))
+
+
+def token_hashes(text: Column) -> Column:
+    """One xxhash64 per token occurrence (duplicates kept — SimHash
+    weights by term frequency)."""
+    return F.transform(tokens(text), lambda tk: F.xxhash64(tk))
+
+
 def simhash(text: Column) -> Column:
-    """64-bit SimHash over the token stream, built entirely inside the
-    row (no explode/shuffle): per token one xxhash64; per bit, the
-    vote is +1/−1; bit set iff the vote sum is positive.
-    """
-    # token hash array once per row; bit votes via nested higher-order fns
-    return F.expr(
-        """
-        aggregate(
-          sequence(0, 63),
-          0L,
-          (acc, i) -> acc | IF(
-            aggregate(
-              transform(split({t}, ' '), tk -> xxhash64(tk)),
-              0,
-              (s, h) -> s + IF(((h >> i) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(1L, i),
-            0L
-          )
-        )
-        """.replace("{t}", "text")
-    )
+    """64-bit SimHash of the given text column (any column expression
+    — the round-1 version hardcoded a column named 'text')."""
+    return _simhash_from_hashes(token_hashes(text))
 
 
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    if text_col != "text":
-        df = df.withColumn("text", F.col(text_col))
     return df.withColumn("simhash", simhash(F.col(text_col)))
 
 
@@ -273,7 +355,13 @@ def simhash_near_pairs(
     which is what the synthetic corpus needs; at 100 TB run
     64/prefix_bits rotations for full recall.
     """
-    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    # persist: the sketch table feeds both sides of the self-join;
+    # without it the token-hash + UDF pass runs twice
+    sh = (
+        with_simhash(_spread(df.select(id_col, text_col)), text_col)
+        .select(id_col, "simhash")
+        .persist()
+    )
     blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
@@ -295,6 +383,8 @@ __all__ = [
     "exact_dedup",
     "shingle_sets",
     "jaccard_pairs",
+    "shingle_hashes",
+    "token_hashes",
     "minhash_signature",
     "with_minhash",
     "minhash_lsh_pairs",

@@ -65,8 +65,9 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Token n-gram shingles (contiguous windows joined by a space).
 
     1-based starts 1..size-n+1; documents shorter than ``n`` tokens
-    yield their whole text as a single shingle so they still
-    participate in similarity joins.
+    yield NULL (dropped by ``explode``/``aggregate`` downstream) —
+    matching the oracle formulation, which emits no shingles for
+    sub-``n``-token documents.
     """
     return F.when(
         F.size(toks) >= n,
@@ -74,7 +75,56 @@ def shingles(toks: Column, n: int = 3) -> Column:
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+#: Tiny fixed stopword list for ratio features (the heuristic shape is
+#: what matters; a real pipeline loads a per-language list).
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single
+#: non-alphanumeric marks. Kept to character classes that behave
+#: identically under Java regex (Spark) and RE2-ish engines (oracle).
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+#: Rolling-hash parameters: base 131 polynomial over code points,
+#: modulus 2^31-1 (keeps every intermediate < 2^39 — exact in int64
+#: on any engine).
+ROLLING_BASE = 131
+ROLLING_MOD = (1 << 31) - 1
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-word-style token count: number of BPE-ish pre-tokens (the
+    regex above). Proxy for LLM token budgeting — whitespace tokens
+    undercount code/punctuation-heavy text."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars — boilerplate/spam signal."""
+    return F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Stopword tokens / total tokens — near-zero for keyword-stuffed
+    or non-natural text, another standard cheap quality gate."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling-hash fingerprint of the normalized text:
+    ``h = fold(h*131 + codepoint) mod 2^31-1``. Order-sensitive like
+    md5 but incrementally maintainable (a CDC consumer can extend it
+    per appended chunk without re-reading the document)."""
+    codes = F.transform(F.split(normalized_text(text), ""), lambda ch: F.ascii(ch))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: F.pmod(acc * ROLLING_BASE + c, F.lit(ROLLING_MOD)),
+    )
 
 
 def language_scores(text: Column) -> dict[str, Column]:

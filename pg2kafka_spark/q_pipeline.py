@@ -135,21 +135,26 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(length(string_split(text, ' '))) AS total_tokens,
-           avg(length(string_split(text, ' '))) AS avg_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(length(string_split(text, ' '))), 4) AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up by language (whitespace tokenizer —
-    the BPE-ish regex variant is ``doc_quality``'s mean_token_len)."""
+    the BPE-ish regex variant is ``doc_quality``'s mean_token_len).
+
+    Integer sums CAST to BIGINT and the average rounded on BOTH sides:
+    DuckDB's sum(int) is HUGEINT (renders as float through fetchdf),
+    so without the cast the value-hash diverges from Spark's bigint.
+    """
     docs = load_table(spark, "documents", sf_dir)
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
-        F.avg(X.token_count(F.col("text"))).alias("avg_tokens"),
+        F.round(F.avg(X.token_count(F.col("text"))), 4).alias("avg_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -238,6 +243,97 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_quality_extended",
+    oracle="""
+    SELECT doc_id,
+           length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+             / length(text) AS punct_ratio,
+           length(list_filter(string_split(text, ' '),
+                  x -> list_contains(['the','a','and','of','to','in','is','on'], x))) * 1.0
+             / length(string_split(text, ' ')) AS stopword_ratio,
+           length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_quality_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second quality-feature family: punctuation ratio, stopword
+    ratio, and a BPE-ish sub-word token count (regex pre-tokenizer —
+    the LLM-token-budget proxy). Map-only; ratios are single IEEE
+    divisions of exact integers, bit-portable."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.bpe_token_count(t).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                   x -> x <> ''),
+                 x -> CAST(ord(x) AS BIGINT))),
+             (a, b) -> (a * 131 + b) % 2147483647
+           ) AS rhash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (polynomial over code points
+    of the normalized text) — order-sensitive like md5 but
+    incrementally maintainable chunk-by-chunk, which is what a CDC
+    consumer wants for append-mostly documents."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", X.rolling_hash(F.col("text")).alias("rhash"))
+
+
+@query(
+    "lang_ngram_profile",
+    oracle="""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT lang,
+             unnest(list_transform(range(1, length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ),
+    c AS (SELECT lang, shingle, count(*) AS n FROM sh GROUP BY 1, 2)
+    SELECT lang, shingle, n, rnk FROM (
+      SELECT lang, shingle, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, shingle ASC) AS rnk
+      FROM c
+    ) WHERE rnk <= 5
+    """,
+)
+def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token-3-grams per language — the profile-building side
+    of n-gram language ID (what LANG_MARKERS fakes). Explode →
+    two-level agg; the heavy shuffle is on uniform (lang, shingle)
+    keys and the top-k runs as WindowGroupLimit."""
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        "lang",
+        F.explode(X.shingles(X.tokens(F.col("text")))).alias("shingle"),
+    )
+    counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("shingle").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "shingle", "n", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -258,7 +354,7 @@ _COSINE_ORACLE = """
                AS cos_sim
       FROM d q JOIN d c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
     )
-    SELECT query_id, vec_id, cos_sim, rank FROM (
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
       SELECT query_id, vec_id, cos_sim,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, vec_id ASC) AS rank
@@ -269,13 +365,16 @@ _COSINE_ORACLE = """
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for query vectors (vec_id < 5) — the
     exactness baseline for ANN. Queries broadcast; corpus streams
-    map-only; bounded-heap top-k per query."""
+    map-only; bounded-heap top-k per query. Ranking runs on the raw
+    doubles; the emitted score is rounded to 6 decimals on both sides
+    (sequential folds agree with DuckDB only to the last ulp, not
+    bit-exactly — observed 5e-17 deltas at sf0.01)."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.brute_force_topk(emb, queries, k=3).select(
-        "query_id", "vec_id", "cos_sim", "rank"
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
 
 
@@ -283,20 +382,82 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_dup_pairs",
     oracle=_COSINE_ORACLE
     + """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_inner_product(a.e, b.e)
-             / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e))
-             AS cos_sim
-    FROM d a JOIN d b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(a.e, b.e)
-            / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)) >= 0.4
+    , s AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_inner_product(a.e, b.e)
+               / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)),
+               6) AS cos_sim
+      FROM d a JOIN d b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all pairs ≥ 0.4 (exact half-matrix;
-    the LSH-bucketed scale path is ``embedding_ann_lsh``)."""
+    """Embedding-cosine near-dup: all pairs ≥ 0.4, computed as a
+    block-partitioned BLAS matmul (each block pair is one task — the
+    formulation that survives 100×: replication factor = num_blocks,
+    never a row-level cross join). Parity with the exact SQL pair
+    formulation at 6-decimal rounding (numpy blocked dot vs
+    sequential fold differ in the last ulp)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return S.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "embedding_ann_ivf",
+    oracle=_COSINE_ORACLE
+    + """
+    , cents AS (SELECT vec_id AS cid, e AS ce FROM d WHERE vec_id < 8),
+    asg AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT d.vec_id, d.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(q.qe, c.ce)
+                   / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS prn
+        FROM q CROSS JOIN cents c
+      ) WHERE prn <= 2
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qe, a.e)
+               / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_inner_product(p.qe, a.e)
+                 / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) DESC,
+                 a.vec_id ASC) AS rank
+      FROM probes p JOIN asg a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-3: corpus partitioned into 8
+    inverted lists by nearest (deterministic-stub) centroid, queries
+    probe their 2 nearest lists, exact cosine within. Fully
+    oracle-checked — every argmax runs on 6-decimal-rounded
+    similarities so cell assignment is engine-portable."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
 
 
 @query("embedding_ann_lsh")  # rows-only: hyperplane seeds not portable SQL

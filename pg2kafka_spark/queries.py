@@ -16,9 +16,6 @@ from pg2kafka_spark.qreg import ORACLES, QUERIES, QueryFn, query
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-try:  # pipeline extras land incrementally
-    from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "QueryFn", "query"]

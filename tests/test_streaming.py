@@ -1,0 +1,240 @@
+"""Structured Streaming relay + event-time operator tests.
+
+Mirrors the reference's e2e relay test strategy (main_test.go: seed
+outbox rows, run the drain, assert message count/keys/payloads —
+SURVEY.md §5 layer 3) with file-source → availableNow → memory-sink
+streams, plus parity checks that the streaming window operators agree
+with their batch formulations.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid as uuidlib
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pg2kafka_spark.event import EVENT_SCHEMA
+from pg2kafka_spark.streaming import (
+    bootstrap_outbox,
+    dedup_events_by_uuid,
+    events_per_session_window,
+    events_per_window,
+    latest_state_stream,
+    read_event_stream,
+    start_relay,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _event(eid, table, stmt, data, key=None, ts=None, uid=None):
+    return Row(
+        id=eid,
+        uuid=uid or str(uuidlib.uuid4()),
+        external_id=key,
+        table_name=table,
+        statement=stmt,
+        data=data,
+        created_at=ts or (T0 + timedelta(seconds=eid)),
+        processed=False,
+    )
+
+
+def _write_events(spark, rows, path, n_files=1):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA).repartition(n_files)
+    df.write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def outbox(tmp_path):
+    return str(tmp_path / "outbox")
+
+
+def _drain_to_memory(spark, outbox, name, transform=None, output_mode=None, page_files=None):
+    events = read_event_stream(spark, outbox, max_files_per_trigger=page_files)
+    if transform is not None:
+        events = transform(events)
+    writer = events.writeStream.queryName(name).format("memory").trigger(availableNow=True)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    q = writer.start()
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_relay_snapshot_then_changes_to_memory(spark, outbox, tmp_path):
+    # O10 bootstrap: snapshot of a 3-row table, one NULL key
+    # (sql_test.go:183-223 scenario), then a change batch appended.
+    users = spark.createDataFrame(
+        [Row(uid="duff-1", name="jurre"), Row(uid="duff-2", name="lee"), Row(uid=None, name="anon")]
+    )
+    bootstrap_outbox(users, outbox, "users", "uid")
+    _write_events(
+        spark,
+        [
+            _event(100, "users", "INSERT", '{"uid": "duff-3", "name": "new"}', key="duff-3"),
+            _event(101, "users", "UPDATE", '{"name": "renamed"}', key="duff-1"),
+            _event(102, "users", "DELETE", "{}", key="duff-2"),
+        ],
+        outbox,
+    )
+
+    events = read_event_stream(spark, outbox)
+    q = start_relay(
+        events,
+        database="testdb",
+        topic_namespace="staging",
+        sink="memory",
+        query_name="relay_out",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.table("relay_out").collect()
+
+    assert len(out) == 6  # 3 SNAPSHOT + 3 changes
+    assert all(r.topic == "pg2kafka.staging.testdb.users" for r in out)
+    by_key = {r.key: r for r in out if r.key is not None}
+    assert set(by_key) == {"duff-1", "duff-2", "duff-3"} | {"duff-1", "duff-2"}
+    # NULL external_id ⇒ unkeyed message (ByteString nil semantics)
+    null_key = [r for r in out if r.key is None]
+    assert len(null_key) == 1
+    payload = json.loads(null_key[0].value)
+    assert set(payload) == {"uuid", "external_id", "statement", "data", "created_at"}
+    assert payload["external_id"] is None
+    assert payload["statement"] == "SNAPSHOT"
+    assert payload["data"]["name"] == "anon"
+
+
+def test_relay_pages_bound_micro_batches(spark, outbox, tmp_path):
+    # O12/O19: maxFilesPerTrigger=1 over N files ⇒ N bounded batches,
+    # the LIMIT-1000 page loop as micro-batch pacing.
+    for i in range(3):
+        _write_events(spark, [_event(i, "orders", "INSERT", "{}", key=str(i))], outbox)
+    batches: list[int] = []
+
+    events = read_event_stream(spark, outbox, max_files_per_trigger=1)
+    q = start_relay(
+        events,
+        database="testdb",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        available_now=True,
+        foreach_batch=lambda df, epoch: batches.append(df.count()),
+    )
+    q.awaitTermination(120)
+    assert sum(batches) == 3
+    assert len(batches) >= 3  # one page per file (plus possible empty tail batch)
+
+
+def test_dedup_events_by_uuid_effectively_once(spark, outbox):
+    # Redelivery scenario: the same uuid appears in two source files
+    # (crash between produce and mark, main.go:161-172).
+    dup = str(uuidlib.uuid4())
+    _write_events(spark, [_event(1, "users", "INSERT", "{}", key="a", uid=dup)], outbox)
+    _write_events(
+        spark,
+        [
+            _event(1, "users", "INSERT", "{}", key="a", uid=dup),  # redelivery
+            _event(2, "users", "UPDATE", '{"x": 1}', key="a"),
+        ],
+        outbox,
+    )
+    out = _drain_to_memory(
+        spark, outbox, "dedup_out", transform=dedup_events_by_uuid, page_files=1
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert len({r.uuid for r in rows}) == 2
+
+
+def test_streaming_window_counts_match_batch(spark, outbox):
+    rows = [
+        _event(i, "users" if i % 2 else "orders", "INSERT", "{}", key=str(i),
+               ts=T0 + timedelta(minutes=7 * i))
+        for i in range(20)
+    ]
+    _write_events(spark, rows, outbox)
+    out = _drain_to_memory(
+        spark,
+        outbox,
+        "win_out",
+        transform=lambda ev: events_per_window(ev, "1 hour"),
+        output_mode="complete",
+    )
+    batch = (
+        spark.createDataFrame(rows, EVENT_SCHEMA)
+        .groupBy(F.window("created_at", "1 hour").alias("w"), "table_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "table_name",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_streaming_session_windows_match_batch(spark, outbox):
+    # two sessions for key "a" (gap > 30 min between minute 0-10 and 60+),
+    # one session for key "b"
+    rows = [
+        _event(1, "users", "INSERT", "{}", key="a", ts=T0),
+        _event(2, "users", "UPDATE", "{}", key="a", ts=T0 + timedelta(minutes=10)),
+        _event(3, "users", "UPDATE", "{}", key="a", ts=T0 + timedelta(minutes=60)),
+        _event(4, "users", "INSERT", "{}", key="b", ts=T0 + timedelta(minutes=5)),
+    ]
+    _write_events(spark, rows, outbox)
+    out = _drain_to_memory(
+        spark,
+        outbox,
+        "sess_out",
+        transform=lambda ev: events_per_session_window(ev, gap="30 minutes"),
+        output_mode="complete",
+    )
+    got = {(r.external_id, r.n_events) for r in out.collect()}
+    assert got == {("a", 2), ("a", 1), ("b", 1)}
+
+
+def test_latest_state_stream_folds_across_batches(spark, outbox):
+    # Two micro-batches (page_files=1 over two files); the stateful
+    # operator must carry key state across them.
+    _write_events(
+        spark,
+        [
+            _event(1, "users", "INSERT", '{"v": 1}', key="a", ts=T0),
+            _event(2, "users", "INSERT", '{"v": 10}', key="b", ts=T0),
+        ],
+        outbox,
+    )
+    _write_events(
+        spark,
+        [
+            _event(3, "users", "UPDATE", '{"v": 2}', key="a", ts=T0 + timedelta(seconds=5)),
+        ],
+        outbox,
+    )
+    out = _drain_to_memory(
+        spark,
+        outbox,
+        "state_out",
+        transform=latest_state_stream,
+        output_mode="update",
+        page_files=1,
+    )
+    # update-mode memory sink appends every emitted update; the final
+    # state per key is the one with the highest lifetime counter.
+    rows = out.collect()
+    final: dict[str, Row] = {}
+    for r in rows:
+        if r.external_id not in final or r.n_changes > final[r.external_id].n_changes:
+            final[r.external_id] = r
+    a, b = final["a"], final["b"]
+    assert json.loads(a.data) == {"v": 2}
+    assert a.statement == "UPDATE"
+    assert a.n_changes == 2
+    assert json.loads(b.data) == {"v": 10}
+    assert b.n_changes == 1
