@@ -173,6 +173,48 @@ def unprocessed_pages_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wire_encode_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS key,
+           'pg2kafka.staging.testdb.nation' AS topic,
+           '{"external_id":"' || n_nationkey
+             || '","statement":"SNAPSHOT","data":'
+             || CAST(to_json(struct_pack(
+                  n_nationkey := n_nationkey, n_name := n_name,
+                  n_regionkey := n_regionkey)) AS VARCHAR)
+             || '}' AS value
+    FROM nation
+    """,
+)
+def wire_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15+O16+O17 sink shape: the Kafka message projection —
+    ``key`` = external id, per-row ``topic``, ``value`` = wire JSON
+    with the row payload spliced in raw (never re-parsed). The
+    deterministic envelope subset only (uuid/created_at are generated
+    at capture; their wire formatting is covered by streaming tests).
+    Map-only: encode runs inside codegen next to the scan.
+    """
+    nation = load_table(spark, "nation", sf_dir)
+    payload = F.to_json(
+        F.struct("n_nationkey", "n_name", "n_regionkey"),
+        {"ignoreNullFields": "false"},
+    )
+    return nation.select(
+        F.col("n_nationkey").cast("string").alias("key"),
+        F.concat_ws(
+            ".", F.lit("pg2kafka"), F.lit("staging.testdb"), F.lit("nation")
+        ).alias("topic"),
+        F.concat(
+            F.lit('{"external_id":"'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('","statement":"SNAPSHOT","data":'),
+            payload,
+            F.lit("}"),
+        ).alias("value"),
+    )
+
+
+@query(
     "topic_routing",
     oracle="""
     SELECT DISTINCT

@@ -1,0 +1,98 @@
+"""Physical-plan regression tests.
+
+Correctness says the operators compute the right rows; these assert
+the plans are the ones that survive 100× scale — broadcasts where a
+side is dim-sized, filters pushed into the parquet scan, columns
+pruned, partial aggregation before shuffles, no exchange on map-only
+queries. A plan regression (e.g. a broadcast silently becoming a
+sort-merge join, or a filter no longer reaching the scan) fails here
+long before it would show up as a benchmark cliff at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pg2kafka_spark.queries import QUERIES
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    # TPC-H Q5 shape: the fact table must never shuffle for the join.
+    p = plan_of(spark, "revenue_by_region", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 4  # region/nation/customer/orders
+    assert "SortMergeJoin" not in p
+    # exactly one plain shuffle: the final 5-group aggregation
+    # (" Exchange (" matches shuffle nodes, not BroadcastExchange)
+    assert p.count(" Exchange (") == 1
+
+
+def test_paginated_scan_pushes_predicate_and_avoids_global_sort(spark, sf_dir):
+    p = plan_of(spark, "unprocessed_page", sf_dir)
+    # LIMIT+ORDER plans as per-partition bounded heaps, not a sort
+    assert "TakeOrderedAndProject" in p
+    # the processed-analog predicate reaches the parquet reader
+    assert "PushedFilters:" in p and "EqualTo(event_type,error)" in p
+
+
+def test_snapshot_scan_is_map_only(spark, sf_dir):
+    p = plan_of(spark, "snapshot_part", sf_dir)
+    assert "Exchange" not in p  # scan → project, embarrassingly parallel
+
+
+def test_pricing_summary_prunes_columns_and_partial_aggregates(spark, sf_dir):
+    p = plan_of(spark, "pricing_summary", sf_dir)
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_orderkey" not in p and "l_comment" not in p
+    # map-side partial agg before the exchange (two HashAggregate levels)
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p
+
+
+def test_latest_state_uses_partial_max_by_not_window_sort(spark, sf_dir):
+    # compaction via max_by aggregates map-side; a window formulation
+    # would global-sort every row of every key
+    p = plan_of(spark, "latest_state_per_user", sf_dir)
+    assert "partial_max_by" in p
+    assert "Window" not in p
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    # rank<=k must be pushed into per-partition group limits, so only
+    # k rows per key per partition reach the shuffle
+    p = plan_of(spark, "embedding_topk", sf_dir)
+    assert "WindowGroupLimit" in p
+
+
+def test_fingerprints_are_map_only(spark, sf_dir):
+    p = plan_of(spark, "doc_fingerprint", sf_dir)
+    assert "Exchange" not in p
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    p = plan_of(spark, "exact_dedup_documents", sf_dir)
+    assert p.count(" Exchange (") == 1
+    assert p.count("HashAggregate") >= 2  # map-side partial before it
+
+
+def test_wire_encode_is_map_only(spark, sf_dir):
+    p = plan_of(spark, "wire_encode_nation", sf_dir)
+    assert "Exchange" not in p
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
+    # corpus side must stream: centroid/probe sides broadcast, no
+    # corpus self-join, no cartesian against the big side
+    p = plan_of(spark, "embedding_ann_ivf", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
