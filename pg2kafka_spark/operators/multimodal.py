@@ -125,6 +125,56 @@ def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
 
 
+#: Output schema of the frame-sampling stage.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("offset_ms", T.LongType(), False),
+        T.StructField("frame_fp", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
+    """Frame/segment sampling stage: video/audio rows emit
+    ``frames_per_item`` evenly-spaced sample points, images emit one.
+
+    The frame *decode* is the same stub as :func:`decode_media` (an
+    md5 over the bytes at a deterministic stride stands in for the
+    extracted frame); the distributed shape is the real thing — a
+    partition-preserving ``mapInPandas`` whose output is a row per
+    sampled frame, ready for a downstream embedding/dedup stage. Row
+    explosion is bounded (``frames_per_item``) so a 100 TB video
+    corpus fans out predictably.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                data = bytes(content)
+                n = 1 if mtype == "image" else frames_per_item
+                stride = max(1, len(data) // max(n, 1))
+                for i in range(n):
+                    chunk = data[i * stride : (i + 1) * stride] or b"\x00"
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "media_type": mtype,
+                            "frame_idx": i,
+                            "offset_ms": i * 1000,
+                            "frame_fp": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Typed-metadata rollup by media type (runs entirely on the
     decoded projection — never touches the binary column)."""

@@ -48,6 +48,44 @@ def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "state_asof",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, ts_us FROM (
+      SELECT user_id, event_id, event_type, value,
+             epoch_us(ts) AS ts_us,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+      WHERE epoch_us(ts) <= 1705276800000000
+    ) WHERE rn = 1
+    """,
+)
+def state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction: per-key latest event at a
+    cutoff (2024-01-15T00:00Z) — the CDC-replay query ("what did the
+    table look like at T"). Same partial ``max_by`` shape as the
+    flagship compaction; the time predicate pushes to the scan, so
+    replay cost scales with history ≤ T, not total history.
+    """
+    cutoff = 1705276800000000  # 2024-01-15T00:00:00Z in epoch µs
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .filter(F.col("ts_us") <= cutoff)
+    )
+    ord_struct = F.struct(F.col("ts_us"), F.col("event_id"))
+    value_cols = ["event_id", "event_type", "value", "ts_us"]
+    latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("l")
+    return (
+        ev.groupBy("user_id")
+        .agg(latest)
+        .select("user_id", *[F.col(f"l.{c}").alias(c) for c in value_cols])
+    )
+
+
+@query(
     "snapshot_part",
     oracle="""
     SELECT CAST(p_partkey AS VARCHAR) AS external_id,

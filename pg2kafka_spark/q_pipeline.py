@@ -480,6 +480,66 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query(
+    "near_dup_keep_list",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    )
+    SELECT doc_id AS keep_doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dups)
+    """,
+)
+def near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision: drop every document that is a
+    near-duplicate (jaccard ≥ 0.5) of a lower-id survivor — the
+    keep-list a training pipeline actually consumes. Greedy min-id
+    policy: one anti-join against the verified pair set. (At scale
+    the pair source is MinHash-LSH candidates → jaccard verify; here
+    the exact pair set, which is what makes it oracle-checkable.)"""
+    docs = load_table(spark, "documents", sf_dir)
+    dups = (
+        D.jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dups, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("keep_doc_id")
+    )
+
+
+@query("media_frame_sample")  # rows-only: mapInPandas stage, no SQL analog
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/segment sampling over binary media: bounded fan-out
+    (4 samples per video/audio item, 1 per image) with per-frame
+    fingerprints — the stage between raw blobs and frame-level
+    dedup/embedding in a multimodal pipeline."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_media(docs)
+    frames = M.sample_frames(media)
+    return (
+        frames.groupBy("media_type", "frame_idx")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("media_type", "frame_idx")
+    )
+
+
 @query("multimodal_features")  # rows-only: mapInPandas stage, no SQL analog
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched decode/feature-extract

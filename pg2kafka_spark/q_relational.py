@@ -531,6 +531,29 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_sets_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube are sugar
+    for): per-flag totals, per-status totals, grand total in one
+    expand + single-shuffle aggregation."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    return lineitem.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
     "order_stats_global",
     oracle="""
     SELECT count(*) AS n_orders,

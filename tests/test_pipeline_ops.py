@@ -195,3 +195,21 @@ def test_decode_media_rejects_unknown_mode(spark):
     docs = load_table(spark, "documents", SF_DIR).limit(1)
     with pytest.raises(ValueError):
         M.decode_media(M.synth_media(docs), mode="nope")
+
+
+def test_sample_frames_shape_and_determinism(spark):
+    from pg2kafka_spark.operators import multimodal as M
+
+    docs = load_table(spark, "documents", SF_DIR)
+    media = M.synth_media(docs.limit(30))
+    frames = M.sample_frames(media).collect()
+    by_type: dict[str, set] = {}
+    for r in frames:
+        by_type.setdefault(r.media_type, set()).add(r.frame_idx)
+    # bounded fan-out: 1 frame per image, 4 per audio/video
+    assert by_type["image"] == {0}
+    assert by_type["audio"] == {0, 1, 2, 3}
+    assert by_type["video"] == {0, 1, 2, 3}
+    # same bytes -> same fingerprints on re-run (stub decode is pure)
+    again = M.sample_frames(media).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
