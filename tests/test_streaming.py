@@ -238,3 +238,79 @@ def test_latest_state_stream_folds_across_batches(spark, outbox):
     assert a.n_changes == 2
     assert json.loads(b.data) == {"v": 10}
     assert b.n_changes == 1
+
+
+def test_checkpoint_resume_processes_only_new_events(spark, outbox, tmp_path):
+    # O14: the checkpoint IS the processed-flag. Drain once, append
+    # more events, drain again with the SAME checkpoint — only the new
+    # events flow; with a FRESH checkpoint everything replays.
+    ckpt = str(tmp_path / "ckpt_resume")
+    batches: list[list] = []
+
+    def drain(collector):
+        events = read_event_stream(spark, outbox)
+        q = start_relay(
+            events,
+            database="testdb",
+            checkpoint_dir=ckpt,
+            available_now=True,
+            foreach_batch=lambda df, _e: collector.append([r.key for r in df.collect()]),
+        )
+        q.awaitTermination(120)
+
+    _write_events(spark, [_event(1, "users", "INSERT", "{}", key="a")], outbox)
+    first: list[list] = []
+    drain(first)
+    assert sorted(k for b in first for k in b) == ["a"]
+
+    _write_events(spark, [_event(2, "users", "UPDATE", '{"x":1}', key="b")], outbox)
+    second: list[list] = []
+    drain(second)
+    assert sorted(k for b in second for k in b) == ["b"]  # "a" not redelivered
+
+    # a fresh checkpoint replays the whole outbox (at-least-once floor)
+    third: list[list] = []
+    events = read_event_stream(spark, outbox)
+    q = start_relay(
+        events,
+        database="testdb",
+        checkpoint_dir=str(tmp_path / "ckpt_fresh"),
+        available_now=True,
+        foreach_batch=lambda df, _e: third.append([r.key for r in df.collect()]),
+    )
+    q.awaitTermination(120)
+    assert sorted(k for b in third for k in b) == ["a", "b"]
+
+
+def test_snapshot_prefix_precedes_changes_in_drain(spark, outbox, tmp_path):
+    # O10 handoff: bootstrap writes the snapshot as the log prefix;
+    # a paged drain must deliver every SNAPSHOT before any change
+    # event (file order == commit order in the outbox log).
+    users = spark.createDataFrame([Row(uid=f"u{i}", name=f"n{i}") for i in range(5)])
+    bootstrap_outbox(users, outbox, "users", "uid")
+    _write_events(
+        spark,
+        [_event(10 + i, "users", "UPDATE", '{"x":1}', key=f"u{i}") for i in range(3)],
+        outbox,
+    )
+    seen: list[str] = []
+    events = read_event_stream(spark, outbox, max_files_per_trigger=1)
+
+    def collect_stmts(df, _epoch):
+        import json as _json
+
+        for r in df.collect():
+            seen.append(_json.loads(r.value)["statement"])
+
+    q = start_relay(
+        events,
+        database="testdb",
+        checkpoint_dir=str(tmp_path / "ckpt_prefix"),
+        available_now=True,
+        foreach_batch=collect_stmts,
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 8
+    first_change = seen.index("UPDATE")
+    assert all(s == "SNAPSHOT" for s in seen[:first_change])
+    assert all(s == "UPDATE" for s in seen[first_change:])
