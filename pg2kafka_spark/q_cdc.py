@@ -167,6 +167,62 @@ def update_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "update_diff_json",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type, value, props,
+             lag(event_id) OVER win AS prev_id,
+             lag(event_type) OVER win AS prev_type,
+             lag(value) OVER win AS prev_value,
+             lag(props) OVER win AS prev_props
+      FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+    ),
+    d AS (
+      SELECT user_id, event_id,
+        '{' || concat_ws(',',
+          CASE WHEN event_type IS NOT DISTINCT FROM prev_type THEN NULL
+               ELSE '"event_type":' || CAST(to_json(event_type) AS VARCHAR) END,
+          CASE WHEN props IS NOT DISTINCT FROM prev_props THEN NULL
+               ELSE '"props":' || CAST(to_json(props) AS VARCHAR) END
+        ) || '}' AS diff
+      FROM w WHERE prev_id IS NOT NULL
+    )
+    SELECT user_id, event_id, diff FROM d WHERE diff <> '{}'
+    """,
+)
+def update_diff_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5/O6 in wire form: the changed-columns-only JSON payload the
+    trigger emits (sql/triggers.sql:23-37), built from consecutive
+    per-key row versions with the fragment-concat machinery in
+    ``operators/diff.py``, empty diffs suppressed. String columns
+    only in the oracle-checked payload (double→JSON formatting is not
+    engine-portable; numeric diffs are covered typed by
+    ``update_diff_events`` and fuzz-tested in unit tests)."""
+    from pg2kafka_spark.operators.diff import changed_columns_json
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        F.struct(
+            F.lag("event_type").over(w).alias("event_type"),
+            F.lag("props").over(w).alias("props"),
+        ).alias("__old"),
+        F.struct(F.col("event_type"), F.col("props")).alias("__new"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    ).filter(F.col("prev_id").isNotNull())
+    diffed = staged.select(
+        "user_id",
+        "event_id",
+        changed_columns_json(
+            F.col("__old"), F.col("__new"), ["event_type", "props"]
+        ).alias("diff"),
+    )
+    return diffed.filter(F.col("diff") != "{}")
+
+
+@query(
     "unprocessed_page",
     oracle=f"""
     SELECT event_id, user_id, event_type, value
