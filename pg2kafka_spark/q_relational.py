@@ -531,6 +531,105 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_event_activity",
+    oracle="""
+    SELECT c_custkey, c_name, n_events, last_event_us
+    FROM customer
+    LEFT JOIN (
+      SELECT user_id,
+             count(*) AS n_events,
+             max(epoch_us(ts)) AS last_event_us
+      FROM events GROUP BY user_id
+    ) e ON e.user_id = c_custkey
+    WHERE c_custkey <= 300
+    """,
+)
+def customer_event_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null extension: customers keep a row even
+    with no event activity (user_ids cover only a prefix of custkeys,
+    so the null side is exercised). Aggregate-then-join: the event
+    fact shrinks to one row per user BEFORE the join, so the shuffle
+    carries keys, not events."""
+    customer = load_table(spark, "customer", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_micros("ts")).alias("last_event_us"),
+    )
+    return (
+        customer.filter(F.col("c_custkey") <= 300)
+        .join(per_user, customer.c_custkey == per_user.user_id, "left")
+        .select("c_custkey", "c_name", "n_events", "last_event_us")
+    )
+
+
+@query(
+    "purchase_error_full_outer",
+    oracle="""
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           p.n_purchases, e.n_errors
+    FROM (SELECT user_id, count(*) AS n_purchases FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id) p
+    FULL OUTER JOIN
+         (SELECT user_id, count(*) AS n_errors FROM events
+          WHERE event_type = 'error' GROUP BY user_id) e
+      ON p.user_id = e.user_id
+    """,
+)
+def purchase_error_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-key aggregates (users that only
+    purchase / only error survive on their side with NULLs opposite).
+    Both sides pre-aggregate map-side, so the outer join shuffles one
+    row per key per side."""
+    events = load_table(spark, "events", sf_dir)
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return p.join(e, p.user_id == e.e_user_id, "full_outer").select(
+        F.coalesce(p.user_id, F.col("e_user_id")).alias("user_id"),
+        "n_purchases",
+        "n_errors",
+    )
+
+
+@query(
+    "props_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-free payload access via the VARIANT type (Spark 4):
+    ``parse_json`` once, typed ``variant_get`` extractions after —
+    the engine's answer to the reference's dynamic jsonb payloads
+    when no per-table schema is registered (SURVEY §1.3's
+    alternative to fixed ``from_json`` schemas). Predicate on the
+    extracted value filters post-parse but still inside codegen."""
+    events = load_table(spark, "events", sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select(
+            "event_id",
+            k.alias("k_value"),
+            (k % 10).alias("k_mod"),
+        )
+        .filter(F.col("k_value") > 90)
+    )
+
+
+@query(
     "grouping_sets_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,
