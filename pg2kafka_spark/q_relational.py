@@ -531,6 +531,47 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_value_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``: both linear-interpolation on the
+    sorted set). Exact percentile is a sort-based agg — fine per
+    group here; at 100 TB switch to ``approx_percentile`` (KLL-style
+    mergeable sketch, see ``user_value_sketches``)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query("user_value_sketches")  # rows-only: sketch internals are engine-specific
+def user_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the mergeable, bounded-memory forms that
+    replace exact distinct/percentile at 100 TB: HyperLogLog++
+    (``approx_count_distinct``) and a quantile sketch
+    (``approx_percentile``). Accuracy vs exact is asserted in
+    tests/test_pipeline_ops.py; no oracle because sketch estimates
+    are engine-specific by construction."""
+    events = load_table(spark, "events", sf_dir)
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "customer_event_activity",
     oracle="""
     SELECT c_custkey, c_name, n_events, last_event_us

@@ -213,3 +213,34 @@ def test_sample_frames_shape_and_determinism(spark):
     # same bytes -> same fingerprints on re-run (stub decode is pure)
     again = M.sample_frames(media).collect()
     assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_sketch_aggregates_track_exact(spark):
+    """HLL++ and the quantile sketch must land near their exact
+    counterparts (the 100 TB substitutes for countDistinct /
+    percentile)."""
+    ev = load_table(spark, "events", SF_DIR)
+    exact = {
+        r.event_type: (r.users, r.p50)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    approx = {
+        r.event_type: (r.approx_users, r.approx_p50_value)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+        )
+        .collect()
+    }
+    assert exact.keys() == approx.keys()
+    for et, (users, p50) in exact.items():
+        a_users, a_p50 = approx[et]
+        assert abs(a_users - users) <= max(2, 0.05 * users), (et, users, a_users)
+        spread = abs(p50) if p50 else 1.0
+        assert abs(a_p50 - p50) <= 0.05 * spread + 1e-9, (et, p50, a_p50)
