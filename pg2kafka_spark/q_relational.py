@@ -531,6 +531,35 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_line_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums,
+           length(list_sort(list(l_linenumber))) AS n_lines,
+           list_contains(list(l_linenumber), 1) AS has_first,
+           list_sort(list(l_linenumber))[1] AS min_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def order_line_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over a grouped collect: sorted
+    collect_list (sorting makes the nondeterministic collect order
+    portable), size, membership, element access — the jsonb-array
+    passthrough analog of the reference's payloads, typed. The array
+    itself is emitted joined to a string (the comparison harness
+    hashes scalar columns)."""
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    arr = F.array_sort(F.collect_list("l_linenumber"))
+    return lineitem.groupBy("l_orderkey").agg(
+        F.array_join(arr.cast("array<string>"), ",").alias("line_nums"),
+        F.size(arr).alias("n_lines"),
+        F.array_contains(F.collect_list("l_linenumber"), 1).alias("has_first"),
+        F.element_at(arr, 1).alias("min_line"),
+    )
+
+
+@query(
     "order_value_percentiles",
     oracle="""
     SELECT o_orderstatus,
