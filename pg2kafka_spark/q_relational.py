@@ -149,7 +149,11 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
     joined = (
-        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        # orders is a FACT table: no broadcast hint — the planner
+        # broadcasts it at test SFs from file-size stats, and at real
+        # scale AQE/stats correctly fall back to a shuffle join.
+        # Hints are reserved for true dims (customer/nation/region).
+        lineitem.join(orders.select("o_orderkey", "o_custkey"),
                       lineitem.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))
