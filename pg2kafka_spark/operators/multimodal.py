@@ -175,6 +175,33 @@ def sample_frames(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
     return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
+def frame_overlap_pairs(frames: DataFrame, min_common: int = 2) -> DataFrame:
+    """Media-level near-dup from frame-level fingerprints: pairs of
+    items sharing ≥ ``min_common`` sampled-frame fingerprints (the
+    standard video-dedup reduction: near-dup videos share most
+    sampled frames even when container bytes differ).
+
+    Same join shape as shingle dedup — equality join on a uniform
+    128-bit key, pair-count aggregation — so the same scale
+    properties hold: shuffle keys are hashes, per-key fan-out is
+    bounded by duplicate multiplicity.
+    """
+    f = frames.select("media_id", "frame_fp").distinct()
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.frame_fp") == F.col("b.frame_fp"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_frames"))
+        .filter(F.col("common_frames") >= min_common)
+    )
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Typed-metadata rollup by media type (runs entirely on the
     decoded projection — never touches the binary column)."""

@@ -540,6 +540,27 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("media_near_dup_by_frames")  # rows-only: mapInPandas frame stage
+def media_near_dup_by_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video/audio near-dup via sampled-frame fingerprint overlap
+    (≥ 2 shared frames) — frame sampling feeds straight into the
+    shingle-style pair join. The fixture corpus has no byte-identical
+    documents, so the media table is the corpus plus one re-encoded
+    copy per item (id + 3·10⁶, offset divisible by 3 so the copy keeps
+    its media type) — the re-upload scenario this operator
+    exists for; every original must pair with its copy."""
+    docs = load_table(spark, "documents", sf_dir)
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    frames = M.sample_frames(M.synth_media(docs.unionByName(copies)))
+    return M.frame_overlap_pairs(frames, min_common=2)
+
+
 @query("multimodal_features")  # rows-only: mapInPandas stage, no SQL analog
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched decode/feature-extract

@@ -535,6 +535,34 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts fanned into one column per type.
+    The value list is pinned (never inferred — inference is an extra
+    distinct job and nondeterministic column order), so the plan is a
+    single hash aggregation with conditional counts."""
+    events = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+@query(
     "order_line_arrays",
     oracle="""
     SELECT l_orderkey,

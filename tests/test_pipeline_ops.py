@@ -244,3 +244,26 @@ def test_sketch_aggregates_track_exact(spark):
         assert abs(a_users - users) <= max(2, 0.05 * users), (et, users, a_users)
         spread = abs(p50) if p50 else 1.0
         assert abs(a_p50 - p50) <= 0.05 * spread + 1e-9, (et, p50, a_p50)
+
+
+def test_frame_overlap_pairs_find_duplicate_media(spark):
+    """A re-encoded copy (same bytes, new id, same media type) must
+    pair with its original on every sampled frame; unrelated items
+    must not reach min_common=2."""
+    docs = load_table(spark, "documents", SF_DIR).limit(60)
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    frames = M.sample_frames(M.synth_media(docs.unionByName(copies)))
+    got = {
+        (r.id_a, r.id_b): r.common_frames
+        for r in M.frame_overlap_pairs(frames, min_common=2).collect()
+    }
+    originals = [r.doc_id for r in docs.select("doc_id").collect()]
+    media_type = {d: ("image", "audio", "video")[d % 3] for d in originals}
+    for d in originals:
+        if media_type[d] == "image":
+            continue  # images sample 1 frame, below min_common=2
+        assert (d, d + 3_000_000) in got, f"copy pair for {d} missed"
+        assert got[(d, d + 3_000_000)] == 4  # all sampled frames shared
