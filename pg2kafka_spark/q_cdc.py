@@ -36,14 +36,14 @@ def latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg ⇒ the shuffle carries ≤ one row per key per input
     partition — the 100 TB-safe strategy (vs. window sort).
     """
+    from pg2kafka_spark.operators.compaction import latest_state_agg
+
     ev = load_table(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
-    ord_struct = F.struct(F.col("ts_us"), F.col("event_id"))
-    value_cols = ["event_id", "event_type", "value", "props", "ts_us"]
-    latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("l")
-    return (
-        ev.groupBy("user_id")
-        .agg(latest)
-        .select("user_id", *[F.col(f"l.{c}").alias(c) for c in value_cols])
+    return latest_state_agg(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        value_cols=["event_id", "event_type", "value", "props", "ts_us"],
     )
 
 
@@ -69,19 +69,19 @@ def state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship compaction; the time predicate pushes to the scan, so
     replay cost scales with history ≤ T, not total history.
     """
+    from pg2kafka_spark.operators.compaction import latest_state_agg
+
     cutoff = 1705276800000000  # 2024-01-15T00:00:00Z in epoch µs
     ev = (
         load_table(spark, "events", sf_dir)
         .withColumn("ts_us", F.unix_micros("ts"))
         .filter(F.col("ts_us") <= cutoff)
     )
-    ord_struct = F.struct(F.col("ts_us"), F.col("event_id"))
-    value_cols = ["event_id", "event_type", "value", "ts_us"]
-    latest = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("l")
-    return (
-        ev.groupBy("user_id")
-        .agg(latest)
-        .select("user_id", *[F.col(f"l.{c}").alias(c) for c in value_cols])
+    return latest_state_agg(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        value_cols=["event_id", "event_type", "value", "ts_us"],
     )
 
 

@@ -226,3 +226,27 @@ def test_fetch_page_skips_processed_orders_by_id(spark):
 def test_page_count_math(spark):
     assert unprocessed_pages(_outbox(spark), limit=2) == 2  # ceil(3/2)
     assert unprocessed_pages(_outbox(spark), limit=1000) == 1
+
+
+def test_compaction_strategies_agree(spark, sf_dir):
+    """The window and aggregate formulations of latest-state
+    compaction must produce identical rows (same total order per
+    key); the agg form is the scale default (map-side partials), the
+    window form keeps all columns for free."""
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.compaction import latest_state, latest_state_agg
+
+    ev = load_table(spark, "events", sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    cols = ["user_id", "event_id", "event_type", "value", "ts_us"]
+    via_window = latest_state(
+        ev.select(*cols), ["user_id"], ["ts_us", "event_id"]
+    ).select(*cols)
+    via_agg = latest_state_agg(
+        ev.select(*cols), ["user_id"], ["ts_us", "event_id"],
+        value_cols=["event_id", "event_type", "value", "ts_us"],
+    ).select(*cols)
+    assert sorted(map(tuple, via_window.collect())) == sorted(
+        map(tuple, via_agg.collect())
+    )
