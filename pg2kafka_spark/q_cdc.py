@@ -328,3 +328,124 @@ def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ".", F.lit("pg2kafka"), F.lit("staging.testdb"), F.col("event_type")
         ).alias("topic")
     ).distinct()
+
+
+@query(
+    "event_asof_order",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id AS k, epoch_us(ts) AS t, 1 AS is_left,
+             event_id, CAST(NULL AS BIGINT) AS o_orderkey,
+             CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM events
+      UNION ALL
+      SELECT o_custkey, epoch_us(o_orderdate), 0, NULL,
+             o_orderkey, o_totalprice
+      FROM orders
+    )
+    SELECT event_id, k AS user_id, t AS ts_us,
+           asof_orderkey, round(asof_totalprice, 4) AS asof_totalprice
+    FROM (
+      SELECT *,
+             last_value(o_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+             last_value(o_totalprice IGNORE NULLS) OVER win AS asof_totalprice
+      FROM stream
+      WINDOW win AS (PARTITION BY k ORDER BY t, is_left, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ) WHERE is_left = 1
+    """,
+)
+def event_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the user's most recent order at
+    event time (NULLs when none yet) — the canonical "enrich the change
+    feed with dimension state as of the change" CDC-consumer query.
+    Union-trick formulation (operators/temporal.py): one shuffle on the
+    key, no join node; ties broken on o_orderkey so the result is
+    hash-deterministic.
+    """
+    from pg2kafka_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    res = asof_join(
+        ev,
+        od,
+        key_cols=[("user_id", "o_custkey")],
+        left_ts="ts_us",
+        right_ts="o_us",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.round("asof_o_totalprice", 4).alias("asof_totalprice"),
+    )
+
+
+@query(
+    "order_event_attribution",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(e.event_id) AS n_events,
+           round(coalesce(sum(e.value), 0), 4) AS attributed_value
+    FROM orders o
+    LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+     AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000
+    GROUP BY o.o_orderkey
+    """,
+)
+def order_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: events attributed to the same user's order
+    within 7 days of order date. Bucketed-interval formulation
+    (operators/temporal.py) — the naive predicate would plan as a
+    broadcast-nested-loop theta join, O(|orders|x|events|); bucketing
+    makes it an equi-join on (key, week-bucket) + residual filter,
+    linear at 100 TB.
+    """
+    from pg2kafka_spark.operators.temporal import interval_join
+
+    week_us = 7 * 86400 * 1_000_000
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + week_us).alias("end_us"),
+    )
+    hits = interval_join(
+        ev,
+        od,
+        key_cols=[("user_id", "o_custkey")],
+        point_ts="ts_us",
+        start_ts="start_us",
+        end_ts="end_us",
+        bucket=week_us,
+    )
+    per_order = hits.groupBy("o_orderkey").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum("value").alias("raw_value"),
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey")
+        .join(per_order, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("raw_value", F.lit(0.0)), 4).alias("attributed_value"),
+        )
+    )

@@ -1,0 +1,170 @@
+"""Temporal-join operators (operators/temporal.py): brute-force
+equivalence against the naive theta-join formulation, edge cases the
+sf fixtures don't cover, and plan-shape guards (the whole point of the
+bucketed/union formulations is what they DON'T plan: no
+nested-loop join, no per-row join node for as-of)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.operators.temporal import asof_join, interval_join
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _events_orders(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+    )
+    return ev, od
+
+
+def test_asof_join_matches_bruteforce(spark, sf_dir):
+    ev, od = _events_orders(spark, sf_dir)
+    got = asof_join(
+        ev,
+        od,
+        key_cols=[("user_id", "o_custkey")],
+        left_ts="ts_us",
+        right_ts="o_us",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    ).select("event_id", "asof_o_orderkey", "asof_o_totalprice")
+
+    # naive: left join on key + time band, keep max-(o_us, o_orderkey)
+    exp = (
+        ev.join(od, (ev.user_id == od.o_custkey) & (od.o_us <= ev.ts_us), "left")
+        .groupBy("event_id")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_totalprice"), F.struct("o_us", "o_orderkey")
+            ).alias("m")
+        )
+        .select(
+            "event_id",
+            F.col("m.o_orderkey").alias("asof_o_orderkey"),
+            F.col("m.o_totalprice").alias("asof_o_totalprice"),
+        )
+    )
+    assert got.count() == ev.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_asof_join_edges(spark):
+    # equal timestamp is inclusive; tie on timestamp takes max tiebreak;
+    # no prior right row -> NULLs; keys never cross.
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 50, "b"), (2, 10, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9), (1, 60, 1), (9, 5, 99)], "k long, t long, rid int"
+    )
+    out = {
+        r["tag"]: r["asof_rid"]
+        for r in asof_join(
+            left,
+            right,
+            key_cols=[("k", "k")],
+            left_ts="t",
+            right_ts="t",
+            right_cols=["rid"],
+            tiebreak="rid",
+        ).collect()
+    }
+    assert out == {"a": 9, "b": None, "c": None}
+
+
+def test_asof_join_plan_has_single_shuffle_no_join(spark, sf_dir):
+    ev, od = _events_orders(spark, sf_dir)
+    p = _plan(
+        asof_join(
+            ev,
+            od,
+            key_cols=[("user_id", "o_custkey")],
+            left_ts="ts_us",
+            right_ts="o_us",
+            right_cols=["o_orderkey"],
+            tiebreak="o_orderkey",
+        )
+    )
+    assert "Join" not in p  # union trick: no join node at all
+    assert p.count(" Exchange (") == 1  # one hash exchange on the key
+    assert "Window" in p
+
+
+def test_interval_join_matches_bruteforce(spark, sf_dir):
+    ev, od = _events_orders(spark, sf_dir)
+    week = 7 * 86400 * 1_000_000
+    iv = od.withColumn("end_us", F.col("o_us") + week)
+    got = interval_join(
+        ev,
+        iv,
+        key_cols=[("user_id", "o_custkey")],
+        point_ts="ts_us",
+        start_ts="o_us",
+        end_ts="end_us",
+        bucket=week,
+    ).select("event_id", "o_orderkey")
+    exp = ev.join(
+        iv,
+        (ev.user_id == iv.o_custkey) & (ev.ts_us >= iv.o_us) & (ev.ts_us < iv.end_us),
+    ).select("event_id", "o_orderkey")
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    assert got.count() == exp.count()
+
+
+def test_interval_join_edges(spark):
+    # half-open [start, end): end excluded, start included; an interval
+    # wider than the bucket matches points in every covered bucket; a
+    # zero-length interval matches nothing but doesn't error.
+    pts = spark.createDataFrame(
+        [(1, 0), (1, 10), (1, 19), (1, 20), (1, 35)], "k long, t long"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 10, 20, "ten"), (1, 0, 36, "wide"), (1, 5, 5, "empty")],
+        "k long, s long, e long, name string",
+    )
+    got = sorted(
+        (r["t"], r["name"])
+        for r in interval_join(
+            pts, ivs, [("k", "k")], "t", "s", "e", bucket=10
+        ).collect()
+    )
+    assert got == [
+        (0, "wide"),
+        (10, "ten"),
+        (10, "wide"),
+        (19, "ten"),
+        (19, "wide"),
+        (20, "wide"),
+        (35, "wide"),
+    ]
+
+
+def test_interval_join_plan_is_equijoin(spark, sf_dir):
+    ev, od = _events_orders(spark, sf_dir)
+    week = 7 * 86400 * 1_000_000
+    iv = od.withColumn("end_us", F.col("o_us") + week)
+    p = _plan(
+        interval_join(
+            ev, iv, [("user_id", "o_custkey")], "ts_us", "o_us", "end_us", bucket=week
+        )
+    )
+    # the naive range predicate would plan BroadcastNestedLoopJoin
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
