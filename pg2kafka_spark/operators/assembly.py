@@ -1,0 +1,71 @@
+"""Training-set assembly operators: deterministic stratified sampling
+and sequence packing.
+
+Nothing here exists in the reference (pg2kafka moves rows, it doesn't
+curate corpora) — these are the north-star pipeline extras
+(BASELINE.json; SURVEY.md §7 M5) that sit downstream of dedup/quality
+in an LLM data pipeline. Both are pure column/window compositions: no
+UDFs, no collect, deterministic under retries (a hash decides
+sampling, not ``rand()`` — re-running a failed task keeps the same
+rows, which matters when a 100 TB job loses executors)."""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    hash_col: Column,
+    rates: Mapping[str, int],
+    default_rate: int,
+    mod: int = 100,
+) -> DataFrame:
+    """Keep rows where ``hash % mod`` falls under the stratum's rate
+    (percent when ``mod=100``). Content-hash-driven: the sample is a
+    pure function of the data, reproducible across runs/engines, and
+    map-only (no shuffle — the filter runs inside the scan stage).
+
+    ``rates`` maps stratum value → kept buckets; unlisted strata get
+    ``default_rate``. Downsampling dominant strata (e.g. English) while
+    keeping the tail is the standard corpus-balancing move.
+    """
+    rate: Column = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.withColumn("bucket", hash_col % mod).filter(F.col("bucket") < rate)
+
+
+def assign_packs(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    partition_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Continuous-fill sequence packing: within each partition (e.g.
+    source shard), documents in ``order_col`` order are laid end to
+    end and ``pack_id = exclusive-prefix-sum(tokens) div budget`` —
+    each pack holds ~``budget`` tokens (the last doc may straddle the
+    boundary; a strict packer would split it at token level).
+
+    One window sum per partition — the same shuffle shape as
+    sessionization, so it scales as long as a single shard's docs fit
+    a partition; shard wider upstream if not. Integer math throughout
+    (no float prefix sums at 10^12-token scale).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(
+            "__cum_before", F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn("pack_id", F.expr(f"__cum_before div {int(budget)}"))
+        .drop("__cum_before")
+    )

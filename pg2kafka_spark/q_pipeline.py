@@ -572,3 +572,130 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(docs)
     features = M.decode_media(media, mode="fake")
     return M.media_stats(features).orderBy("media_type")
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly (operators/assembly.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ''),
+                     x -> x <> ''),
+                   x -> CAST(ord(x) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647
+             ) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM h
+    WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: English downsampled to
+    25%, every other language kept at 60%, decided by the content
+    rolling-hash (not rand()) so the sample is reproducible across
+    runs, engines and task retries. Map-only — the filter runs inside
+    the scan stage, no shuffle.
+    """
+    from pg2kafka_spark.operators.assembly import stratified_hash_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_hash_sample(
+        docs,
+        strata_col="lang",
+        hash_col=X.rolling_hash(F.col("text")),
+        rates={"en": 25},
+        default_rate=60,
+    ).select("doc_id", "lang", "bucket")
+
+
+@query(
+    "doc_pack_assignments",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             length(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) // 4096 AS pack_id
+    FROM t
+    """,
+)
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per source shard, docs
+    laid end to end in doc_id order; pack_id = exclusive prefix sum of
+    token counts div 4096 (continuous fill). One window shuffle on
+    source — the sessionization shape. Integer math throughout.
+    """
+    from pg2kafka_spark.operators.assembly import assign_packs
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return assign_packs(
+        docs,
+        token_col="n_tokens",
+        order_col="doc_id",
+        partition_cols=["source"],
+        budget=4096,
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, score, rnk FROM (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf * ((n.n * 1000000) // dfreq.df) AS BIGINT) AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ((n.n * 1000000) // dfreq.df) DESC, tf.term
+             ) AS rnk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 document keywords by tf-idf with a FIXED-POINT idf
+    surrogate (``(N * 1e6) div df`` as integers): the ranking is
+    monotone in tf/df like float tf-idf but bit-exact on any engine —
+    no ULP-dependent rank flips between Java's and C's log().
+
+    Two uniform-key shuffles (term tf, term df) + one broadcast of the
+    1-row corpus count; the per-doc top-k runs as WindowGroupLimit.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    ncnt = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ncnt))
+        .withColumn("score", F.expr("tf * ((n * 1000000) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -1,0 +1,68 @@
+"""Training-set assembly operators (operators/assembly.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.operators.assembly import assign_packs, stratified_hash_sample
+
+
+def test_assign_packs_continuous_fill(spark):
+    docs = spark.createDataFrame(
+        [("a", 1, 60), ("a", 2, 50), ("a", 3, 10), ("a", 4, 100), ("b", 1, 250)],
+        "source string, doc_id long, n_tokens long",
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in assign_packs(
+            docs, "n_tokens", "doc_id", ["source"], budget=100
+        ).collect()
+    }
+    # a: offsets 0, 60, 110, 120 -> packs 0, 0, 1, 1; b restarts at 0
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 1, ("b", 1): 0}
+
+
+def test_assign_packs_offsets_stay_in_pack_window(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", F.lit(1).alias("one"))
+        .withColumn("n_tokens", F.col("doc_id") % 7 + 1)
+        .drop("one")
+    )
+    packed = assign_packs(docs, "n_tokens", "doc_id", ["source"], budget=50)
+    # invariant: a doc's exclusive start offset lies inside its pack
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bad = (
+        packed.withColumn("off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(
+            (F.col("off") < F.col("pack_id") * 50)
+            | (F.col("off") >= (F.col("pack_id") + 1) * 50)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_stratified_sample_is_deterministic_and_respects_rates(spark):
+    rows = [(i, "en" if i % 3 else "de", f"tok{i} tok{i+1} tok{i*7%13}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    h = F.abs(F.xxhash64("text"))
+    a = stratified_hash_sample(docs, "lang", h, {"en": 10}, default_rate=90)
+    b = stratified_hash_sample(docs, "lang", h, {"en": 10}, default_rate=90)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    kept = a.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    # de kept at ~90%, en at ~10% — loose bounds, exactness is the
+    # oracle's job; this guards the rate wiring (per-stratum CASE)
+    assert by_lang.get("de", 0) > by_lang.get("en", 0)
+    # buckets actually bounded by the stratum rate
+    assert a.filter((F.col("lang") == "en") & (F.col("bucket") >= 10)).count() == 0
+    assert a.filter(F.col("bucket") >= 90).count() == 0
