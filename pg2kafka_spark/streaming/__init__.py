@@ -22,6 +22,7 @@ from pg2kafka_spark.streaming.windows import (
     dedup_events_by_uuid,
     events_per_session_window,
     events_per_window,
+    join_streams_within,
     latest_state_stream,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "dedup_events_by_uuid",
     "events_per_session_window",
     "events_per_window",
+    "join_streams_within",
     "latest_state_stream",
 ]

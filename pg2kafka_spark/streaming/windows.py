@@ -160,3 +160,42 @@ def latest_state_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left-stream row
+    pairs with right-stream rows of the same key whose event time lies
+    in ``[left_ts - lookback, left_ts]`` — the streaming twin of the
+    batch ``operators/temporal.interval_join`` (and the bounded-state
+    approximation of an as-of join: an exact streaming as-of would
+    need unbounded right-side retention; the lookback IS the state
+    bound).
+
+    Both sides get event-time watermarks and the range condition is
+    explicit, so Spark can size and expire the join state — without
+    the time bound a stream-stream join must keep every right row
+    forever. Outer joins emit NULL matches only once the watermark
+    passes (standard Structured Streaming semantics).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    for lk, rk in key_cols:
+        cond = cond & (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
+    joined = l.join(r, cond, how)
+    out = [F.col(f"l.{c}").alias(c) for c in left.columns]
+    out += [F.col(f"r.{c}").alias(f"{right_prefix}{c}") for c in right.columns]
+    return joined.select(*out)

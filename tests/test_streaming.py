@@ -314,3 +314,60 @@ def test_snapshot_prefix_precedes_changes_in_drain(spark, outbox, tmp_path):
     first_change = seen.index("UPDATE")
     assert all(s == "SNAPSHOT" for s in seen[:first_change])
     assert all(s == "UPDATE" for s in seen[first_change:])
+
+
+def test_stream_stream_join_within_matches_batch(spark, tmp_path):
+    from pg2kafka_spark.streaming import join_streams_within
+
+    # orders feed + payments feed on the same keys; payments join to
+    # orders no older than 10 minutes (the bounded-state as-of shape)
+    orders = [
+        _event(1, "orders", "INSERT", '{"total": 10}', key="k1", ts=T0),
+        _event(2, "orders", "INSERT", '{"total": 20}', key="k2", ts=T0 + timedelta(minutes=1)),
+        _event(3, "orders", "INSERT", '{"total": 30}', key="k1", ts=T0 + timedelta(minutes=5)),
+    ]
+    payments = [
+        _event(10, "payments", "INSERT", "{}", key="k1", ts=T0 + timedelta(minutes=2)),   # -> order 1
+        _event(11, "payments", "INSERT", "{}", key="k1", ts=T0 + timedelta(minutes=6)),   # -> orders 1(too old? no: 6-10<=0) and 3
+        _event(12, "payments", "INSERT", "{}", key="k2", ts=T0 + timedelta(minutes=30)),  # beyond lookback
+        _event(13, "payments", "INSERT", "{}", key="k3", ts=T0 + timedelta(minutes=3)),   # no such order key
+    ]
+    opath, ppath = str(tmp_path / "orders"), str(tmp_path / "payments")
+    _write_events(spark, orders, opath)
+    _write_events(spark, payments, ppath)
+
+    joined = join_streams_within(
+        read_event_stream(spark, ppath),
+        read_event_stream(spark, opath),
+        key_cols=[("external_id", "external_id")],
+        left_ts="created_at",
+        right_ts="created_at",
+        lookback="10 minutes",
+        watermark="10 minutes",
+    )
+    q = (
+        joined.select("id", "r_id")
+        .writeStream.queryName("ssj")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["id"], r["r_id"]) for r in spark.table("ssj").collect()}
+    assert got == {(10, 1), (11, 1), (11, 3)}
+
+    # batch twin: same inputs, same predicate, plain join
+    p = spark.read.parquet(ppath).alias("l")
+    o = spark.read.parquet(opath).alias("r")
+    exp = {
+        (r["id"], r["r_id"])
+        for r in p.join(
+            o,
+            (F.col("l.external_id") == F.col("r.external_id"))
+            & (F.col("r.created_at") >= F.col("l.created_at") - F.expr("INTERVAL 10 minutes"))
+            & (F.col("r.created_at") <= F.col("l.created_at")),
+        )
+        .select(F.col("l.id").alias("id"), F.col("r.id").alias("r_id"))
+        .collect()
+    }
+    assert got == exp
