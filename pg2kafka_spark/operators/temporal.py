@@ -137,3 +137,54 @@ def interval_join(
         .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
         .drop("__bucket")
     )
+
+
+def gap_filled_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dim_cols: Sequence[str],
+    unit: str,
+    aggs: dict[str, Column],
+    fills: dict[str, Column],
+) -> DataFrame:
+    """Hypertable-style continuous aggregate with gap filling: roll
+    ``df`` up to ``unit`` (``minute``/``hour``/``day``) buckets per
+    dimension combination, then left-join the aggregate onto a dense
+    time spine so empty buckets appear with their ``fills`` values —
+    the shape a monitoring/feature pipeline needs (a missing hour must
+    read 0, not vanish).
+
+    The spine is (distinct dims) x (bucket range) — tiny next to the
+    fact table — so the plan is one fact-side hash agg plus a
+    broadcast join of the spine bounds; the fact table is scanned
+    once. At 100 TB the agg shuffle carries one row per (dims, bucket)
+    per partition (map-side partials), never raw events.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    agg = df.groupBy(*dim_cols, bucket.alias("bucket")).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    bounds = df.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("hi"),
+    )
+    spine = (
+        df.select(*dim_cols)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *dim_cols,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"INTERVAL 1 {unit}"))
+            ).alias("bucket"),
+        )
+    )
+    out = spine.join(agg, [*dim_cols, "bucket"], "left")
+    return out.select(
+        *dim_cols,
+        F.col("bucket"),
+        *[
+            F.coalesce(F.col(name), fills[name]).alias(name)
+            for name in aggs
+        ],
+    )

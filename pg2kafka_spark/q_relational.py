@@ -862,3 +862,59 @@ def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("__thr"))
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,
+             date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    )
+    SELECT s.event_type,
+           strftime(s.bucket, '%Y-%m-%d %H:00:00') AS hour,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM spine s
+    LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (hypertable-style continuous
+    aggregate): like ``events_hourly`` but empty (event_type, hour)
+    buckets appear with zero counts — the time spine is generated per
+    dimension and left-joined onto the aggregate
+    (operators/temporal.py::gap_filled_rollup). The fact table is
+    scanned once; the spine is dims x hours, negligible at any scale.
+    """
+    from pg2kafka_spark.operators.temporal import gap_filled_rollup
+
+    ev = load_table(spark, "events", sf_dir)
+    out = gap_filled_rollup(
+        ev,
+        ts_col="ts",
+        dim_cols=["event_type"],
+        unit="hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        fills={"n_events": F.lit(0), "sum_value": F.lit(0.0)},
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n_events",
+        "sum_value",
+    )

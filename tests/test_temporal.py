@@ -168,3 +168,33 @@ def test_interval_join_plan_is_equijoin(spark, sf_dir):
     )
     # the naive range predicate would plan BroadcastNestedLoopJoin
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_gap_filled_rollup_zero_fills_empty_buckets(spark):
+    from datetime import datetime
+
+    from pg2kafka_spark.operators.temporal import gap_filled_rollup
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", datetime(2024, 1, 1, 3, 59), 2.0),  # hours 1,2 empty for a
+        ("b", datetime(2024, 1, 1, 1, 30), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gap_filled_rollup(
+        df,
+        ts_col="ts",
+        dim_cols=["k"],
+        unit="hour",
+        aggs={"n": F.count(F.lit(1)), "s": F.round(F.sum("v"), 2)},
+        fills={"n": F.lit(0), "s": F.lit(0.0)},
+    )
+    got = {(r["k"], r["bucket"].hour): (r["n"], r["s"]) for r in out.collect()}
+    # spine spans hours 0..3 for BOTH dims (bounds are global)
+    assert len(got) == 8
+    assert got[("a", 0)] == (1, 1.0)
+    assert got[("a", 1)] == (0, 0.0)
+    assert got[("a", 2)] == (0, 0.0)
+    assert got[("a", 3)] == (1, 2.0)
+    assert got[("b", 1)] == (1, 5.0)
+    assert got[("b", 0)] == (0, 0.0)
