@@ -57,3 +57,50 @@ def latest_state_agg(
     picked = F.max_by(F.struct(*[F.col(c) for c in value_cols]), ord_struct).alias("__latest")
     out = df.groupBy(*key_cols).agg(picked)
     return out.select(*key_cols, *[F.col(f"__latest.{c}").alias(c) for c in value_cols])
+
+
+def apply_change_feed(
+    feed: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+    payload_col: str,
+    columns: Sequence[str],
+    statement_col: str = "statement",
+    delete_statement: str = "DELETE",
+) -> DataFrame:
+    """Materialize current state from a changed-columns-only CDC feed —
+    the consumer-side inverse of the trigger's diff (sql/triggers.sql:
+    23-37): INSERT/SNAPSHOT rows carry the full row as JSON, UPDATE
+    rows carry only changed columns (explicit JSON null = set to NULL,
+    absent key = unchanged), DELETE removes the key.
+
+    Per key and column, the final value is the payload value of the
+    LATEST feed row (by ``version_col``) whose JSON contains that
+    column — one hash aggregate with a ``max_by`` per column, each
+    ordered by a version that is NULL on rows not touching the column
+    (max_by skips null orderings). The value rides inside a struct so
+    "never set" (NULL struct → column never appeared) stays distinct
+    from "set to NULL" (struct with NULL value). Keys whose latest
+    statement is DELETE are dropped; a later INSERT resurrects them
+    (full-row payload supersedes every earlier fragment).
+
+    Map-side partial aggregation makes the shuffle carry one
+    (key x columns) fragment row per input partition — the same
+    100 TB-safe shape as ``latest_state_agg``, independent of how many
+    versions each key has.
+    """
+    df = feed.withColumn("__m", F.from_json(F.col(payload_col), "map<string,string>"))
+    aggs = []
+    for c in columns:
+        touched = F.map_contains_key(F.col("__m"), F.lit(c))
+        aggs.append(
+            F.max_by(
+                F.struct(F.element_at(F.col("__m"), F.lit(c)).alias("v")),
+                F.when(touched, F.col(version_col)),
+            ).alias(f"__s_{c}")
+        )
+    aggs.append(F.max_by(F.col(statement_col), F.col(version_col)).alias("__last"))
+    state = df.groupBy(*key_cols).agg(*aggs)
+    return state.filter(
+        F.col("__last").isNull() | (F.col("__last") != delete_statement)
+    ).select(*key_cols, *[F.col(f"__s_{c}.v").alias(c) for c in columns])

@@ -449,3 +449,64 @@ def order_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("raw_value", F.lit(0.0)), 4).alias("attributed_value"),
         )
     )
+
+
+@query(
+    "replayed_state_from_diffs",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, event_id) AS event_type,
+           max_by(props, event_id) AS props
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def replayed_state_from_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC roundtrip: each user's event history is re-encoded as
+    a pg2kafka feed — first version a full-row INSERT, later versions
+    changed-columns-only UPDATE JSON (sql/triggers.sql:20-37), no-ops
+    suppressed — then folded back to current state with
+    ``operators/compaction.apply_change_feed``. The oracle computes
+    final state directly from the raw table, so a hash match proves
+    diff encode → wire JSON → parse → ordered fold is lossless.
+    """
+    from pg2kafka_spark.operators.compaction import apply_change_feed
+    from pg2kafka_spark.operators.diff import changed_columns_json
+
+    cols = ["event_type", "props"]
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        F.struct(
+            F.lag("event_type").over(w).alias("event_type"),
+            F.lag("props").over(w).alias("props"),
+        ).alias("__old"),
+        F.struct("event_type", "props").alias("__new"),
+        F.lag("event_id").over(w).alias("prev_id"),
+    )
+    inserts = staged.filter(F.col("prev_id").isNull()).select(
+        "user_id",
+        "event_id",
+        F.lit("INSERT").alias("statement"),
+        F.to_json(F.col("__new")).alias("payload"),
+    )
+    updates = (
+        staged.filter(F.col("prev_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.lit("UPDATE").alias("statement"),
+            changed_columns_json(F.col("__old"), F.col("__new"), cols).alias("payload"),
+        )
+        .filter(F.col("payload") != "{}")
+    )
+    feed = inserts.unionByName(updates)
+    return apply_change_feed(
+        feed,
+        key_cols=["user_id"],
+        version_col="event_id",
+        payload_col="payload",
+        columns=cols,
+    )

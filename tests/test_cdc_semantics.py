@@ -250,3 +250,49 @@ def test_compaction_strategies_agree(spark, sf_dir):
     assert sorted(map(tuple, via_window.collect())) == sorted(
         map(tuple, via_agg.collect())
     )
+
+
+def test_apply_change_feed_edge_semantics(spark):
+    """sql_test.go-style scenarios for the consumer-side fold: explicit
+    JSON null = set-to-NULL (distinct from absent = unchanged), DELETE
+    drops the key, a later INSERT resurrects it, out-of-order input
+    rows fold by version not arrival order."""
+    from pg2kafka_spark.operators.compaction import apply_change_feed
+
+    feed = spark.createDataFrame(
+        [
+            # k1: insert, then update email only, then set name to null
+            ("k1", 1, "INSERT", '{"name":"jurre","email":"j@x"}'),
+            ("k1", 2, "UPDATE", '{"email":"j@y"}'),
+            ("k1", 3, "UPDATE", '{"name":null}'),
+            # k2: deleted and stays deleted
+            ("k2", 1, "INSERT", '{"name":"niels","email":null}'),
+            ("k2", 2, "DELETE", "{}"),
+            # k3: deleted then resurrected with a fresh full row
+            ("k3", 1, "INSERT", '{"name":"old","email":"a@b"}'),
+            ("k3", 2, "DELETE", "{}"),
+            ("k3", 3, "INSERT", '{"name":"new","email":null}'),
+        ],
+        "k string, version long, statement string, payload string",
+    # shuffle arrival order: the fold must sort by version, not input order
+    ).orderBy(F.expr("hash(k, version)"))
+
+    out = {
+        r["k"]: (r["name"], r["email"])
+        for r in apply_change_feed(
+            feed, ["k"], "version", "payload", ["name", "email"]
+        ).collect()
+    }
+    assert out == {"k1": (None, "j@y"), "k3": ("new", None)}
+    assert "k2" not in out
+
+
+def test_apply_change_feed_never_set_column_stays_null(spark):
+    from pg2kafka_spark.operators.compaction import apply_change_feed
+
+    feed = spark.createDataFrame(
+        [("k", 1, "INSERT", '{"a":"1"}'), ("k", 2, "UPDATE", '{"a":"2"}')],
+        "k string, version long, statement string, payload string",
+    )
+    row = apply_change_feed(feed, ["k"], "version", "payload", ["a", "b"]).collect()[0]
+    assert (row["a"], row["b"]) == ("2", None)
