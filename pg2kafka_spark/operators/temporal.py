@@ -116,13 +116,21 @@ def interval_join(
     ≈ the typical interval width so intervals explode to ~2 rows.
 
     Output: all point columns + all interval columns (key pair kept
-    once, under the point-side name).
+    once, under the point-side name). Non-key column names must be
+    disjoint between the two sides (rename before calling — silently
+    prefixing would surprise downstream selects).
     """
     pkeys = [pk for pk, _ in key_cols]
+    ikeys = {ik for _, ik in key_cols}
+    clash = (set(points.columns) - set(pkeys)) & (set(intervals.columns) - ikeys)
+    if clash:
+        raise ValueError(
+            f"interval_join: column name collision between sides: {sorted(clash)}"
+        )
     p = points.withColumn("__bucket", F.floor(F.col(point_ts) / bucket))
     i = intervals.select(
         *[F.col(ik).alias(pk) for pk, ik in key_cols],
-        *[F.col(c) for c in intervals.columns if c not in {ik for _, ik in key_cols}],
+        *[F.col(c) for c in intervals.columns if c not in ikeys],
         F.explode(
             F.sequence(
                 F.floor(F.col(start_ts) / bucket),

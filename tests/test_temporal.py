@@ -198,3 +198,50 @@ def test_gap_filled_rollup_zero_fills_empty_buckets(spark):
     assert got[("a", 3)] == (1, 2.0)
     assert got[("b", 1)] == (1, 5.0)
     assert got[("b", 0)] == (0, 0.0)
+
+
+def test_asof_and_interval_join_fuzz_vs_python_oracle(spark):
+    """Seeded-random keys/timestamps (heavy ties, sparse keys) through
+    both operators in one Spark job each, checked against a plain
+    Python oracle of the definitions."""
+    import random
+
+    rng = random.Random(42)
+    left = [(rng.randint(1, 8), rng.randint(0, 50), i) for i in range(300)]
+    right = [(rng.randint(1, 8), rng.randint(0, 50), 1000 + i) for i in range(200)]
+    ldf = spark.createDataFrame(left, "k long, t long, lid long")
+    rdf = spark.createDataFrame(right, "k long, t long, rid long")
+
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            ldf, rdf, [("k", "k")], "t", "t", ["rid"], tiebreak="rid"
+        ).collect()
+    }
+    for k, t, lid in left:
+        cands = [(rt, rid) for rk, rt, rid in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, got[lid], want)
+
+    width = 7
+    # non-key names must be disjoint between sides (enforced)
+    ivs = rdf.select("k", F.col("t").alias("s"), "rid").withColumn(
+        "e", F.col("s") + width
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(ldf, rdf, [("k", "k")], "t", "t", "e", bucket=5)
+    pairs = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, ivs, [("k", "k")], "t", "s", "e", bucket=5
+        ).collect()
+    }
+    want_pairs = {
+        (lid, rid)
+        for k, t, lid in left
+        for rk, rt, rid in right
+        if rk == k and rt <= t < rt + width
+    }
+    assert pairs == want_pairs
