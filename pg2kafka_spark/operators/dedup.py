@@ -392,3 +392,49 @@ __all__ = [
     "with_simhash",
     "simhash_near_pairs",
 ]
+
+
+# Universal-hash family for the PORTABLE minhash below: odd multiplier
+# a_i, offset b_i from a fixed odd constant (Knuth multiplicative), all
+# arithmetic within int64 (a_i*x < 2^36 for x < 2^31, k <= 16).
+PORTABLE_MINHASH_MOD = (1 << 31) - 1
+PORTABLE_MINHASH_SALT = 2654435761
+
+
+def minhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """MinHash signatures from an engine-portable hash family —
+    ``h_i(x) = (2i+1)*x + i*salt mod 2^31-1`` over rolling-hashed
+    token-3-gram shingles — exploded to (id, i, minhash) rows.
+
+    The production discovery path (``minhash_lsh_pairs``) uses the
+    Arrow/numpy xxhash kernel, whose seeds aren't expressible in
+    portable SQL, so the driver can only rows-check it. This variant
+    IS plain column algebra on both engines, giving the sketch math an
+    exact DuckDB oracle: same shingling, same min-fold, bit-identical
+    signatures. Map-only (scan → project → explode), no shuffle.
+
+    Docs shorter than the shingle width yield no rows (same rule as
+    ``shingle_jaccard_pairs``).
+    """
+    from pg2kafka_spark.operators.text import rolling_hash, shingles, tokens
+
+    sh = F.transform(
+        shingles(tokens(F.col(text_col))), lambda s: rolling_hash(s)
+    )
+    staged = df.select(id_col, sh.alias("__sh")).filter(F.size("__sh") >= 1)
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    out = staged.select(id_col, "__sh", i)
+    a = F.col("i") * 2 + 1
+    b = F.pmod(F.col("i") * F.lit(PORTABLE_MINHASH_SALT), F.lit(PORTABLE_MINHASH_MOD))
+    return out.select(
+        id_col,
+        "i",
+        F.array_min(
+            F.transform(
+                F.col("__sh"),
+                lambda x: F.pmod(a * x + b, F.lit(PORTABLE_MINHASH_MOD)),
+            )
+        ).alias("minhash"),
+    )

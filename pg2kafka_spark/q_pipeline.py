@@ -699,3 +699,46 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+@query(
+    "minhash_signatures_portable",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, length(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]) AS shs
+      FROM t WHERE length(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(shs, s ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     list_filter(string_split_regex(
+                       trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ''),
+                       x -> x <> ''),
+                     x -> CAST(ord(x) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS xs
+      FROM sh
+    )
+    SELECT doc_id, u.i AS i,
+           list_min(list_transform(xs,
+             x -> ((2*u.i+1)*x + (u.i*2654435761) % 2147483647) % 2147483647
+           )) AS minhash
+    FROM hashed CROSS JOIN (SELECT unnest(range(8)) AS i) u
+    """,
+)
+def minhash_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature math under exact oracle check: a portable
+    universal-hash family over rolling-hashed shingles, bit-identical
+    between Spark column algebra and DuckDB list functions — the
+    missing hash-checkable twin of the xxhash/numpy discovery kernel
+    (``minhash_lsh_pairs``, rows-only). Map-only plan.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_signatures_portable(docs)
