@@ -413,7 +413,9 @@ def minhash_signatures_portable(
     portable SQL, so the driver can only rows-check it. This variant
     IS plain column algebra on both engines, giving the sketch math an
     exact DuckDB oracle: same shingling, same min-fold, bit-identical
-    signatures. Map-only (scan → project → explode), no shuffle.
+    signatures. Map-only (scan → project → explode), no shuffle; the
+    k-way min-fold happens BEFORE the explode so only the k-element
+    (i, minhash) signature — never the shingle array — is fanned out.
 
     Docs shorter than the shingle width yield no rows (same rule as
     ``shingle_jaccard_pairs``).
@@ -424,17 +426,17 @@ def minhash_signatures_portable(
         shingles(tokens(F.col(text_col))), lambda s: rolling_hash(s)
     )
     staged = df.select(id_col, sh.alias("__sh")).filter(F.size("__sh") >= 1)
-    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    out = staged.select(id_col, "__sh", i)
-    a = F.col("i") * 2 + 1
-    b = F.pmod(F.col("i") * F.lit(PORTABLE_MINHASH_SALT), F.lit(PORTABLE_MINHASH_MOD))
-    return out.select(
-        id_col,
-        "i",
-        F.array_min(
-            F.transform(
-                F.col("__sh"),
-                lambda x: F.pmod(a * x + b, F.lit(PORTABLE_MINHASH_MOD)),
-            )
-        ).alias("minhash"),
+    mod = F.lit(PORTABLE_MINHASH_MOD)
+
+    def _min_i(i: Column) -> Column:
+        a = i * 2 + 1
+        b = F.pmod(i * F.lit(PORTABLE_MINHASH_SALT), mod)
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda x: F.pmod(a * x + b, mod))
+        )
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _min_i)
+    return (
+        staged.select(id_col, F.posexplode(sig).alias("i", "minhash"))
+        .select(id_col, F.col("i").cast("long"), "minhash")
     )
