@@ -391,6 +391,8 @@ __all__ = [
     "simhash",
     "with_simhash",
     "simhash_near_pairs",
+    "minhash_signatures_portable",
+    "simhash_portable",
 ]
 
 
@@ -440,3 +442,46 @@ def minhash_signatures_portable(
         staged.select(id_col, F.posexplode(sig).alias("i", "minhash"))
         .select(id_col, F.col("i").cast("long"), "minhash")
     )
+
+
+#: Bit width of the PORTABLE simhash (hashes are < 2^31, so at most
+#: 31 informative bits; 24 keeps the oracle SQL compact).
+PORTABLE_SIMHASH_BITS = 24
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bits: int = PORTABLE_SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash from the engine-portable rolling hash: one polynomial
+    hash per token occurrence, then per bit i the vote is +1/-1 per
+    token and the bit is set iff the vote sum is positive —
+    ``2*ones_i > n_tokens``.
+
+    Same role as ``minhash_signatures_portable``: the production
+    sketch (``simhash_near_pairs``) votes over xxhash64 values inside
+    an Arrow kernel, which the driver can only rows-check; this twin
+    is plain integer column algebra on both engines, so the bit-vote
+    semantics get an exact DuckDB oracle. Map-only, no shuffle: the
+    token hash array is computed once per document and the n_bits
+    popcount passes run over that in-row array.
+    """
+    from pg2kafka_spark.operators.text import rolling_hash, tokens
+
+    hs = F.transform(tokens(F.col(text_col)), lambda t: rolling_hash(t))
+    staged = df.select(id_col, hs.alias("__h")).filter(F.size("__h") >= 1)
+    n = F.size("__h")
+
+    def _ones(i: int) -> Column:
+        # closure (not a default arg): pyspark passes a Column for
+        # every lambda parameter it sees, defaults included
+        return F.aggregate(
+            F.col("__h"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+        )
+
+    sim = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        sim = sim + F.when(_ones(i) * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
+    return staged.select(id_col, sim.alias("simhash"), n.cast("long").alias("n_tokens"))

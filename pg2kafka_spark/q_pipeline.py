@@ -742,3 +742,46 @@ def minhash_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, "documents", sf_dir)
     return D.minhash_signatures_portable(docs)
+
+
+_ROLL = """list_reduce(
+  list_prepend(CAST(0 AS BIGINT),
+    list_transform(
+      list_filter(string_split_regex(
+        trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ''),
+        x -> x <> ''),
+      x -> CAST(ord(x) AS BIGINT))),
+  (a, b) -> (a * 131 + b) % 2147483647)"""
+
+_SIMHASH_BIT_TERMS = " + ".join(
+    f"CASE WHEN 2 * list_sum(list_transform(xs, x -> ((x >> {i}) & 1)))"
+    f" > length(xs) THEN {1 << i} ELSE 0 END"
+    for i in range(D.PORTABLE_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_portable",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, s -> {_ROLL}) AS xs
+      FROM t WHERE length(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST(({_SIMHASH_BIT_TERMS}) AS BIGINT) AS simhash,
+           CAST(length(xs) AS BIGINT) AS n_tokens
+    FROM hashed
+    """,
+)
+def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-vote semantics under exact oracle check: portable
+    rolling hash per token occurrence, bit i set iff more than half
+    the tokens have bit i set — bit-identical between Spark column
+    algebra and DuckDB list functions. The hash-checkable twin of the
+    xxhash/Arrow discovery kernel (``simhash_near_pairs``, rows-only).
+    Map-only plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_portable(docs)
