@@ -267,3 +267,45 @@ def test_frame_overlap_pairs_find_duplicate_media(spark):
             continue  # images sample 1 frame, below min_common=2
         assert (d, d + 3_000_000) in got, f"copy pair for {d} missed"
         assert got[(d, d + 3_000_000)] == 4  # all sampled frames shared
+
+
+# ---------------------------------------------------------------------------
+# Portable sketch twins: edge semantics (parity with DuckDB is checked
+# by the oracle gate; these pin the boundary rules)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_portable_drops_sub_shingle_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "three token doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = D.minhash_signatures_portable(df, k=4).collect()
+    # docs 1 and 3 are shorter than the 3-token shingle width -> no rows
+    assert {r.doc_id for r in out} == {2}
+    assert sorted(r.i for r in out) == [0, 1, 2, 3]
+    # h_0(x) = x mod M: with one shingle, minhash_0 IS the shingle hash
+    from pg2kafka_spark.operators.text import rolling_hash
+    base = df.filter("doc_id = 2").select(
+        rolling_hash(F.col("text")).alias("h")).collect()[0].h
+    assert next(r.minhash for r in out if r.i == 0) == base
+
+
+def test_simhash_portable_single_token_equals_token_hash_bits(spark):
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    row = D.simhash_portable(df).collect()[0]
+    from pg2kafka_spark.operators.text import rolling_hash
+    h = df.select(rolling_hash(F.col("text")).alias("h")).collect()[0].h
+    # one token: every vote is that token's bit -> simhash == low bits of h
+    assert row.simhash == h & ((1 << D.PORTABLE_SIMHASH_BITS) - 1)
+    assert row.n_tokens == 1
+
+
+def test_simhash_portable_majority_vote(spark):
+    # two 'aaa' tokens outvote one 'bbb' on every bit
+    df = spark.createDataFrame([(1, "aaa aaa bbb")], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    assert (
+        D.simhash_portable(df).collect()[0].simhash
+        == D.simhash_portable(one).collect()[0].simhash
+    )
