@@ -96,3 +96,13 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     p = plan_of(spark, "embedding_ann_ivf", sf_dir)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_portable_sketch_twins_are_map_only(spark, sf_dir):
+    p = plan_of(spark, "minhash_signatures_portable", sf_dir)
+    assert "Exchange" not in p
+    # the min-fold happens before the explode: the Generate's input
+    # carries the k-element signature, never the shingle array
+    assert "Generate" in p and "__sh" not in p.split("Generate")[1].split("Input")[1].split("]")[0]
+    p2 = plan_of(spark, "simhash_portable", sf_dir)
+    assert "Exchange" not in p2 and "Generate" not in p2

@@ -83,6 +83,19 @@ COMMENTARY = {
         "before the rank shuffle. Integer scoring — no float rank flips "
         "between engines."
     ),
+    "minhash_signatures_portable": (
+        "Portable minhash twin: zero `Exchange` — scan → one projection "
+        "computing all k mins over the in-row shingle-hash array → "
+        "`Generate` (posexplode) of the k-element signature. The shingle "
+        "array never crosses the explode; output fan-out is k rows × "
+        "(id, i, minhash), nothing wider."
+    ),
+    "simhash_portable": (
+        "Portable simhash twin: zero `Exchange`, no `Generate` — the "
+        "token-hash array is built once per row and the n_bits vote "
+        "passes all run inside the same projection. One output row per "
+        "document regardless of length."
+    ),
     "exact_dedup_documents": (
         "Exact dedup is one uniform-key (md5) shuffle with map-side "
         "partial aggregation — the minimum possible movement for a "
