@@ -785,3 +785,105 @@ def simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only plan."""
     docs = load_table(spark, "documents", sf_dir)
     return D.simhash_portable(docs)
+
+
+@query(
+    "training_corpus_assembly",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source, text,
+             length(string_split(text, ' ')) AS n_tokens,
+             length(list_distinct(string_split(text, ' '))) * 1.0
+               / length(string_split(text, ' ')) AS ttr,
+             length(list_filter(string_split(text,' '),
+                    x -> list_contains(['the','a','and','scan','table'], x))) AS hits_en,
+             length(list_filter(string_split(text,' '),
+                    x -> list_contains(['data','row','query','filter'], x))) AS hits_es,
+             length(list_filter(string_split(text,' '),
+                    x -> list_contains(['join','merge','stream','window'], x))) AS hits_de
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, source, text, n_tokens FROM q
+      WHERE n_tokens >= 30 AND ttr >= 0.3
+        AND (hits_en > 0 OR hits_es > 0 OR hits_de > 0)
+    ),
+    exact AS (
+      SELECT * FROM gated WHERE doc_id IN (
+        SELECT min(doc_id) FROM gated
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_b FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ),
+    kept AS (
+      SELECT doc_id, source, n_tokens FROM exact
+      WHERE doc_id NOT IN (SELECT id_b FROM dups)
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) // 4096 AS pack_id
+    FROM kept
+    """,
+)
+def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation flagship: every pipeline
+    stage composed in execution order —
+
+    1. cheap map-only gates first (token count ≥ 30, type-token
+       ratio ≥ 0.3, language-ID hit), pruning before anything
+       shuffles;
+    2. exact dedup (one uniform md5-key shuffle) on the survivors;
+    3. near-dup keep-list (shingle-Jaccard ≥ 0.5 verification pairs,
+       greedy min-id keep) on what remains — the quadratic stage runs
+       on the SMALLEST corpus, which is the point of the ordering;
+    4. sequence packing (per-source prefix-sum window) over the clean
+       set.
+
+    At 100 TB stage 3's pair source is the LSH candidates
+    (``minhash_lsh_pairs``) instead of the exact join — same keep
+    rule; the exact formulation is what makes this oracle-checkable.
+    """
+    from pg2kafka_spark.operators.assembly import assign_packs
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    ttr = X.unique_token_count(t) * 1.0 / n_tok
+    gated = docs.filter(
+        (n_tok >= 30) & (ttr >= 0.3) & (X.predict_language(t) != "und")
+    )
+    exact = D.exact_dedup(gated)
+    dups = (
+        D.jaccard_pairs(exact, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = exact.join(dups, "doc_id", "left_anti").select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    )
+    return assign_packs(
+        kept,
+        token_col="n_tokens",
+        order_col="doc_id",
+        partition_cols=["source"],
+        budget=4096,
+    )
