@@ -403,12 +403,73 @@ PORTABLE_MINHASH_MOD = (1 << 31) - 1
 PORTABLE_MINHASH_SALT = 2654435761
 
 
+def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
+    """``array<bigint>``: the rolling hash of every token ``n``-gram
+    shingle of the NORMALIZED text (lowercase, whitespace-collapsed,
+    trimmed — normalization happens once per document, not per
+    shingle).
+
+    Fast path by hash composition: rolling hashes compose over
+    concatenation — ``h(a||b) = h(a)*131^|b| + h(b) mod M`` — so each
+    token's ``(hash, 131^len mod M)`` pair is folded ONCE in a single
+    char pass, and every shingle hash is then ~6 integer ops instead
+    of re-folding its ~20 characters (overlapping shingles re-read
+    each token ``n`` times; composition doesn't). The DuckDB oracle
+    keeps the direct per-shingle char fold as the executable spec —
+    the values are identical by the composition identity, which
+    ``test_shingle_hash_composition_matches_direct_fold`` pins.
+
+    Documents shorter than ``n`` tokens yield NULL (same rule as
+    ``shingles()``).
+    """
+    from pg2kafka_spark.operators.text import (
+        ROLLING_BASE,
+        ROLLING_MOD,
+        normalized_text,
+    )
+
+    mod = F.lit(ROLLING_MOD)
+    toks = F.split(normalized_text(text), " ")
+    # one char pass per token: h = fold(h*131 + code), p = 131^len
+    hp = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.struct(
+                F.lit(0).cast("bigint").alias("h"),
+                F.lit(1).cast("bigint").alias("p"),
+            ),
+            lambda acc, c: F.struct(
+                F.pmod(acc.h * ROLLING_BASE + F.ascii(c), mod).alias("h"),
+                F.pmod(acc.p * ROLLING_BASE, mod).alias("p"),
+            ),
+        ),
+    )
+
+    def _append(x: Column, tok: Column) -> Column:
+        # x ||= ' ' || token  ==>  (x*131 + 32) * 131^len(tok) + h(tok)
+        sp = F.pmod(x * ROLLING_BASE + F.lit(32), mod)
+        return F.pmod(F.pmod(sp * tok.p, mod) + tok.h, mod)
+
+    def _shingle(i: Column) -> Column:
+        x = F.element_at(hp, i).h
+        for j in range(1, n):
+            x = _append(x, F.element_at(hp, i + j))
+        return x
+
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), _shingle),
+    )
+
+
 def minhash_signatures_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:
     """MinHash signatures from an engine-portable hash family —
     ``h_i(x) = (2i+1)*x + i*salt mod 2^31-1`` over rolling-hashed
-    token-3-gram shingles — exploded to (id, i, minhash) rows.
+    token-3-gram shingles of the normalized text — exploded to
+    (id, i, minhash) rows.
 
     The production discovery path (``minhash_lsh_pairs``) uses the
     Arrow/numpy xxhash kernel, whose seeds aren't expressible in
@@ -422,11 +483,7 @@ def minhash_signatures_portable(
     Docs shorter than the shingle width yield no rows (same rule as
     ``shingle_jaccard_pairs``).
     """
-    from pg2kafka_spark.operators.text import rolling_hash, shingles, tokens
-
-    sh = F.transform(
-        shingles(tokens(F.col(text_col))), lambda s: rolling_hash(s)
-    )
+    sh = shingle_rolling_hashes(F.col(text_col))
     staged = df.select(id_col, sh.alias("__sh")).filter(F.size("__sh") >= 1)
     mod = F.lit(PORTABLE_MINHASH_MOD)
 

@@ -705,7 +705,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signatures_portable",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
     ),
     sh AS (
       SELECT doc_id,
@@ -719,9 +722,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_reduce(
                  list_prepend(CAST(0 AS BIGINT),
                    list_transform(
-                     list_filter(string_split_regex(
-                       trim(regexp_replace(lower(s), '\\s+', ' ', 'g')), ''),
-                       x -> x <> ''),
+                     list_filter(string_split_regex(s, ''), x -> x <> ''),
                      x -> CAST(ord(x) AS BIGINT))),
                  (a, b) -> (a * 131 + b) % 2147483647)) AS xs
       FROM sh
