@@ -391,6 +391,9 @@ __all__ = [
     "simhash",
     "with_simhash",
     "simhash_near_pairs",
+    "token_hash_pairs",
+    "shingle_hashes_from_pairs",
+    "shingle_rolling_hashes",
     "minhash_signatures_portable",
     "simhash_portable",
 ]
@@ -403,25 +406,14 @@ PORTABLE_MINHASH_MOD = (1 << 31) - 1
 PORTABLE_MINHASH_SALT = 2654435761
 
 
-def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
-    """``array<bigint>``: the rolling hash of every token ``n``-gram
-    shingle of the NORMALIZED text (lowercase, whitespace-collapsed,
-    trimmed — normalization happens once per document, not per
-    shingle).
-
-    Fast path by hash composition: rolling hashes compose over
-    concatenation — ``h(a||b) = h(a)*131^|b| + h(b) mod M`` — so each
-    token's ``(hash, 131^len mod M)`` pair is folded ONCE in a single
-    char pass, and every shingle hash is then ~6 integer ops instead
-    of re-folding its ~20 characters (overlapping shingles re-read
-    each token ``n`` times; composition doesn't). The DuckDB oracle
-    keeps the direct per-shingle char fold as the executable spec —
-    the values are identical by the composition identity, which
-    ``test_shingle_hash_composition_matches_direct_fold`` pins.
-
-    Documents shorter than ``n`` tokens yield NULL (same rule as
-    ``shingles()``).
-    """
+def token_hash_pairs(text: Column) -> Column:
+    """``array<struct<h:bigint,p:bigint>>``: per token of the
+    NORMALIZED text (lowercase, whitespace-collapsed, trimmed —
+    normalization happens once per document), the pair
+    ``(rolling hash of the token, 131^len mod M)``. One char pass per
+    token — this is the only O(doc_chars) expression in the portable
+    shingle pipeline, so callers should evaluate it ONCE per row
+    (stage it as a real column) before composing shingles."""
     from pg2kafka_spark.operators.text import (
         ROLLING_BASE,
         ROLLING_MOD,
@@ -431,7 +423,7 @@ def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
     mod = F.lit(ROLLING_MOD)
     toks = F.split(normalized_text(text), " ")
     # one char pass per token: h = fold(h*131 + code), p = 131^len
-    hp = F.transform(
+    return F.transform(
         toks,
         lambda t: F.aggregate(
             F.split(t, ""),
@@ -446,21 +438,60 @@ def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
         ),
     )
 
+
+def shingle_hashes_from_pairs(hp: Column, n: int = 3) -> Column:
+    """Compose the rolling hash of every token ``n``-gram shingle from
+    the per-token ``(h, p)`` pairs, by the concatenation identity
+    ``h(a||b) = h(a)*131^|b| + h(b) mod M`` — each shingle hash is ~6
+    integer ops instead of re-folding its ~20 characters.
+
+    **HOF-CSE discipline (the round-1 AND round-2 lesson):**
+    interpreted higher-order functions re-evaluate any expression
+    captured from outside the lambda once per element, with no CSE.
+    The round-2 formulation captured the O(doc_chars) ``hp`` fold
+    inside a per-shingle ``element_at`` lambda — O(tokens×doc_chars)
+    per row, 208 s of a 227 s benchmark. This formulation therefore
+    references ``hp`` only a constant number of times (``slice`` +
+    ``zip_with``; every lambda reads only its own arguments), so it
+    stays linear even over an inline ``hp`` expression — and is a
+    single per-row array read when ``hp`` is a staged column.
+
+    Shingle ``i`` = fold of ``hp[i..i+n-1]``: start from the 1-gram
+    hashes of ``hp[1..L-n+1]`` and ``zip_with`` the ``j``-th shifted
+    slice to append token ``i+j`` to every shingle in lockstep.
+
+    Documents shorter than ``n`` tokens yield NULL (same rule as
+    ``shingles()``).
+    """
+    from pg2kafka_spark.operators.text import ROLLING_BASE, ROLLING_MOD
+
+    mod = F.lit(ROLLING_MOD)
+
     def _append(x: Column, tok: Column) -> Column:
         # x ||= ' ' || token  ==>  (x*131 + 32) * 131^len(tok) + h(tok)
         sp = F.pmod(x * ROLLING_BASE + F.lit(32), mod)
         return F.pmod(F.pmod(sp * tok.p, mod) + tok.h, mod)
 
-    def _shingle(i: Column) -> Column:
-        x = F.element_at(hp, i).h
-        for j in range(1, n):
-            x = _append(x, F.element_at(hp, i + j))
-        return x
+    m = F.size(hp) - (n - 1)
+    acc = F.transform(F.slice(hp, 1, m), lambda t: t.h)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(hp, j + 1, m), _append)
+    return F.when(F.size(hp) >= n, acc)
 
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), _shingle),
-    )
+
+def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
+    """``array<bigint>``: the rolling hash of every token ``n``-gram
+    shingle of the normalized text — ``token_hash_pairs`` composed
+    with ``shingle_hashes_from_pairs``. The DuckDB oracle keeps the
+    direct per-shingle char fold as the executable spec — the values
+    are identical by the composition identity, which
+    ``test_shingle_hash_composition_matches_direct_fold`` pins.
+
+    Linear as a standalone expression (the ``(h,p)`` fold is
+    referenced a constant ~2n+1 times, never per shingle); for the
+    single-evaluation fast path stage ``token_hash_pairs`` as a column
+    first, as ``minhash_signatures_portable`` does."""
+    return shingle_hashes_from_pairs(token_hash_pairs(text), n)
 
 
 def minhash_signatures_portable(
@@ -480,11 +511,25 @@ def minhash_signatures_portable(
     k-way min-fold happens BEFORE the explode so only the k-element
     (i, minhash) signature — never the shingle array — is fanned out.
 
+    Plan shape (pinned by tests/test_plans.py): the short-doc filter
+    runs on a cheap token count at the scan; the O(doc_chars)
+    ``token_hash_pairs`` fold is staged as ``__hp`` in its own
+    projection (referenced >1× and non-cheap, so CollapseProject keeps
+    the stage and the fold evaluates once per row); the shingle
+    composition and min-fold read ``__hp``/``__sh`` as attributes.
+
     Docs shorter than the shingle width yield no rows (same rule as
     ``shingle_jaccard_pairs``).
     """
-    sh = shingle_rolling_hashes(F.col(text_col))
-    staged = df.select(id_col, sh.alias("__sh")).filter(F.size("__sh") >= 1)
+    from pg2kafka_spark.operators.text import normalized_text
+
+    n = 3
+    staged = (
+        _spread(df.select(id_col, text_col))
+        .filter(F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n)
+        .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
+        .select(id_col, shingle_hashes_from_pairs(F.col("__hp"), n).alias("__sh"))
+    )
     mod = F.lit(PORTABLE_MINHASH_MOD)
 
     def _min_i(i: Column) -> Column:
@@ -526,7 +571,11 @@ def simhash_portable(
     from pg2kafka_spark.operators.text import rolling_hash, tokens
 
     hs = F.transform(tokens(F.col(text_col)), lambda t: rolling_hash(t))
-    staged = df.select(id_col, hs.alias("__h")).filter(F.size("__h") >= 1)
+    staged = (
+        _spread(df.select(id_col, text_col))
+        .select(id_col, hs.alias("__h"))
+        .filter(F.size("__h") >= 1)
+    )
     n = F.size("__h")
 
     def _ones(i: int) -> Column:

@@ -98,11 +98,48 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
-def test_portable_sketch_twins_are_map_only(spark, sf_dir):
+def test_portable_sketch_twins_have_no_data_shuffle(spark, sf_dir):
+    # the only allowed exchange is _spread's round-robin fan-out (a
+    # no-op at scale: it never repartitions DOWN, and a 100 TB scan
+    # already has thousands of splits); no hash/range shuffle anywhere
     p = plan_of(spark, "minhash_signatures_portable", sf_dir)
-    assert "Exchange" not in p
+    assert p.count(" Exchange (") <= 1 and "hashpartitioning" not in p
     # the min-fold happens before the explode: the Generate's input
     # carries the k-element signature, never the shingle array
     assert "Generate" in p and "__sh" not in p.split("Generate")[1].split("Input")[1].split("]")[0]
     p2 = plan_of(spark, "simhash_portable", sf_dir)
-    assert "Exchange" not in p2 and "Generate" not in p2
+    assert p2.count(" Exchange (") <= 1 and "hashpartitioning" not in p2
+    assert "Generate" not in p2
+
+
+def test_portable_minhash_stages_the_token_fold_once(spark, sf_dir):
+    """Regression guard for the quadratic that burned rounds 1 AND 2:
+    interpreted HOFs re-evaluate outer-captured expressions per
+    element, so the O(doc_chars) per-token (h,p) char fold must appear
+    in the plan EXACTLY once — as its own staged projection — and
+    never inside the shingle-composing lambda. The broken round-2
+    formulation (element_at(hp, i) captured per shingle) shows the
+    fold n+ times; CollapseProject re-inlining the stage would too."""
+    p = plan_of(spark, "minhash_signatures_portable", sf_dir)
+    # `ascii(` only occurs in the char fold of token_hash_pairs
+    assert p.count("ascii(") == 1, f"token fold evaluated {p.count('ascii(')}x"
+    # and the staged __hp column is what the shingle slices read
+    assert "slice(__hp" in p
+
+
+def test_portable_minhash_linear_runtime_budget(spark):
+    """Wall-time backstop for the same pathology: 60 docs x 1500
+    tokens is ~0.5 s linear but minutes quadratic (tokens x doc_chars
+    interpreted fold steps). Generous 60 s budget - only a
+    complexity-class regression can blow it."""
+    import time
+
+    from pg2kafka_spark.operators.dedup import minhash_signatures_portable
+
+    doc = " ".join(f"tok{i % 97} w{i}" for i in range(750))  # 1500 tokens
+    df = spark.createDataFrame(
+        [(i, doc + f" tail{i}") for i in range(60)], "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    assert minhash_signatures_portable(df, k=8).count() == 60 * 8
+    assert time.perf_counter() - t0 < 60
