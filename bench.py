@@ -38,6 +38,8 @@ def main() -> None:
 
     # Best-of-2 per query: single-run local timings have multi-second
     # noise (shared host); the min is the engine's capability.
+    from pg2kafka_spark.operators.dedup import release_sketch_caches
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
         best = float("inf")
@@ -46,6 +48,9 @@ def main() -> None:
             t0 = time.perf_counter()
             run(df)
             best = min(best, time.perf_counter() - t0)
+            # drop persisted sketch intermediates between runs so the
+            # suite measures each query cold and storage never accrues
+            release_sketch_caches()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

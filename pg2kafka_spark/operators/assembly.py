@@ -32,11 +32,19 @@ def stratified_hash_sample(
     ``rates`` maps stratum value → kept buckets; unlisted strata get
     ``default_rate``. Downsampling dominant strata (e.g. English) while
     keeping the tail is the standard corpus-balancing move.
+
+    ``pmod`` (not ``%``): Spark's ``%`` keeps the dividend's sign, so
+    a raw (signed) ``xxhash64`` would land half the rows in negative
+    buckets that satisfy ``bucket < rate`` for EVERY stratum — a
+    silent ~50% keep-everything bug. ``pmod`` keeps buckets in
+    ``[0, mod)`` for any hash column.
     """
     rate: Column = F.lit(default_rate)
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
-    return df.withColumn("bucket", hash_col % mod).filter(F.col("bucket") < rate)
+    return df.withColumn("bucket", F.pmod(hash_col, F.lit(mod))).filter(
+        F.col("bucket") < rate
+    )
 
 
 def assign_packs(

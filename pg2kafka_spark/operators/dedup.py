@@ -33,6 +33,32 @@ from pyspark.sql.types import ArrayType, LongType
 from pg2kafka_spark.operators.text import fingerprint, shingles, tokens
 
 
+#: Persisted sketch/signature intermediates not yet released — see
+#: ``release_sketch_caches``.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist (MEMORY_AND_DISK — spills instead of evicting under
+    pressure) and TRACK the handle. The sketch intermediates here are
+    each consumed 2-3× inside one query, but a long-lived session
+    running many queries (the driver executes all of them back to
+    back) would otherwise accumulate executor storage indefinitely.
+    Suite runners call ``release_sketch_caches()`` between queries;
+    releasing early is always safe — Spark just recomputes."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_sketch_caches() -> None:
+    """Unpersist every tracked sketch intermediate (idempotent)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the scan gave
     too few splits. The heavy stages here are per-row (shingle/hash)
@@ -92,10 +118,9 @@ def jaccard_pairs(
     # is xxhash64(shingle), not the shingle string: 8-byte uniform
     # shuffle keys instead of ~20-byte strings (collision odds over
     # |shingles|² pairs are ≈ 2⁻⁶⁴·|pairs| — vanishing).
-    sh = (
+    sh = _persist(
         shingle_sets(df, text_col, id_col, n)
         .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -231,12 +256,11 @@ def minhash_lsh_pairs(
     # + both sides of the pair join-back); recomputing the shingle
     # pass per consumer tripled the cost. At scale sigs are 512 B/doc
     # — the one intermediate in this pipeline worth caching.
-    sig = (
+    sig = _persist(
         _spread(df.select(id_col, text_col))
         .select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .select(id_col, _minhash_udf(num_hashes, seed)(F.col("__sh")).alias("minhash"))
-        .persist()
     )
     # Band keys only — the self-join shuffles (id, band, bucket), never
     # the 64-element signature (16× smaller shuffle than carrying it).
@@ -357,10 +381,9 @@ def simhash_near_pairs(
     """
     # persist: the sketch table feeds both sides of the self-join;
     # without it the token-hash + UDF pass runs twice
-    sh = (
+    sh = _persist(
         with_simhash(_spread(df.select(id_col, text_col)), text_col)
         .select(id_col, "simhash")
-        .persist()
     )
     blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
@@ -380,6 +403,7 @@ def simhash_near_pairs(
 
 
 __all__ = [
+    "release_sketch_caches",
     "exact_dedup",
     "shingle_sets",
     "jaccard_pairs",

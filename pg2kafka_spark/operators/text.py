@@ -102,16 +102,29 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Punctuation chars / total chars — boilerplate/spam signal."""
-    return F.length(F.regexp_replace(text, r"[^.,!?;:]", "")) / F.length(text)
+    """Punctuation chars / total chars — boilerplate/spam signal.
+
+    try_divide: under Spark 4's default ANSI mode a zero-length
+    document would raise DIVIDE_BY_ZERO and kill the whole job;
+    NULL-for-empty matches DuckDB's divide-by-zero result, so the
+    oracle comparison holds on degenerate corpora too."""
+    return F.try_divide(
+        F.length(F.regexp_replace(text, r"[^.,!?;:]", "")), F.length(text)
+    )
 
 
 def stopword_ratio(text: Column) -> Column:
     """Stopword tokens / total tokens — near-zero for keyword-stuffed
-    or non-natural text, another standard cheap quality gate."""
+    or non-natural text, another standard cheap quality gate.
+    try_divide for the same ANSI DIVIDE_BY_ZERO reason as
+    ``punct_ratio`` (split("", " ") yields [""] so the count is ≥ 1
+    today, but a tokenizer change must not turn empty docs into a
+    job-killer)."""
     toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    return F.try_divide(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))), F.size(toks)
+    )
 
 
 def rolling_hash(text: Column) -> Column:

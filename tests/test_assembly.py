@@ -52,7 +52,11 @@ def test_assign_packs_offsets_stay_in_pack_window(spark, sf_dir):
 def test_stratified_sample_is_deterministic_and_respects_rates(spark):
     rows = [(i, "en" if i % 3 else "de", f"tok{i} tok{i+1} tok{i*7%13}") for i in range(300)]
     docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
-    h = F.abs(F.xxhash64("text"))
+    # RAW signed xxhash64 — the natural input. Half its values are
+    # negative; pmod must still land every bucket in [0, 100). (The
+    # pre-pmod version needed F.abs here and silently kept ~50% of
+    # every stratum without it.)
+    h = F.xxhash64("text")
     a = stratified_hash_sample(docs, "lang", h, {"en": 10}, default_rate=90)
     b = stratified_hash_sample(docs, "lang", h, {"en": 10}, default_rate=90)
     assert sorted(r["doc_id"] for r in a.collect()) == sorted(
@@ -63,6 +67,10 @@ def test_stratified_sample_is_deterministic_and_respects_rates(spark):
     # de kept at ~90%, en at ~10% — loose bounds, exactness is the
     # oracle's job; this guards the rate wiring (per-stratum CASE)
     assert by_lang.get("de", 0) > by_lang.get("en", 0)
-    # buckets actually bounded by the stratum rate
+    # en is 2/3 of the corpus but sampled at 10%: a signed-bucket
+    # keep-everything regression would invert this
+    assert by_lang.get("en", 0) < 0.2 * 200
+    # buckets actually bounded below and above by the stratum rate
+    assert a.filter(F.col("bucket") < 0).count() == 0
     assert a.filter((F.col("lang") == "en") & (F.col("bucket") >= 10)).count() == 0
     assert a.filter(F.col("bucket") >= 90).count() == 0

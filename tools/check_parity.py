@@ -40,10 +40,13 @@ def main() -> None:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    from pg2kafka_spark.operators.dedup import release_sketch_caches
+
     failures = []
     for name, fn in sorted(QUERIES.items()):
         if ONLY and name not in ONLY:
             continue
+        release_sketch_caches()  # no storage accrual across the suite
         if name not in ORACLES:
             try:
                 n = fn(spark, SF_DIR).count()
