@@ -248,69 +248,102 @@ def embedding_near_dup_pairs(
     """All pairs with cosine ≥ threshold, as a block-partitioned
     matrix product.
 
-    The corpus is hashed into ``num_blocks`` blocks; every block pair
-    (upper triangle incl. diagonal) becomes one task that runs a
-    BLAS matmul over its two Arrow-delivered blocks. Replication is
-    ``num_blocks`` copies of the corpus through one shuffle — the
-    standard dense-similarity tradeoff (pick num_blocks ≈ N·d·8B /
-    executor-memory-budget at scale; a row-pair formulation with
-    per-pair array lambdas was 50× slower at sf0.1).
+    The corpus is hashed into ``num_blocks`` blocks and every block
+    pair (upper triangle incl. diagonal) becomes one grouped-map task
+    that runs a BLAS matmul over its two blocks. Each row is
+    replicated to the ``num_blocks`` block pairs it participates in —
+    one shuffle, the standard dense-similarity tradeoff.
+
+    A block-pair group arrives in the kernel as Arrow-batched ROWS
+    (``applyInPandas``), never as a single ``collect_list`` row: the
+    round-2 formulation packed a whole block into one row, which put
+    block size under Spark's ~2 GiB single-value ceiling and funneled
+    it through one off-heap copy. Here a block is bounded only by
+    task memory: pick ``num_blocks ≈ 2·N·d·8 B / task-memory-budget``
+    at scale (tests/test_plans.py pins the no-collect_list shape).
 
     ``cos_sim`` is rounded to 6 decimals — a numpy blocked-sum dot
     is not bit-identical to a sequential fold, so parity with any
     exact-pair oracle is at rounded precision.
     """
-    vec = F.struct(
-        F.col(id_col).cast("bigint").alias("id"), as_double(F.col(vec_col)).alias("e")
-    )
-    blocks = (
-        df.select(
-            F.pmod(F.xxhash64(F.col(id_col).cast("bigint")), F.lit(num_blocks)).alias("bid"),
-            vec.alias("v"),
-        )
-        .groupBy("bid")
-        .agg(F.collect_list("v").alias("vs"))
-    )
-    a = blocks.select(F.col("bid").alias("bid_a"), F.col("vs").alias("vs_a"))
-    b = blocks.select(F.col("bid").alias("bid_b"), F.col("vs").alias("vs_b"))
-    joined = a.join(b, F.col("bid_a") <= F.col("bid_b"))
+    nb = int(num_blocks)
     thr = float(threshold)
+    bid = F.pmod(F.xxhash64(F.col(id_col).cast("bigint")), F.lit(nb))
+    # replicate: row in block b joins pair (min(b,j), max(b,j)) ∀j;
+    # on the diagonal pair it serves both sides (is_a, kernel reuses)
+    rep = (
+        df.select(
+            bid.alias("bid"),
+            F.col(id_col).cast("bigint").alias("id"),
+            as_double(F.col(vec_col)).alias("e"),
+        )
+        .withColumn(
+            "pk",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nb - 1)),
+                    lambda j: F.struct(
+                        F.least(F.col("bid"), j).alias("blo"),
+                        F.greatest(F.col("bid"), j).alias("bhi"),
+                    ),
+                )
+            ),
+        )
+        .select(
+            F.col("pk.blo").alias("blo"),
+            F.col("pk.bhi").alias("bhi"),
+            (F.col("bid") == F.col("pk.blo")).alias("is_a"),
+            "id",
+            "e",
+        )
+    )
 
-    def _unpack(vs):
-        import numpy as np
-
-        ids = np.array([v["id"] for v in vs], dtype=np.int64)
-        mat = np.array([np.asarray(v["e"], dtype=np.float64) for v in vs])
-        return ids, mat
-
-    def kernel(batches):
+    def kernel(key, pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                ia, A = _unpack(row["vs_a"])
-                diag = row["bid_a"] == row["bid_b"]
-                ib, B = (ia, A) if diag else _unpack(row["vs_b"])
-                g = A @ B.T
-                na = np.einsum("ij,ij->i", A, A)
-                nb = na if diag else np.einsum("ij,ij->i", B, B)
-                cos = np.round(g / np.sqrt(np.outer(na, nb)), 6)
-                mask = cos >= thr
-                # each unordered pair lives in exactly one block pair;
-                # orient by id (and upper triangle on the diagonal)
-                if diag:
-                    mask &= ia[:, None] < ib[None, :]
-                ii, jj = np.nonzero(mask)
-                if len(ii) == 0:
-                    continue
-                left, right = ia[ii], ib[jj]
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.minimum(left, right),
-                        "id_b": np.maximum(left, right),
-                        "cos_sim": cos[ii, jj],
-                    }
-                )
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        diag = key[0] == key[1]
+        a_rows = pdf if diag else pdf[pdf["is_a"]]
+        if len(a_rows) == 0:
+            return empty
+        ia = a_rows["id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_rows["e"]])
+        if diag:
+            ib, B = ia, A
+        else:
+            b_rows = pdf[~pdf["is_a"]]
+            if len(b_rows) == 0:
+                return empty
+            ib = b_rows["id"].to_numpy(dtype=np.int64)
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in b_rows["e"]])
+        g = A @ B.T
+        na = np.einsum("ij,ij->i", A, A)
+        nbn = na if diag else np.einsum("ij,ij->i", B, B)
+        cos = np.round(g / np.sqrt(np.outer(na, nbn)), 6)
+        mask = cos >= thr
+        # each unordered pair lives in exactly one block pair; orient
+        # by id (and upper triangle on the diagonal)
+        if diag:
+            mask &= ia[:, None] < ib[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        left, right = ia[ii], ib[jj]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(left, right),
+                "id_b": np.maximum(left, right),
+                "cos_sim": cos[ii, jj],
+            }
+        )
 
-    return joined.mapInPandas(kernel, "id_a bigint, id_b bigint, cos_sim double")
+    return rep.groupBy("blo", "bhi").applyInPandas(
+        kernel, "id_a bigint, id_b bigint, cos_sim double"
+    )

@@ -127,6 +127,17 @@ def test_portable_minhash_stages_the_token_fold_once(spark, sf_dir):
     assert "slice(__hp" in p
 
 
+def test_embedding_near_dup_blocks_are_groups_not_rows(spark, sf_dir):
+    # a block must reach the matmul kernel as an Arrow-batched GROUP
+    # (applyInPandas), never be packed into a single collect_list row
+    # (whole-block rows hit Spark's ~2 GiB single-value ceiling)
+    p = plan_of(spark, "embedding_near_dup_pairs", sf_dir)
+    assert "collect_list" not in p
+    assert "FlatMapGroupsInPandas" in p
+    # exactly one data shuffle: the (blo, bhi) group exchange
+    assert p.count(" Exchange (") == 1
+
+
 def test_portable_minhash_linear_runtime_budget(spark):
     """Wall-time backstop for the same pathology: 60 docs x 1500
     tokens is ~0.5 s linear but minutes quadratic (tokens x doc_chars
