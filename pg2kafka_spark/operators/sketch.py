@@ -1,0 +1,196 @@
+"""Engine-portable sketch formulations with exact oracles.
+
+``user_value_sketches`` (q_relational.py) uses Spark's production
+sketches — HyperLogLog++ ``approx_count_distinct`` and the Greenwald-
+Khanna-style ``percentile_approx`` — whose internals are
+engine-specific, so the driver can only rows-check it. This module is
+the hash-checkable twin (same role as the portable MinHash/SimHash
+twins in ``dedup.py``): the SAME sketch math — HLL register/rank
+voting with the standard bias constant, and a fixed-bin mergeable
+histogram quantile — expressed as plain integer/IEEE column algebra
+that DuckDB reproduces bit-for-bit at 6-decimal rounding.
+
+Portability rules (shared with the other twins):
+
+* the hash is a 31-bit xorshift-multiply mixer (murmur3-finalizer
+  shape) — xor/shift/multiply/mod only, every intermediate positive
+  and < 2^63, exact in int64 on any engine. A plain affine hash is
+  NOT enough here: sequential ids form a lattice whose leading-zero
+  distribution is far from geometric, and the register maxes (hence
+  the estimate) were off by 50-90% — the avalanche steps are
+  load-bearing, not style;
+* rank (leading-zero count) is a CASE chain over power-of-two
+  thresholds, not ``log()``;
+* the harmonic sum adds exact powers of two (span < 52 bits — no
+  rounding, hence order-independent), so float determinism holds;
+* float literals are injected into the oracle SQL via ``repr`` and
+  CAST to DOUBLE (DuckDB parses bare decimals as DECIMAL, which would
+  silently change the arithmetic).
+
+Scale shape: both sketches are the textbook two-level aggregation —
+map-side partial per (group, register/bin), then a tiny per-group
+reduce — exactly how a 100 TB cardinality/quantile rollup should run:
+state per group is O(m) registers / O(bins) counters, never the data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: 2^6 registers — small enough for a compact oracle, real enough to
+#: exercise the estimator (±13% rsd; accuracy pinned in tests).
+HLL_M = 64
+HLL_REG_BITS = 6
+#: Hash is 31 bits: low 6 select the register, the remaining 25 feed
+#: the leading-zero rank.
+HLL_RANK_BITS = 25
+#: Hash domain: [0, 2^31).
+HLL_MOD = 1 << 31
+#: murmur3 finalizer multipliers (public constants).
+HLL_MIX1 = 0x85EBCA6B
+HLL_MIX2 = 0xC2B2AE35
+#: Standard HLL bias constant alpha_m for m = 64.
+HLL_ALPHA = 0.709
+
+
+def portable_int_hash(x: Column) -> Column:
+    """31-bit xorshift-multiply mixer (murmur3 finalizer shape) of an
+    integer key. Every step keeps values in [0, 2^31) and products
+    under 2^63, so the arithmetic is exact int64 on any engine."""
+    h = F.pmod(F.abs(x.cast("bigint")), F.lit(HLL_MOD))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = F.pmod(h * F.lit(HLL_MIX1), F.lit(HLL_MOD))
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = F.pmod(h * F.lit(HLL_MIX2), F.lit(HLL_MOD))
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def portable_int_hash_sql(x: str) -> str:
+    """The DuckDB spelling of ``portable_int_hash`` over expression
+    ``x`` — generated from the same constants so the sides can't
+    drift. Nested, since SQL lacks local bindings; every sub-term is
+    positive so ``%``/``>>`` agree with Spark's pmod/shiftright."""
+    h0 = f"(abs(CAST({x} AS BIGINT)) % {HLL_MOD})"
+    h1 = f"xor({h0}, {h0} >> 16)"
+    h2 = f"(({h1} * {HLL_MIX1}) % {HLL_MOD})"
+    h3 = f"xor({h2}, {h2} >> 13)"
+    h4 = f"(({h3} * {HLL_MIX2}) % {HLL_MOD})"
+    return f"xor({h4}, {h4} >> 16)"
+
+
+def hll_rank(w: Column) -> Column:
+    """1 + leading-zero count of ``w`` in ``HLL_RANK_BITS``-bit space
+    (the HLL register update value), as a power-of-two-threshold CASE
+    chain — no ``log()``, so bit-identical on any engine."""
+    c = F.when(w >= F.lit(1 << (HLL_RANK_BITS - 1)), F.lit(1))
+    for k in range(HLL_RANK_BITS - 2, -1, -1):
+        c = c.when(w >= F.lit(1 << k), F.lit(HLL_RANK_BITS - k))
+    return c.otherwise(F.lit(HLL_RANK_BITS + 1))
+
+
+def hll_rank_sql(w: str) -> str:
+    """The DuckDB spelling of ``hll_rank`` over SQL expression ``w``."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << k} THEN {HLL_RANK_BITS - k}"
+        for k in range(HLL_RANK_BITS - 1, -1, -1)
+    )
+    return f"CASE {whens} ELSE {HLL_RANK_BITS + 1} END"
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, out_col: str
+) -> DataFrame:
+    """Portable-HLL distinct-count estimate per group.
+
+    Register table (one uniform-key shuffle with map-side partial
+    max), then the standard estimator: harmonic mean of ``2^-rank``
+    over all m registers (absent register = rank 0 = summand 1.0),
+    with the small-range linear-counting correction
+    ``m * ln(m / zero_registers)`` below ``2.5 m``. NULL keys are
+    ignored, matching ``approx_count_distinct``."""
+    h = portable_int_hash(F.col(value_col))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.pmod(h, F.lit(HLL_M)).alias("__reg"),
+            hll_rank(F.shiftright(h, HLL_REG_BITS)).alias("__rank"),
+        )
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rank").alias("__mr"))
+    )
+    g = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__mr"))).alias("__ps"),
+        F.count(F.lit(1)).alias("__npres"),
+    )
+    m = float(HLL_M)
+    v = (F.lit(HLL_M) - F.col("__npres")).cast("double")
+    raw = F.lit(HLL_ALPHA * m * m) / (F.col("__ps") + v)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)
+    ).otherwise(raw)
+    return g.select(*group_cols, F.round(est, 6).alias(out_col))
+
+
+def histogram_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+    q: float = 0.5,
+    scale: int = 16,
+) -> DataFrame:
+    """Fixed-bin histogram quantile per group — the mergeable sketch
+    form of a percentile: bin = ``floor(value * scale)`` (width
+    1/scale, data-independent so partial histograms merge by count
+    addition), estimate = linear interpolation inside the first bin
+    whose cumulative count reaches ``q * n``.
+
+    Float determinism: the target ``q*n`` and bin bounds are exact
+    doubles; the interpolation is one IEEE division — identical on
+    both engines, rounded to 6 dp for the oracle row."""
+    binc = F.floor(F.col(value_col) * scale).cast("bigint")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, binc.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    target = F.lit(float(q)) * F.col("__n")
+    wpick = Window.partitionBy(*group_cols).orderBy("__bin")
+    picked = (
+        cum.filter(F.col("__cum") >= target)
+        .withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+    )
+    est = (
+        F.col("__bin") + (target - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+    ) / F.lit(float(scale))
+    return picked.select(*group_cols, F.round(est, 6).alias(out_col))
+
+
+__all__ = [
+    "HLL_M",
+    "HLL_REG_BITS",
+    "HLL_RANK_BITS",
+    "HLL_MOD",
+    "HLL_MIX1",
+    "HLL_MIX2",
+    "HLL_ALPHA",
+    "portable_int_hash",
+    "portable_int_hash_sql",
+    "hll_rank",
+    "hll_rank_sql",
+    "hll_distinct",
+    "histogram_quantile",
+]

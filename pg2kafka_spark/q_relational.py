@@ -632,6 +632,100 @@ def user_value_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_oracle() -> str:
+    """DuckDB spelling of the portable HLL + histogram-quantile math —
+    generated from the same constants as operators/sketch.py so the
+    two sides cannot drift. Float literals go in via repr + CAST
+    (DuckDB parses bare decimals as DECIMAL, different arithmetic)."""
+    from pg2kafka_spark.operators import sketch as K
+
+    alpha_m2 = repr(K.HLL_ALPHA * K.HLL_M * K.HLL_M)
+    m = K.HLL_M
+    return f"""
+    WITH hs AS (
+      SELECT event_type,
+             {K.portable_int_hash_sql("user_id")} AS h
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, h % {m} AS reg,
+             max({K.hll_rank_sql(f"(h // {1 << K.HLL_REG_BITS})")}) AS mr
+      FROM hs GROUP BY 1, 2
+    ),
+    hll AS (
+      SELECT event_type,
+             sum(power(CAST(2 AS DOUBLE), -mr)) AS ps,
+             count(*) AS npres
+      FROM regs GROUP BY 1
+    ),
+    hll_est AS (
+      SELECT event_type,
+             CASE WHEN raw <= CAST({repr(2.5 * m)} AS DOUBLE) AND ({m} - npres) > 0
+                  THEN {m} * ln({m} / CAST({m} - npres AS DOUBLE))
+                  ELSE raw END AS est
+      FROM (SELECT event_type, npres,
+                   CAST({alpha_m2} AS DOUBLE)
+                     / (ps + CAST({m} - npres AS DOUBLE)) AS raw
+            FROM hll)
+    ),
+    hist AS (
+      SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS bin, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type,
+             (bin + (CAST(0.5 AS DOUBLE) * n - (cum - c)) / c)
+               / CAST(16 AS DOUBLE) AS est
+      FROM (
+        SELECT event_type, bin, c, cum, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+        FROM cum WHERE cum >= CAST(0.5 AS DOUBLE) * n
+      ) WHERE rn = 1
+    ),
+    cnt AS (SELECT event_type, count(*) AS n_events FROM events GROUP BY 1)
+    SELECT cnt.event_type,
+           round(hll_est.est, 6) AS hll_users,
+           round(med.est, 6) AS hist_p50_value,
+           n_events
+    FROM cnt
+    JOIN hll_est ON hll_est.event_type = cnt.event_type
+    JOIN med ON med.event_type = cnt.event_type
+    """
+
+
+@query("user_value_sketches_portable", oracle=_sketch_oracle())
+def user_value_sketches_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable twin of ``user_value_sketches``: the SAME
+    sketch math — HLL register/rank voting with the standard bias
+    constant, and a fixed-bin mergeable histogram quantile — from an
+    engine-portable hash family, bit-identical between Spark column
+    algebra and DuckDB SQL at 6-dp rounding (operators/sketch.py).
+
+    Scale shape: two independent two-level aggregations (map-side
+    partial per (group, register/bin), tiny per-group reduce) joined
+    broadcast on the handful of group rows — per-group sketch state is
+    O(64) registers / O(bins) counters, never the data."""
+    from pg2kafka_spark.operators import sketch as K
+
+    events = load_table(spark, "events", sf_dir)
+    hll = K.hll_distinct(events, ["event_type"], "user_id", "hll_users")
+    med = K.histogram_quantile(
+        events, ["event_type"], "value", "hist_p50_value", q=0.5, scale=16
+    )
+    cnt = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        cnt.join(F.broadcast(hll), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .select("event_type", "hll_users", "hist_p50_value", "n_events")
+    )
+
+
 @query(
     "customer_event_activity",
     oracle="""
