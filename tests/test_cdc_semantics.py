@@ -204,6 +204,29 @@ def test_wire_shape_and_null_key(spark):
     assert json.loads(wire[0].value)["data"]["name"] == "Duffs Beer"
 
 
+def test_legacy_statement_passes_through_wire_untouched(spark):
+    """The reference's own fixtures insert a legacy ``CREATE``
+    statement value (main_test.go:43) and the relay produces it
+    verbatim — the statement column is an open enum, not validated.
+    Pin the same contract: unknown statement values survive the wire
+    path untouched (no filter, no rewrite, no error)."""
+    events = spark.createDataFrame(
+        [
+            ("u1", "ext-1", "CREATE", '{"simple": "data"}'),
+            ("u2", "ext-2", "SOMETHING_ELSE", "{}"),
+        ],
+        "uuid string, external_id string, statement string, data string",
+    ).withColumn("created_at", F.to_timestamp(F.lit("2018-01-01 00:00:00"))).withColumn(
+        "table_name", F.lit("users")
+    )
+    wire = to_wire(events, "mydb").orderBy("key").collect()
+    assert [json.loads(w.value)["statement"] for w in wire] == [
+        "CREATE",
+        "SOMETHING_ELSE",
+    ]
+    assert [w.topic for w in wire] == ["pg2kafka.mydb.users"] * 2
+
+
 # --- outbox scan semantics (eventqueue/event_queue.go, main_test.go) ------
 
 
