@@ -10,6 +10,7 @@ an operator of pg2kafka can map their deployment 1:1:
 | ``TOPIC_NAMESPACE``  | ``TOPIC_NAMESPACE``     | optional topic prefix (main.go:215-222) |
 | ``DRY_RUN``          | ``DRY_RUN``             | log to console instead of producing (main.go:158-160) |
 | ``DATABASE`` (from url, main.go:207-213) | ``DATABASE`` | db segment of the topic name |
+| ``PERFORM_MIGRATIONS`` (main.go:58-61) | ``PERFORM_MIGRATIONS`` | bootstrap the outbox on start (dir + schema/registry manifest, migrations.py) |
 | (drain then LISTEN, main.go:85-93)       | ``RELAY_ONCE``          | "true": availableNow drain then exit; else continuous micro-batches |
 | (poll pacing)        | ``RELAY_TRIGGER``       | processingTime interval for continuous mode (default "5 seconds") |
 | (page size O12)      | ``RELAY_PAGE_FILES``    | maxFilesPerTrigger |
@@ -35,6 +36,12 @@ def main(env: dict[str, str] | None = None) -> int:
     if not outbox:
         print("OUTBOX_DIR is required", file=sys.stderr)
         return 2
+    if env.get("PERFORM_MIGRATIONS", "").lower() in ("1", "true", "yes"):
+        # main.go:58-61: run migrations before relaying; idempotent,
+        # fails fast on an envelope conflict
+        from pg2kafka_spark.migrations import perform_migrations
+
+        perform_migrations(outbox)
     database = env.get("DATABASE", "postgres")
     namespace = env.get("TOPIC_NAMESPACE") or None
     dry_run = env.get("DRY_RUN", "").lower() in ("1", "true", "yes")

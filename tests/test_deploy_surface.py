@@ -48,3 +48,73 @@ def test_daemon_dry_run_drains_and_exits(spark, tmp_path, capsys):
 
 def test_daemon_requires_outbox_dir():
     assert daemon.main({}) == 2
+
+
+# --- migrations bootstrap (PERFORM_MIGRATIONS analog, main.go:58-61) ------
+
+
+def test_perform_migrations_creates_and_is_idempotent(tmp_path):
+    from pg2kafka_spark.migrations import (
+        MANIFEST_NAME,
+        load_registry,
+        perform_migrations,
+    )
+    from pg2kafka_spark.registry import Registry
+
+    outbox = str(tmp_path / "fresh" / "outbox")  # nested: mkdir -p semantics
+    assert perform_migrations(outbox, Registry({"products": "sku"})) is True
+    assert (tmp_path / "fresh" / "outbox" / MANIFEST_NAME).exists()
+    # CREATE IF NOT EXISTS: second run is a no-op, not an error
+    assert perform_migrations(outbox) is False
+    assert load_registry(outbox).key_column("products") == "sku"
+
+
+def test_perform_migrations_warns_and_keeps_mapping_on_rekey(tmp_path):
+    # the setup() guard (sql/triggers.sql:86-94): re-registering with a
+    # different key column warns and keeps the original
+    from pg2kafka_spark.migrations import load_registry, perform_migrations
+    from pg2kafka_spark.registry import Registry
+
+    outbox = str(tmp_path / "outbox")
+    perform_migrations(outbox, Registry({"products": "sku"}))
+    with pytest.warns(UserWarning, match="already registered"):
+        perform_migrations(outbox, Registry({"products": "id", "users": "uid"}))
+    reg = load_registry(outbox)
+    assert reg.key_column("products") == "sku"  # original kept
+    assert reg.key_column("users") == "uid"  # new table added
+
+
+def test_perform_migrations_fails_fast_on_envelope_conflict(tmp_path):
+    import json
+
+    from pg2kafka_spark.migrations import MANIFEST_NAME, perform_migrations
+
+    outbox = str(tmp_path / "outbox")
+    perform_migrations(outbox)
+    path = tmp_path / "outbox" / MANIFEST_NAME
+    doc = json.loads(path.read_text())
+    doc["event_schema"]["fields"] = doc["event_schema"]["fields"][:-1]
+    path.write_text(json.dumps(doc))
+    with pytest.raises(RuntimeError, match="different event envelope"):
+        perform_migrations(outbox)
+
+
+def test_daemon_bootstraps_outbox_with_perform_migrations(spark, tmp_path):
+    # a fresh deployment: PERFORM_MIGRATIONS creates the outbox layout,
+    # the drain finds an empty log and exits cleanly (main.go:58-61
+    # before the drain at main.go:85-93)
+    from pg2kafka_spark.migrations import MANIFEST_NAME
+
+    outbox = str(tmp_path / "outbox")
+    rc = daemon.main(
+        {
+            "OUTBOX_DIR": outbox,
+            "PERFORM_MIGRATIONS": "true",
+            "DATABASE": "testdb",
+            "DRY_RUN": "true",
+            "RELAY_ONCE": "true",
+            "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        }
+    )
+    assert rc == 0
+    assert (tmp_path / "outbox" / MANIFEST_NAME).exists()
