@@ -53,15 +53,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet; Spark reads it as LONG
-        # ns under ``nanosAsLong`` (session.py). Convert to a µs
-        # timestamp (floor-truncated, matching DuckDB's ``epoch_us``)
-        # — a pure projection, still pushdown/pruning-friendly.
+        # Normalize events.ts to a session-tz TIMESTAMP regardless of
+        # how the generator wrote it — the column has shipped as both
+        # TIMESTAMP(NANOS) (reads as LONG ns under ``nanosAsLong``) and
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+        # TIMESTAMP_NTZ). Downstream code assumes ``unix_micros(ts)``
+        # works and matches DuckDB's ``epoch_us``; with the session tz
+        # pinned to UTC both conversions below are exact and stay pure
+        # projections (pushdown/pruning-friendly).
         from pyspark.sql import functions as F, types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer `div`, not `/`: ns epochs (~1.7e18) overflow double precision
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # NTZ→LTZ cast interprets the naive value in the session tz
+            # (UTC, ensure_session_confs) — same instant DuckDB sees.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -231,6 +231,46 @@ def with_minhash(
     )
 
 
+def lsh_hot_buckets(
+    banded: DataFrame, max_bucket_size: int, *key_cols: str
+) -> DataFrame:
+    """Diagnostic companion to the hot-bucket cap: the (key, size)
+    rows the cap will drop, so operators can report dropped mass
+    instead of silently truncating. One groupBy on the same uniform
+    keys the pair join uses."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None, *key_cols: str) -> DataFrame:
+    """Drop rows in over-sized LSH buckets BEFORE the per-bucket pair
+    expansion. A bucket of B members emits O(B²) candidate pairs, and
+    hash uniformity does NOT bound B for the one input a web corpus
+    guarantees: identical/boilerplate documents share their entire
+    signature, so a boilerplate cluster of B copies lands in one
+    bucket per band → bands·B²/2 pairs. Those clusters are by
+    definition exact duplicates, which the cheaper ``exact_dedup``
+    pass (one uniform-key shuffle) already catches — dropping the
+    bucket loses no information an LSH pass is needed for.
+
+    Window count over the same (key…) partitioning the self-join
+    shuffles on — no extra shuffle beyond repartitioning by the join
+    key, which the join needs anyway. Use ``lsh_hot_buckets`` to
+    report what was dropped.
+    """
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy(*key_cols)
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -239,15 +279,22 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures,
     with the signature-agreement Jaccard estimate attached.
 
     bands=16 × rows=4 over k=64 → catches jaccard ≳ 0.5 w.h.p.
     Plan: signature (map-only) → explode k/r band keys → shuffle on
-    uniform (band, hash64) keys → per-bucket pair expansion →
-    distinct. At 100 TB bucket sizes stay bounded because banding
-    hashes are uniform; the quadratic step is per-bucket only.
+    uniform (band, hash64) keys → hot-bucket cap → per-bucket pair
+    expansion → distinct. Banding hashes are uniform for *distinct*
+    near-dup content, but identical/boilerplate docs share whole
+    signatures and concentrate in one bucket per band, so bucket size
+    is NOT bounded w.h.p. on real corpora — ``max_bucket_size``
+    (default 1000) drops those buckets before the quadratic step (see
+    ``_cap_buckets``; their members are exact-dup clusters that
+    ``exact_dedup`` handles). Pass ``None`` to disable on pre-exact-
+    deduped input.
     """
     rows = num_hashes // bands
     # Signature once per doc; docs with no shingles (< n tokens) are
@@ -281,6 +328,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bucket")
+    banded = _cap_buckets(banded, max_bucket_size, "band", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -370,6 +418,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_bits: int = 16,
+    max_block_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -377,7 +426,12 @@ def simhash_near_pairs(
     ``prefix_bits`` of the sketch (one equality-join shuffle) — the
     standard rotate-and-block scheme reduced to a single rotation,
     which is what the synthetic corpus needs; at 100 TB run
-    64/prefix_bits rotations for full recall.
+    64/prefix_bits rotations for full recall. Identical docs share the
+    whole sketch, so one boilerplate cluster collapses into one block
+    and the per-block pair expansion goes quadratic —
+    ``max_block_size`` drops such blocks before the join (same
+    rationale as ``minhash_lsh_pairs``: their members are exact dups,
+    ``exact_dedup``'s job). ``None`` disables.
     """
     # persist: the sketch table feeds both sides of the self-join;
     # without it the token-hash + UDF pass runs twice
@@ -386,6 +440,7 @@ def simhash_near_pairs(
         .select(id_col, "simhash")
     )
     blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    blocked = _cap_buckets(blocked, max_block_size, "block")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -412,6 +467,7 @@ __all__ = [
     "minhash_signature",
     "with_minhash",
     "minhash_lsh_pairs",
+    "lsh_hot_buckets",
     "simhash",
     "with_simhash",
     "simhash_near_pairs",

