@@ -2,14 +2,21 @@
 columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` stages. (SURVEY.md §7 M5 extras.)
 
-The *decode* step is STUBBED (no image/audio libraries in this
-container): ``decode_media(..., mode="fake")`` produces deterministic
-pseudo-features derived from the bytes; ``mode="real"`` raises
-``NotImplementedError`` at the exact point where PIL/ffmpeg/torchcodec
-would plug in. Everything Spark-side — schema, partition-preserving
-mapInPandas, Arrow batch shapes, downstream joins — is real and
-tested; swapping the stub for a real codec changes one pandas
-function.
+Two decode paths share every Spark-side stage (schema, partition-
+preserving mapInPandas, Arrow batch shapes, downstream joins):
+
+* ``mode="real"`` — an actual bytes→samples/pixels decode for the two
+  uncompressed containers expressible with numpy + struct alone (no
+  codec libraries in this container): RIFF/WAVE PCM-16 audio and
+  BMP 24-bpp images (``decode_wav_pcm16`` / ``decode_bmp_rgb``, with
+  matching encoders for fixtures). Features are computed from the
+  decoded signal (band RMS energies / channel+quadrant statistics),
+  and in real mode frame fingerprints hash decoded content, so two
+  containers that differ in bytes but carry identical audio/pixels
+  dedup together. Compressed formats (JPEG/MP3/MP4...) still need
+  PIL/ffmpeg and raise ``ValueError`` at the dispatch point.
+* ``mode="fake"`` — deterministic pseudo-features derived from the
+  raw bytes; keeps synthetic text-as-bytes fixtures usable.
 
 Scale notes: media rows are large (MBs of binary); the mapInPandas
 stage is map-only and partition-preserving, so decode parallelism ==
@@ -22,8 +29,10 @@ metadata-only consumers should select typed columns, never the binary
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -71,6 +80,138 @@ def synth_media(documents: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real codecs: RIFF/WAVE PCM-16 and BMP 24-bpp, pure numpy + struct
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE container around ``samples``."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16,
+        1,              # PCM
+        1,              # mono
+        rate,
+        rate * 2,       # byte rate
+        2,              # block align
+        16,             # bits/sample
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE container: walk the chunk list (fmt may be
+    followed by LIST/INFO etc. before data), require PCM-16 mono.
+    Returns (sample_rate, int16 samples)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_tag} ch={channels} bits={bits} "
+                    "(PCM-16 mono only)"
+                )
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, np.frombuffer(pcm, dtype="<i2")
+
+
+def encode_bmp_rgb(pixels: np.ndarray) -> bytes:
+    """24-bpp bottom-up BMP (BITMAPINFOHEADER) from an (H, W, 3)
+    uint8 RGB array; rows padded to 4 bytes as the format requires."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up row order, BGR channel order
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + body
+
+
+def decode_bmp_rgb(data: bytes) -> np.ndarray:
+    """Parse a 24-bpp uncompressed BMP into an (H, W, 3) uint8 RGB
+    array (handles bottom-up and top-down row order)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (off,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, _planes, bpp, compression = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _real_decode(media_type: str, content: bytes) -> dict:
+    """Actual decode for the supported containers, dispatched on magic
+    bytes. Features come from the decoded signal (not the container
+    bytes): audio → RMS energy of FEATURE_DIM equal time bands,
+    normalized to [0,1]; image → channel means, luma std, and quadrant
+    luma means, /255. Both rounded to 6 dp for cross-engine stability.
+    """
+    out = {
+        "n_bytes": len(content),
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "feature": None,
+    }
+    if content[:4] == b"RIFF":
+        rate, samples = decode_wav_pcm16(content)
+        out["duration_ms"] = int(len(samples) * 1000 // max(rate, 1))
+        x = samples.astype(np.float64) / 32768.0
+        bands = np.array_split(x, FEATURE_DIM)
+        out["feature"] = [
+            round(float(np.sqrt(np.mean(b * b))) if len(b) else 0.0, 6) for b in bands
+        ]
+    elif content[:2] == b"BM":
+        px = decode_bmp_rgb(content)
+        h, w, _ = px.shape
+        out["width"], out["height"] = int(w), int(h)
+        luma = px.astype(np.float64).mean(axis=2)
+        quads = [
+            luma[: h // 2 or 1, : w // 2 or 1],
+            luma[: h // 2 or 1, w // 2 :],
+            luma[h // 2 :, : w // 2 or 1],
+            luma[h // 2 :, w // 2 :],
+        ]
+        feat = [px[:, :, c].mean() for c in range(3)] + [luma.std()] + [
+            q.mean() if q.size else 0.0 for q in quads
+        ]
+        out["feature"] = [round(float(v) / 255.0, 6) for v in feat]
+    else:
+        raise ValueError(
+            f"unsupported media container for media_type={media_type!r}: "
+            "real mode decodes RIFF/WAVE PCM-16 and BMP-24 (compressed "
+            "formats need PIL/ffmpeg)"
+        )
+    return out
+
+
 def _fake_decode(media_type: str, content: bytes) -> dict:
     """Deterministic pseudo-decode: metadata + an 8-dim feature vector
     derived from md5(content). Stands in for PIL/ffmpeg; same bytes →
@@ -96,25 +237,23 @@ def _fake_decode(media_type: str, content: bytes) -> dict:
 def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode/feature-extract stage over Arrow batches.
 
-    ``mode="real"`` is the integration point for actual codecs —
-    intentionally unimplemented here. ``mode="fake"`` exercises the
-    full distributed path with deterministic output.
+    ``mode="real"`` decodes the payload bytes (WAV PCM-16 / BMP-24,
+    see module docstring) and features the decoded signal;
+    ``mode="fake"`` derives deterministic pseudo-features from the raw
+    bytes. Same plan shape either way: partition-preserving
+    mapInPandas, one output row per item.
     """
     if mode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode {mode!r}")
+    decode = _real_decode if mode == "real" else _fake_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not present "
-                    "in this environment; plug PIL/ffmpeg in here"
-                )
             rows = [
                 {
                     "media_id": mid,
                     "media_type": mtype,
-                    **_fake_decode(mtype, bytes(content)),
+                    **decode(mtype, bytes(content)),
                 }
                 for mid, mtype, content in zip(
                     pdf["media_id"], pdf["media_type"], pdf["content"]
@@ -123,6 +262,56 @@ def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+
+
+def synth_real_media(documents: DataFrame) -> DataFrame:
+    """Media table with REAL encoded payloads, deterministically
+    derived from each document: even doc_ids → 16×16 BMP-24 images,
+    odd → 0.25 s/8 kHz PCM-16 WAVs, pixel/sample values seeded by
+    md5(text) (so re-uploads of the same text encode identical
+    content on any executor — no RNG state, no library versions).
+    Video stays fixture-less: no uncompressed video container is
+    expressible without codec libraries.
+
+    Encoding runs in the same partition-preserving mapInPandas shape
+    as decode — at 100 TB this stage IS the pipeline's ingest format
+    conversion, so its distributed behavior is worth exercising, not
+    just its output.
+    """
+    src = documents.select("doc_id", "text", "source")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text, source in zip(pdf["doc_id"], pdf["text"], pdf["source"]):
+                digest = hashlib.md5(text.encode("utf-8")).digest()
+                words = np.frombuffer(digest, dtype="<u2").astype(np.int64)
+                if did % 2 == 0:
+                    # gradient + per-digest offsets: decoded stats vary by doc
+                    base = np.add.outer(np.arange(16), np.arange(16)) * 4
+                    px = np.stack(
+                        [(base + int(words[c] % 97)) % 256 for c in range(3)], axis=2
+                    ).astype(np.uint8)
+                    content, mtype = encode_bmp_rgb(px), "image"
+                else:
+                    t = np.arange(2000, dtype=np.float64)
+                    freq = 200.0 + float(words[0] % 800)
+                    wave = np.sin(2 * np.pi * freq * t / 8000.0)
+                    content = encode_wav_pcm16(
+                        np.round(wave * 12000).astype(np.int16), 8000
+                    )
+                    mtype = "audio"
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": mtype,
+                        "content": content,
+                        "source": source,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
 
 
 #: Output schema of the frame-sampling stage.
@@ -137,18 +326,54 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
+def sample_frames(
+    media: DataFrame, frames_per_item: int = 4, mode: str = "fake"
+) -> DataFrame:
     """Frame/segment sampling stage: video/audio rows emit
     ``frames_per_item`` evenly-spaced sample points, images emit one.
 
-    The frame *decode* is the same stub as :func:`decode_media` (an
-    md5 over the bytes at a deterministic stride stands in for the
-    extracted frame); the distributed shape is the real thing — a
-    partition-preserving ``mapInPandas`` whose output is a row per
-    sampled frame, ready for a downstream embedding/dedup stage. Row
-    explosion is bounded (``frames_per_item``) so a 100 TB video
-    corpus fans out predictably.
+    ``mode="fake"`` fingerprints strided slices of the *container
+    bytes* (stub, works on any payload). ``mode="real"`` decodes
+    first and fingerprints the *content*: evenly-spaced sample
+    segments for WAV audio (offset_ms from the actual sample rate),
+    the pixel array for BMP images — so two containers whose bytes
+    differ (chunk order, padding) but whose signal is identical share
+    every fingerprint, which is the invariant frame-dedup actually
+    needs. Either way the distributed shape is identical: a
+    partition-preserving ``mapInPandas`` with bounded row explosion
+    (``frames_per_item``), so a 100 TB corpus fans out predictably.
     """
+    if mode not in ("fake", "real"):
+        raise ValueError(f"unknown frame mode {mode!r}")
+
+    def item_frames(mtype: str, data: bytes) -> list[tuple[int, int, str]]:
+        if mode == "real":
+            if data[:4] == b"RIFF":
+                rate, samples = decode_wav_pcm16(data)
+                n = frames_per_item
+                stride = max(1, len(samples) // n)
+                return [
+                    (
+                        i,
+                        int(i * stride * 1000 // max(rate, 1)),
+                        hashlib.md5(
+                            np.ascontiguousarray(
+                                samples[i * stride : (i + 1) * stride], dtype="<i2"
+                            ).tobytes()
+                        ).hexdigest(),
+                    )
+                    for i in range(n)
+                ]
+            if data[:2] == b"BM":
+                px = decode_bmp_rgb(data)
+                return [(0, 0, hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest())]
+            raise ValueError("unsupported media container in real frame mode")
+        n = 1 if mtype == "image" else frames_per_item
+        stride = max(1, len(data) // max(n, 1))
+        return [
+            (i, i * 1000, hashlib.md5(data[i * stride : (i + 1) * stride] or b"\x00").hexdigest())
+            for i in range(n)
+        ]
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,18 +381,14 @@ def sample_frames(media: DataFrame, frames_per_item: int = 4) -> DataFrame:
             for mid, mtype, content in zip(
                 pdf["media_id"], pdf["media_type"], pdf["content"]
             ):
-                data = bytes(content)
-                n = 1 if mtype == "image" else frames_per_item
-                stride = max(1, len(data) // max(n, 1))
-                for i in range(n):
-                    chunk = data[i * stride : (i + 1) * stride] or b"\x00"
+                for idx, off, fp in item_frames(mtype, bytes(content)):
                     rows.append(
                         {
                             "media_id": mid,
                             "media_type": mtype,
-                            "frame_idx": i,
-                            "offset_ms": i * 1000,
-                            "frame_fp": hashlib.md5(chunk).hexdigest(),
+                            "frame_idx": idx,
+                            "offset_ms": off,
+                            "frame_fp": fp,
                         }
                     )
             yield pd.DataFrame(rows)

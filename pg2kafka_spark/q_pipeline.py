@@ -574,6 +574,41 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_stats(features).orderBy("media_type")
 
 
+@query("multimodal_features_real")  # rows-only: real-codec mapInPandas stage
+def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline with ACTUAL encoded bytes and an actual decode:
+    documents are encoded into WAV PCM-16 / BMP-24 containers
+    (operators/multimodal.py synth_real_media), then parsed back
+    bytes→samples/pixels with the pure-numpy codecs and featured from
+    the decoded signal. No stub anywhere on this path."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_real_media(docs)
+    features = M.decode_media(media, mode="real")
+    return M.media_stats(features).orderBy("media_type")
+
+
+@query("media_near_dup_real")  # rows-only: real-codec frame stage
+def media_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level near-dup over REAL decoded content: the corpus plus
+    one copy per document (id + 3·10⁶ — parity-preserving so the copy
+    keeps its media type), frames fingerprinted from decoded
+    samples/pixels, pairs sharing every sampled frame. Every original
+    must pair with its copy; documents whose derived signals coincide
+    (same seeded waveform) pair too, deterministically."""
+    docs = load_table(spark, "documents", sf_dir)
+    copies = docs.select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    frames = M.sample_frames(
+        M.synth_real_media(docs.unionByName(copies)), mode="real"
+    )
+    return M.frame_overlap_pairs(frames, min_common=1)
+
+
 # ---------------------------------------------------------------------------
 # Training-set assembly (operators/assembly.py)
 # ---------------------------------------------------------------------------
