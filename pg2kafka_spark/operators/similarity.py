@@ -159,6 +159,87 @@ def lsh_bucket_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: Knuth multiplicative constants for the portable pseudo-random
+#: sample ordering (same family as the portable MinHash in dedup.py).
+PORTABLE_SAMPLE_SALT = 2654435761
+PORTABLE_SAMPLE_MOD = (1 << 31) - 1
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Deterministic, engine-portable spherical k-means: ``iters``
+    Lloyd iterations with max-cosine assignment and element-wise mean
+    update, entirely as DataFrame ops — returns ``(cid, __ce)``.
+
+    Determinism/portability contract (the same discipline as the
+    portable sketches): seeding picks the ``n_centroids`` vectors with
+    the smallest ``(id·salt) mod (2³¹−1)`` — a fixed pseudo-random
+    permutation both engines can express — every assignment argmax
+    runs on 6-dp-rounded cosine with cid as tiebreak, and centroid
+    means are 6-dp-rounded per component, so DuckDB reproduces the
+    centroids bit-for-bit and the whole IVF operator stays
+    oracle-checkable.
+
+    Scale shape: the seed scan is top-n (TakeOrderedAndProject — per-
+    partition heads, no global sort); each iteration is one map-only
+    assignment pass against broadcast centroids plus an
+    O(n_centroids·dim) aggregate. Pass ``train_sample`` at real scale
+    to train on the smallest-hash ``train_sample`` rows (same
+    portable ordering) instead of the full corpus — the standard
+    IVF practice; the assignment/probe plan is unchanged.
+    Cells that go empty keep their previous centroid.
+    """
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    ordered = c.withColumn(
+        "__h",
+        F.pmod(
+            F.col(id_col).cast("bigint") * F.lit(PORTABLE_SAMPLE_SALT),
+            F.lit(PORTABLE_SAMPLE_MOD),
+        ),
+    ).orderBy("__h", id_col)
+    cents = ordered.limit(n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("__cv").alias("__ce")
+    )
+    train = (
+        ordered.limit(train_sample).select(id_col, "__cv")
+        if train_sample is not None
+        else c
+    )
+    for _ in range(iters):
+        asg_w = Window.partitionBy(id_col).orderBy(
+            F.col("cell_sim").desc(), F.col("cid").asc()
+        )
+        asg = (
+            train.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                "__cv",
+                "cid",
+                F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
+            )
+            .withColumn("__arn", F.row_number().over(asg_w))
+            .filter(F.col("__arn") == 1)
+        )
+        means = asg.groupBy("cid").agg(
+            F.array(
+                *[F.round(F.avg(F.col("__cv").getItem(i)), 6) for i in range(dim)]
+            ).alias("__me")
+        )
+        # both sides are n_centroids rows; hint anyway — an aggregate
+        # output has no stats, so the planner would SMJ it
+        cents = cents.join(F.broadcast(means), "cid", "left").select(
+            "cid", F.coalesce(F.col("__me"), F.col("__ce")).alias("__ce")
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,28 +249,42 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train: str = "kmeans",
+    train_iters: int = 2,
+    dim: int = 64,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by
     nearest centroid, probe only the ``n_probe`` nearest lists per
     query, exact cosine within the probed lists, top-k.
 
-    Centroid "training" is a deterministic stub — the first
-    ``n_centroids`` corpus vectors (at scale: k-means on a sample,
-    fixed seed; the list-assignment/probe plan is identical). Every
-    similarity that drives an argmax/ranking is rounded to 6 decimals
-    first so assignment is engine-portable (ulp-level cosine
+    Centroids come from :func:`kmeans_centroids` (deterministic
+    portable spherical k-means, ``train="kmeans"``) or the legacy
+    first-N stub (``train="first_n"``, kept for comparison tests).
+    Every similarity that drives an argmax/ranking is rounded to 6
+    decimals first so assignment is engine-portable (ulp-level cosine
     differences cannot flip a cell assignment), making the whole
-    operator ANSI-SQL-expressible — unlike hash-seeded LSH.
+    operator — training included — ANSI-SQL-expressible, unlike
+    hash-seeded LSH.
 
     Scale shape: centroids broadcast (tiny); assignment is one
     map-only pass over the corpus; the probe join is an equality join
     on cid. The corpus never self-joins and never shuffles beyond the
     one cid-partitioned exchange — at 1B vectors, cost is
-    O(N·C) assignment + O(N·P/C) candidate scoring per query batch.
+    O(N·C) assignment + O(N·P/C) candidate scoring per query batch
+    (+ train_iters assignment passes once per corpus, amortized
+    across query batches; use ``train_sample`` to bound them).
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("__ce")
-    )
+    if train == "kmeans":
+        cents = kmeans_centroids(
+            corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
+        )
+    elif train == "first_n":
+        cents = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("__ce")
+        )
+    else:
+        raise ValueError(f"unknown train mode {train!r}")
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     asg_w = Window.partitionBy(id_col).orderBy(
         F.col("cell_sim").desc(), F.col("cid").asc()

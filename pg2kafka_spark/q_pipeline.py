@@ -403,11 +403,51 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled portable spherical k-means as chained CTEs — the SQL
+    twin of operators/similarity.kmeans_centroids (same seeded sample
+    ordering, 6-dp-rounded assignment cosine and centroid means,
+    empty cells keep their previous centroid). Ends with a CTE named
+    ``cents`` so the consumer SQL is unchanged."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_inner_product({a}, {b}) / sqrt(list_inner_product({a}, {a})"
+            f" * list_inner_product({b}, {b})), 6)"
+        )
+
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cid, e AS ce FROM d "
+        f"ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT {n_centroids})"
+    ]
+    for it in range(iters):
+        prev = f"cents{it}"
+        nxt = "cents" if it == iters - 1 else f"cents{it + 1}"
+        avg_terms = ", ".join(f"round(avg(e[{i + 1}]), 6)" for i in range(dim))
+        parts.append(
+            f"kasg{it} AS (SELECT vec_id, e, cid FROM ("
+            f"SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id "
+            f"ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn "
+            f"FROM d CROSS JOIN {prev} c) WHERE arn = 1)"
+        )
+        parts.append(
+            f"km{it} AS (SELECT cid, list_value({avg_terms}) AS me "
+            f"FROM kasg{it} GROUP BY cid)"
+        )
+        parts.append(
+            f"{nxt} AS (SELECT p.cid, coalesce(m.me, p.ce) AS ce "
+            f"FROM {prev} p LEFT JOIN km{it} m ON m.cid = p.cid)"
+        )
+    return ",\n    ".join(parts)
+
+
 @query(
     "embedding_ann_ivf",
     oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes()
     + """
-    , cents AS (SELECT vec_id AS cid, e AS ce FROM d WHERE vec_id < 8),
+    ,
     asg AS (
       SELECT vec_id, e, cid FROM (
         SELECT d.vec_id, d.e, c.cid,
@@ -447,10 +487,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-3: corpus partitioned into 8
-    inverted lists by nearest (deterministic-stub) centroid, queries
-    probe their 2 nearest lists, exact cosine within. Fully
-    oracle-checked — every argmax runs on 6-decimal-rounded
-    similarities so cell assignment is engine-portable."""
+    inverted lists by nearest k-means centroid (deterministic
+    portable spherical k-means, 2 Lloyd iterations — the oracle
+    unrolls the identical iterations as SQL CTEs), queries probe
+    their 2 nearest lists, exact cosine within. Fully oracle-checked
+    — every argmax and every centroid mean runs on 6-decimal-rounded
+    values so training and assignment are engine-portable."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
