@@ -73,17 +73,31 @@ def to_wire(
     events: DataFrame,
     database: str,
     topic_namespace: str | None = None,
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 ) -> DataFrame:
     """Project canonical events to Kafka sink shape:
-    ``key`` (nullable binary-safe string), ``value`` (JSON), ``topic``.
+    ``key`` (nullable binary-safe string), ``value`` (JSON),
+    ``topic``, ``headers``.
 
     Drop-on-the-floor columns (``id``/``table_name``/``processed``)
-    match the ``json:"-"`` omissions; Kafka message timestamp would be
-    set from ``created_at`` by the sink config.
+    match the ``json:"-"`` omissions. Spark's Kafka sink consumes
+    only key/value/topic/partition/headers — it cannot set the
+    broker-side message timestamp from a column (that is assigned at
+    produce time), so the event's own ``created_at`` rides as a
+    ``created_at`` message HEADER (ISO-8601 µs, same rendering as the
+    payload field) in addition to the JSON body. Consumers that read
+    the reference's timestamped messages read the header instead.
     """
     return events.select(
         F.col("external_id").alias("key"),
-        wire_value().alias("value"),
+        wire_value(timestamp_format).alias("value"),
         topic_column(database, topic_namespace).alias("topic"),
-        F.col("created_at").alias("timestamp"),
+        F.array(
+            F.struct(
+                F.lit("created_at").alias("key"),
+                F.encode(
+                    F.date_format(F.col("created_at"), timestamp_format), "UTF-8"
+                ).alias("value"),
+            )
+        ).alias("headers"),
     )

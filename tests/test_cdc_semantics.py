@@ -202,6 +202,10 @@ def test_wire_shape_and_null_key(spark):
     assert json.loads(wire[1].value)["external_id"] is None
     # data is the nested row object, spliced raw (not double-encoded)
     assert json.loads(wire[0].value)["data"]["name"] == "Duffs Beer"
+    # created_at header present on every message, matching the payload
+    for w in wire:
+        hdrs = {h.key: bytes(h.value).decode() for h in w.headers}
+        assert hdrs == {"created_at": json.loads(w.value)["created_at"]}
 
 
 def test_legacy_statement_passes_through_wire_untouched(spark):

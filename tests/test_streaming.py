@@ -107,6 +107,13 @@ def test_relay_snapshot_then_changes_to_memory(spark, outbox, tmp_path):
     assert payload["external_id"] is None
     assert payload["statement"] == "SNAPSHOT"
     assert payload["data"]["name"] == "anon"
+    # the event's own created_at rides as a Kafka message header (the
+    # sink cannot set broker timestamps from a column); the header
+    # value is the same ISO-8601 rendering the payload carries
+    for r in out:
+        hdrs = {h.key: bytes(h.value).decode() for h in r.headers}
+        assert set(hdrs) == {"created_at"}
+        assert hdrs["created_at"] == json.loads(r.value)["created_at"]
 
 
 def test_relay_pages_bound_micro_batches(spark, outbox, tmp_path):
