@@ -59,6 +59,30 @@ def release_sketch_caches() -> None:
         _PERSISTED.pop().unpersist()
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def sketch_cache_scope():
+    """Scope guard for the sketch caches: any signature/sketch table
+    persisted inside the ``with`` block is released on exit, so a
+    long-lived session (notebook, service) can run LSH/SimHash
+    queries without accruing executor storage. Suite runners
+    (bench.py, tools/check_parity.py) release between queries; this
+    is the same discipline as a context manager::
+
+        with sketch_cache_scope():
+            minhash_lsh_pairs(docs).count()
+        # storage empty here — callers must materialize INSIDE the
+        # scope (DataFrames are lazy; consuming one after exit just
+        # recomputes without the cache, which is safe but slower)
+    """
+    try:
+        yield
+    finally:
+        release_sketch_caches()
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's parallelism when the scan gave
     too few splits. The heavy stages here are per-row (shingle/hash)
@@ -459,6 +483,7 @@ def simhash_near_pairs(
 
 __all__ = [
     "release_sketch_caches",
+    "sketch_cache_scope",
     "exact_dedup",
     "shingle_sets",
     "jaccard_pairs",

@@ -50,6 +50,14 @@ def salted_agg(
     the hot key fans out over ``salt`` reducers; phase 2 combines the
     ``salt`` partials per key (sum-of-counts, sum/count for avg, …).
     Result is exactly ``df.groupBy(keys).agg(...)``.
+
+    Bit-stability caveat: for DOUBLE columns, sum/avg are exact only
+    up to floating-point association — and the association here
+    depends on the salt AND the partition layout, so results can
+    differ in the last ulp across core counts. Callers needing
+    bit-stable output (oracle-checked queries, checkpoint replays)
+    should cast the summed column to DECIMAL first, as
+    ``user_event_rollup_salted`` does; min/max/count are order-free.
     """
     partials = []
     finals = []

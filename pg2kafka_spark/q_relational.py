@@ -1012,3 +1012,66 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew strategies in anger (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_event_rollup_salted",
+    oracle="""
+    SELECT user_id,
+           count(value) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(round(sum(CAST(value AS DECIMAL(20,6))) / count(value), 6) AS DOUBLE)
+             AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup computed through the SALTED two-phase
+    aggregation (operators/skew.py salted_agg) — the strategy for the
+    Zipfian key AQE cannot split (AQE splits partitions, not keys).
+    Result is exactly ``groupBy(user_id).agg(...)``; the oracle is the
+    plain one-phase SQL, so the hash-match proves the salt+combine
+    decomposition is value-exact on real data, not just on unit
+    fixtures.
+
+    The summed column is cast to DECIMAL first (same trick as
+    pricing_summary): double summation is order-dependent, and a
+    salted sum's order depends on partition layout — decimal sums are
+    exact, so the result is bit-stable across core counts AND equal
+    to the oracle's single-phase sum. min/max/count need no such care
+    (order-free). Plan shape (pinned in tests/test_plans.py): two
+    exchanges — (user_id, __salt) then user_id — each fed by a
+    map-side partial aggregate."""
+    from pg2kafka_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(20,6)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["user_id"],
+        aggs={
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+            "avg_value": ("avg", "value_dec"),
+        },
+        salt=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 6).cast("double").alias("avg_value"),
+    )

@@ -98,6 +98,17 @@ def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     assert "SortMergeJoin" not in p
 
 
+def test_salted_rollup_is_two_phase(spark, sf_dir):
+    """salted_agg must plan as exactly two exchanges — hash on
+    (user_id, __salt), then hash on user_id — each preceded by a
+    map-side partial aggregate; no single-phase collapse."""
+    p = plan_of(spark, "user_event_rollup_salted", sf_dir)
+    assert "__salt" in p
+    assert p.count("hashpartitioning") >= 2
+    assert p.count(" Exchange (") == 2
+    assert "HashAggregate" in p
+
+
 def test_portable_sketch_twins_have_no_data_shuffle(spark, sf_dir):
     # the only allowed exchange is _spread's round-robin fan-out (a
     # no-op at scale: it never repartitions DOWN, and a 100 TB scan
