@@ -280,19 +280,18 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None, *key_cols: str)
     pass (one uniform-key shuffle) already catches — dropping the
     bucket loses no information an LSH pass is needed for.
 
-    Window count over the same (key…) partitioning the self-join
-    shuffles on — no extra shuffle beyond repartitioning by the join
-    key, which the join needs anyway. Use ``lsh_hot_buckets`` to
+    Shape: aggregate the hot KEYS (count per bucket, keep only keys
+    over the cap — a tiny or empty set, bounded by N/cap) and
+    broadcast anti-join them out. The main path gains only a map-side
+    filter; a window-count formulation instead re-shuffled BOTH self-
+    join sides and destroyed the band table's size stats (measured
+    2-4× regression on the sf0.1 bench). Use ``lsh_hot_buckets`` to
     report what was dropped.
     """
     if max_bucket_size is None:
         return banded
-    w = Window.partitionBy(*key_cols)
-    return (
-        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket_size)
-        .drop("__bsz")
-    )
+    hot = lsh_hot_buckets(banded, max_bucket_size, *key_cols).select(*key_cols)
+    return banded.join(F.broadcast(hot), list(key_cols), "left_anti")
 
 
 def minhash_lsh_pairs(

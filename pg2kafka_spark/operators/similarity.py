@@ -237,7 +237,14 @@ def kmeans_centroids(
         cents = cents.join(F.broadcast(means), "cid", "left").select(
             "cid", F.coalesce(F.col("__me"), F.col("__ce")).alias("__ce")
         )
-    return cents
+    # persist the trained table (n_centroids rows): its lineage holds
+    # `iters` full assignment passes over the corpus, and IVF consumes
+    # it from two places (cell assignment + query probes) — uncached,
+    # every consumer re-trains. Tracked by the shared cache registry
+    # so suite runners release it like any sketch intermediate.
+    from pg2kafka_spark.operators.dedup import _persist
+
+    return _persist(cents)
 
 
 def ivf_topk(
