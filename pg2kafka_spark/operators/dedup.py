@@ -435,6 +435,15 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash(F.col(text_col)))
 
 
+def _rotl64(c: Column, k: int) -> Column:
+    """64-bit left rotation as a column expression (k in 1..63).
+    shiftleft on BIGINT drops overflow bits (two's-complement wrap),
+    shiftrightunsigned brings the high bits around — together an
+    exact bit rotation. Java shifts are mod 64, so k=0/64 must be
+    handled by the caller (identity)."""
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -442,42 +451,79 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     prefix_bits: int = 16,
     max_block_size: int | None = 1000,
+    rotations: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Blocking: pairs are only compared when they share the top
-    ``prefix_bits`` of the sketch (one equality-join shuffle) — the
-    standard rotate-and-block scheme reduced to a single rotation,
-    which is what the synthetic corpus needs; at 100 TB run
-    64/prefix_bits rotations for full recall. Identical docs share the
-    whole sketch, so one boilerplate cluster collapses into one block
-    and the per-block pair expansion goes quadratic —
-    ``max_block_size`` drops such blocks before the join (same
-    rationale as ``minhash_lsh_pairs``: their members are exact dups,
-    ``exact_dedup``'s job). ``None`` disables.
+    ``prefix_bits`` of the sketch (one equality-join shuffle per
+    rotation). A single rotation misses a pair whose ≤ ``max_hamming``
+    differing bits all land in the top ``prefix_bits``; passing
+    ``rotations=r`` re-blocks on ``r`` evenly-spaced bit rotations of
+    the sketch and unions the candidates (a pair with ≤ h flipped
+    bits shares SOME unrotated prefix whenever the flips leave a
+    prefix_bits-wide window clean — with r = 64/prefix_bits the
+    windows tile the sketch, so any pair with < 64/prefix_bits flips
+    is caught by pigeonhole: full recall for max_hamming <
+    64/prefix_bits). The sketch table is persisted once; each
+    rotation is one more uniform-key shuffle of the (id, block)
+    projection — cost is r × the single-rotation join, the standard
+    recall/cost dial at 100 TB.
+
+    Identical docs share the whole sketch, so one boilerplate cluster
+    collapses into one block (in every rotation) and the per-block
+    pair expansion goes quadratic — ``max_block_size`` drops such
+    blocks before each join (same rationale as ``minhash_lsh_pairs``:
+    their members are exact dups, ``exact_dedup``'s job). ``None``
+    disables.
     """
-    # persist: the sketch table feeds both sides of the self-join;
-    # without it the token-hash + UDF pass runs twice
+    # persist: the sketch table feeds both sides of every rotation's
+    # self-join; without it the token-hash + UDF pass runs 2r times
     sh = _persist(
         with_simhash(_spread(df.select(id_col, text_col)), text_col)
         .select(id_col, "simhash")
     )
-    blocked = sh.withColumn("block", F.shiftrightunsigned("simhash", 64 - prefix_bits))
-    blocked = _cap_buckets(blocked, max_block_size, "block")
-    a, b = blocked.alias("a"), blocked.alias("b")
-    return (
-        a.join(
+    return simhash_pairs_from_sketches(
+        sh, max_hamming, id_col, prefix_bits, max_block_size, rotations
+    )
+
+
+def simhash_pairs_from_sketches(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    max_block_size: int | None = 1000,
+    rotations: int = 1,
+) -> DataFrame:
+    """The blocking/join half of :func:`simhash_near_pairs`, over a
+    precomputed ``(id, simhash)`` table — separated so the rotation
+    recall guarantee is testable on handcrafted sketches."""
+    out = None
+    for r in range(rotations):
+        k = (r * 64) // rotations
+        rot = F.col("simhash") if k == 0 else _rotl64(F.col("simhash"), k)
+        blocked = sh.withColumn("block", F.shiftrightunsigned(rot, 64 - prefix_bits))
+        blocked = _cap_buckets(blocked, max_block_size, "block")
+        a, b = blocked.alias("a"), blocked.alias("b")
+        pairs = a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        out = pairs if out is None else out.unionByName(pairs)
+    result = out.filter(F.col("hamming") <= max_hamming)
+    if rotations > 1:
+        # a pair can collide in several rotations; hamming is a pure
+        # function of the pair, so distinct dedups exactly
+        result = result.distinct()
+    return result
 
 
 __all__ = [
@@ -495,6 +541,7 @@ __all__ = [
     "simhash",
     "with_simhash",
     "simhash_near_pairs",
+    "simhash_pairs_from_sketches",
     "token_hash_pairs",
     "shingle_hashes_from_pairs",
     "shingle_rolling_hashes",

@@ -170,6 +170,47 @@ def test_lsh_hot_buckets_reports_dropped_mass(spark):
     assert len(hot) == 1 and hot[0].bucket_size == 32
 
 
+def test_rotl64_matches_python_rotation(spark):
+    vals = [0x8000000000000001 - (1 << 64), 0x0123456789ABCDEF, -1, 1, 0]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for k in (1, 16, 48, 63):
+        got = [
+            r.r for r in df.select(D._rotl64(F.col("v"), k).alias("r")).collect()
+        ]
+        exp = [
+            (((v & 0xFFFFFFFFFFFFFFFF) << k | (v & 0xFFFFFFFFFFFFFFFF) >> (64 - k))
+             & 0xFFFFFFFFFFFFFFFF) - (1 << 64)
+            if (((v & 0xFFFFFFFFFFFFFFFF) << k | (v & 0xFFFFFFFFFFFFFFFF) >> (64 - k))
+                & 0xFFFFFFFFFFFFFFFF) >= (1 << 63)
+            else (((v & 0xFFFFFFFFFFFFFFFF) << k | (v & 0xFFFFFFFFFFFFFFFF) >> (64 - k))
+                  & 0xFFFFFFFFFFFFFFFF)
+            for v in vals
+        ]
+        assert got == exp, f"k={k}"
+
+
+def test_simhash_rotations_recover_top_bit_flips(spark):
+    """Pigeonhole guarantee: a pair whose 3 differing bits all sit in
+    the top prefix_bits window is invisible to single-rotation
+    blocking but MUST be caught with rotations=4 (16-bit windows tile
+    the sketch; 3 flips cannot dirty all 4 windows)."""
+    base = 0x0123456789ABCDEF
+    near = base ^ (0b111 << 61)  # 3 flips, all inside the top 16 bits
+    def signed(v):
+        v &= 0xFFFFFFFFFFFFFFFF
+        return v - (1 << 64) if v >= (1 << 63) else v
+    sh = spark.createDataFrame(
+        [(1, signed(base)), (2, signed(near)), (3, signed(0x7654321076543210))],
+        "doc_id long, simhash long",
+    )
+    one = D.simhash_pairs_from_sketches(sh, max_hamming=3, rotations=1)
+    four = D.simhash_pairs_from_sketches(sh, max_hamming=3, rotations=4)
+    assert one.filter((F.col("id_a") == 1) & (F.col("id_b") == 2)).count() == 0
+    got = four.collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    assert got[0].hamming == 3
+
+
 def test_simhash_block_cap_bounds_boilerplate_blowup(spark):
     # healthy pair = two identical non-boilerplate docs (hamming 0):
     # a one-token term-profile change flips O(10) of 64 vote bits, so
