@@ -190,7 +190,14 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     reduced mod 2^31 so downstream affine permutations stay < 2^62
     (ANSI-safe). Evaluated once per row in a plain projection —
     keeping the string hashing out of any nested lambda is what makes
-    the signature pass linear instead of k× re-evaluated."""
+    the pass linear instead of k× re-evaluated.
+
+    No longer on the MinHash path (the fused kernel in
+    ``_minhash_from_tokens_udf`` composes shingle hashes numerically —
+    building ~n_tokens shingle STRINGS per row in an interpreted HOF
+    was ~10× the cost of everything else in the signature pass); kept
+    as the string-faithful shingle-hash expression for exact/oracle
+    formulations."""
     return F.transform(
         F.array_distinct(shingles(tokens(text), shingle_n)),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_POW31)),
@@ -234,13 +241,85 @@ def _minhash_udf(num_hashes: int, seed: int):
     return sig
 
 
+#: Odd mixing constants for the in-kernel shingle-hash composition.
+_SHINGLE_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _minhash_from_tokens_udf(num_hashes: int, shingle_n: int, seed: int):
+    """Fused shingle-compose + MinHash Arrow kernel over per-token
+    xxhash64 values.
+
+    The round-3 signature pass built every shingle STRING in an
+    interpreted JVM higher-order function (concat of ~3 tokens ×
+    ~n_tokens per row) before hashing — measured ~20 s for 50k docs,
+    dwarfing the numpy permutation fold. Here the JVM side only emits
+    one xxhash64 per token (a single cheap ``transform``); the n-gram
+    hash is composed NUMERICALLY in the kernel — one multiply-add per
+    shifted lane over the whole Arrow batch — and two facts remove
+    all per-row Python work:
+
+    * windows that straddle row boundaries are masked out by segment
+      arithmetic, so composition runs on the one concatenated array;
+    * MinHash needs no ``array_distinct``: duplicate shingles cannot
+      change a minimum, so the multiset is folded directly
+      (``np.minimum.reduceat`` over per-row segments).
+
+    Same output contract as ``_minhash_udf``: k int64 per row, empty
+    token lists (callers filter ``size >= shingle_n``) never reach
+    the kernel. The hash family differs from the string formulation
+    (values are not comparable across the two), which only rows-only
+    consumers observe; recall/estimate tests re-validate it.
+    """
+    a_params, b_params = _permutation_params(num_hashes, seed)
+    a_np = np.array(a_params, dtype=np.int64)
+    b_np = np.array(b_params, dtype=np.int64)
+    c = [np.int64(x - (1 << 64) if x >= 1 << 63 else x) for x in _SHINGLE_C[:shingle_n]]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        arrs = [
+            np.asarray(x, dtype=np.int64) if x is not None else np.empty(0, np.int64)
+            for x in hs
+        ]
+        lens = np.array([len(x) for x in arrs], dtype=np.int64)
+        out = np.full((len(arrs), num_hashes), _MERSENNE61, dtype=np.int64)
+        m = np.maximum(lens - (shingle_n - 1), 0)  # shingles per row
+        nonempty = m > 0
+        if not nonempty.any():
+            return pd.Series(list(out))
+        h_all = np.concatenate([x for x in arrs if len(x)])
+        with np.errstate(over="ignore"):
+            # wrapping int64 multiply-add per shifted lane
+            comp = c[0] * h_all[: len(h_all) - (shingle_n - 1)]
+            for j in range(1, shingle_n):
+                comp = comp + c[j] * h_all[j : len(h_all) - (shingle_n - 1) + j]
+        # mask windows that cross a row boundary, then re-segment
+        starts = np.zeros(int((lens > 0).sum()), dtype=np.int64)
+        starts[1:] = np.cumsum(lens[lens > 0])[:-1]
+        keep = np.zeros(len(comp), dtype=bool)
+        mi = m[lens > 0]
+        for s, k in zip(starts, mi):  # O(rows), not O(tokens)
+            if k > 0:
+                keep[s : s + k] = True
+        sh = (comp[keep] & np.int64(0x7FFFFFFF)).astype(np.int64)
+        seg = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        seg[1:] = np.cumsum(m[nonempty])[:-1]
+        for i in range(num_hashes):
+            v = (a_np[i] * sh + b_np[i]) % _MERSENNE61
+            out[nonempty, i] = np.minimum.reduceat(v, seg)
+        return pd.Series(list(out))
+
+    return sig
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> Column:
-    """k-element MinHash signature as ``array<bigint>`` (one-hash
-    trick: one xxhash64 per shingle + k affine permutations, k×
-    cheaper than hashing every shingle k times)."""
-    return _minhash_udf(num_hashes, seed)(shingle_hashes(text, shingle_n))
+    """k-element MinHash signature as ``array<bigint>`` — the fused
+    token-hash → in-kernel shingle composition → k affine permutations
+    path (same family as ``minhash_lsh_pairs``; docs shorter than
+    ``shingle_n`` tokens get the all-sentinel signature)."""
+    return _minhash_from_tokens_udf(num_hashes, shingle_n, seed)(token_hashes(text))
 
 
 def with_minhash(
@@ -326,11 +405,20 @@ def minhash_lsh_pairs(
     # + both sides of the pair join-back); recomputing the shingle
     # pass per consumer tripled the cost. At scale sigs are 512 B/doc
     # — the one intermediate in this pipeline worth caching.
+    # JVM side emits only per-token xxhash64 (cheap transform); the
+    # shingle composition + min-fold is the fused Arrow kernel — see
+    # _minhash_from_tokens_udf for why this beats building shingle
+    # strings row-side by ~10×.
     sig = _persist(
         _spread(df.select(id_col, text_col))
-        .select(F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .select(id_col, _minhash_udf(num_hashes, seed)(F.col("__sh")).alias("minhash"))
+        .select(F.col(id_col), token_hashes(F.col(text_col)).alias("__th"))
+        .filter(F.size("__th") >= shingle_n)
+        .select(
+            id_col,
+            _minhash_from_tokens_udf(num_hashes, shingle_n, seed)(
+                F.col("__th")
+            ).alias("minhash"),
+        )
     )
     # Band keys only — the self-join shuffles (id, band, bucket), never
     # the 64-element signature (16× smaller shuffle than carrying it).
