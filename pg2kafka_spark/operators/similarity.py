@@ -449,3 +449,69 @@ def embedding_near_dup_pairs(
     return rep.groupBy("blo", "bhi").applyInPandas(
         kernel, "id_a bigint, id_b bigint, cos_sim double"
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    num_tables: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """All pairs with cosine ≥ ``threshold`` via hyperplane-LSH
+    bucketing — the DISCOVERY-path sibling of
+    :func:`embedding_near_dup_pairs`.
+
+    The block-matmul formulation is exact but replicates every row
+    ``num_blocks``× (all-pairs by construction) — right at 10⁴-10⁶
+    vectors, impossible at 10⁹. This one buckets the corpus in
+    ``num_tables`` independent hyperplane tables (different seeds)
+    and expands pairs only within a bucket, verifying exact cosine
+    inline: per table one uniform-key shuffle of (id, vector),
+    expected bucket size N/2^num_planes, candidate recall
+    1−(1−p^m)^L for per-bit agreement p = 1−θ/π. Identical-vector
+    clusters collapse into one bucket in every table (the
+    boilerplate problem again) — ``max_bucket_size`` drops them via
+    the same broadcast anti-join cap as the text-LSH paths; exact
+    dups belong to the cheaper exact pass.
+
+    ``cos_sim`` is 6-dp rounded (portability discipline); pairs
+    caught by several tables are emitted once.
+    """
+    from pg2kafka_spark.operators.dedup import _cap_buckets, _persist
+
+    v = _persist(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__e"))
+    )
+    out = None
+    for t in range(num_tables):
+        b = v.select(
+            id_col,
+            "__e",
+            hyperplane_signature(
+                F.col("__e"), num_planes, dim, seed + 101 * t
+            ).alias("bucket"),
+        )
+        b = _cap_buckets(b, max_bucket_size, "bucket")
+        a, c = b.alias("a"), b.alias("b")
+        pairs = (
+            a.join(
+                c,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cosine(F.col("a.__e"), F.col("b.__e")), 6).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    # a pair found by several tables has the same rounded cosine in
+    # each — one aggregate dedups exactly
+    return out.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))

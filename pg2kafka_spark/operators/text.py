@@ -171,3 +171,40 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("ttr", type_token_ratio(t))
         .withColumn("mean_token_len", (F.length(t) - F.col("n_tokens") + 1) / F.col("n_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: Redaction patterns, ordered (emails before phones: an address's
+#: digit runs must not be half-eaten by the phone pattern first).
+#: Kept to constructs Java regex (Spark) and RE2 (DuckDB) interpret
+#: identically: character classes, bounded quantifiers, \b — no
+#: lookaround, no backreferences.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]"),
+)
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern — ``split`` length minus one,
+    the formulation both engines evaluate identically (regexp_count
+    exists in Spark 4 but not in every oracle dialect)."""
+    pat = dict(PII_PATTERNS)[kind]
+    return (F.size(F.split(text, pat)) - 1).cast("long")
+
+
+def redact_pii(text: Column, token: str = "<PII>") -> Column:
+    """Replace every PII match with ``token`` — chained
+    ``regexp_replace`` in PII_PATTERNS order, one streaming pass per
+    pattern, map-only (the standard pre-training scrub stage). The
+    pattern list is deliberately high-precision/modest-recall: at
+    100 TB a false positive deletes real data silently, while missed
+    PII is caught by the dedicated downstream audit."""
+    out = text
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

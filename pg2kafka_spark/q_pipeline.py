@@ -403,6 +403,67 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+@query("embedding_near_dup_lsh_pairs")  # rows-only: hyperplane seeds not portable SQL
+def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via multi-table hyperplane-LSH
+    bucketing — the DISCOVERY path for corpora where the block-matmul
+    all-pairs formulation (replication = num_blocks) stops being
+    writable: per table one uniform bucket shuffle, pair expansion
+    within buckets only, exact cosine verified inline. Subset-of-
+    exact and planted-dup recall asserted in
+    tests/test_pipeline_ops.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.embedding_near_dup_lsh(emb, threshold=0.4)
+
+
+_PII_AUGMENT_SPARK = (
+    "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' contact user', doc_id, "
+    "'@example.com now') WHEN doc_id % 3 = 1 THEN concat(text, "
+    "' call +1 (555) 010-', lpad(cast(doc_id % 10000 as string), 4, '0'), "
+    "' today') ELSE text END"
+)
+_PII_AUGMENT_DUCK = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || "
+    "'@example.com now' WHEN doc_id % 3 = 1 THEN text || "
+    "' call +1 (555) 010-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') || "
+    "' today' ELSE text END"
+)
+
+
+@query(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUGMENT_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) - 1 AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_split_to_array(t,
+             '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]')) - 1 AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<PII>', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<PII>', 'g'),
+             '\\+?[0-9][0-9()\\-. ]{{7,}}[0-9]', '<PII>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub stage (operators/text.py redact_pii): deterministic
+    synthetic emails/phone numbers are appended to the fixture text —
+    identically in Spark and the oracle — then counted and redacted;
+    the md5 of the redacted text hash-checks the full replacement
+    output, not just the counts. Map-only, one streaming regex pass
+    per pattern."""
+    docs = load_table(spark, "documents", sf_dir)
+    aug = docs.select("doc_id", F.expr(_PII_AUGMENT_SPARK).alias("t"))
+    return aug.select(
+        "doc_id",
+        X.pii_count(F.col("t"), "email").alias("n_emails"),
+        X.pii_count(F.col("t"), "phone").alias("n_phones"),
+        F.md5(F.encode(X.redact_pii(F.col("t")), "UTF-8")).alias("redacted_md5"),
+    )
+
+
 def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> str:
     """Unrolled portable spherical k-means as chained CTEs — the SQL
     twin of operators/similarity.kmeans_centroids (same seeded sample

@@ -224,6 +224,69 @@ def test_simhash_block_cap_bounds_boilerplate_blowup(spark):
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_hits_and_misses(spark):
+    from pg2kafka_spark.operators.text import pii_count, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+        (2, "call +1 (555) 010-4242 or 555-010-9999 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "clean text with no identifiers at all"),
+        (5, "two mails: a@b.io and c.d@e-f.org here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: (r.red, r.ne)
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            pii_count(F.col("t"), "email").alias("ne"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at <PII> thanks", 1)
+    assert "<PII>" in got[2][0] and "555" not in got[2][0]
+    assert got[3][0] == "server at <PII> responded"
+    assert got[4] == ("clean text with no identifiers at all", 0)
+    assert got[5] == ("two mails: <PII> and <PII> here", 2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup via LSH: subset-of-exact + planted recall
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_lsh_near_dup_subset_and_recall(spark):
+    """Every LSH-discovered pair must appear in the exact block-matmul
+    pair set (no false positives — cosine is verified inline), and
+    planted near-identical pairs (cos ≥ 0.99) must be recalled."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(60, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 1000, [float(x) for x in v + rng.normal(size=64) * 0.02]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_lsh(emb, threshold=0.9).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    planted = {(i, i + 1000) for i in range(60)} & exact
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.85, f"planted recall {recall:.2f}"
+
+
+# ---------------------------------------------------------------------------
 # IVF: k-means centroids vs first-N stub on a clustered fixture
 # ---------------------------------------------------------------------------
 
