@@ -403,6 +403,50 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+    m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(length(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(m.top, 0) AS BIGINT) AS top_bigram_count,
+           round(coalesce(m.top, 0) * 2.0 / length(toks), 6) AS top_bigram_fraction
+    FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate gate (Gopher-style): the token share of
+    the single most frequent bigram — near-zero for natural text,
+    spiking on keyword-stuffed or templated documents. Two uniform-
+    key shuffles (gram counts, per-doc max), standard two-level agg
+    shape; documents shorter than 2 tokens keep count 0 via the left
+    join."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("tk"))
+    counts = (
+        toks.select("doc_id", F.explode(X.shingles(F.col("tk"), 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(F.max("c").alias("top"))
+    return toks.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("top"), F.lit(0)).cast("long").alias("top_bigram_count"),
+        F.round(
+            F.coalesce(F.col("top"), F.lit(0)) * 2.0 / F.size("tk"), 6
+        ).alias("top_bigram_fraction"),
+    )
+
+
 @query("embedding_near_dup_lsh_pairs")  # rows-only: hyperplane seeds not portable SQL
 def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via multi-table hyperplane-LSH
