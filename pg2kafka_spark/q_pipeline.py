@@ -404,6 +404,61 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_char_ngram_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(nt) >= 5 THEN
+               list_distinct(list_transform(range(1, length(nt) - 3),
+                                            i -> substr(nt, i, 5)))
+             ELSE [] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(length(grams) AS BIGINT) AS n_char5,
+           list_aggregate(grams, 'min') AS min_gram,
+           list_aggregate(grams, 'max') AS max_gram
+    FROM g
+    """,
+)
+def doc_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram profile of the normalized text — the shingle
+    primitive for scripts where whitespace tokenization fails (CJK,
+    no-space boilerplate): distinct gram count plus lexicographic
+    min/max gram (portable spot-checks of the gram set). Map-only;
+    at 100 TB these grams feed the same MinHash kernel the token
+    shingles use."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pg2kafka_spark.operators.text import normalized_text
+
+    # HOF-CSE discipline (dedup.py lesson): the O(chars) normalize
+    # must be a staged COLUMN, not an expression captured in the
+    # per-gram lambda — interpreted HOFs re-evaluate captures per
+    # element, which would make this O(len²) per document
+    staged = docs.select("doc_id", normalized_text(F.col("text")).alias("__nt"))
+    grams = F.when(
+        F.length("__nt") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("__nt") - 4),
+                lambda i: F.substring(F.col("__nt"), i, 5),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select("doc_id", grams.alias("g")).select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_char5"),
+        F.array_min("g").alias("min_gram"),
+        F.array_max("g").alias("max_gram"),
+    )
+
+
+@query(
     "doc_repetition",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
