@@ -5,8 +5,10 @@ row count + schema + order-insensitive values against DuckDB):
 
 * every computed column aliased identically in Spark and oracle SQL;
 * double aggregates rounded the same on both sides;
-* ``events.ts`` never emitted raw (ns parquet; Spark truncates to µs)
-  — use ``unix_micros``/``epoch_us`` or formatted strings;
+* ``events.ts`` never emitted raw (the parquet encoding has shipped
+  as both ns and µs-NTZ; ``load_table`` normalizes, but timestamp
+  RENDERING differs across engines) — use ``unix_micros``/
+  ``epoch_us`` or formatted strings;
 * any LIMIT/top-k ordering carries a unique key as tiebreak.
 """
 

@@ -118,3 +118,38 @@ def test_real_frame_fp_invariant_to_container_bytes():
     rate_b, sb = M.decode_wav_pcm16(tagged)
     np.testing.assert_array_equal(sa, sb)
     assert hashlib.md5(bare).hexdigest() != hashlib.md5(tagged).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Property tests: codec round-trips over arbitrary content
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=500),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def test_wav_roundtrip_property(samples, rate):
+        arr = np.array(samples, dtype=np.int16)
+        got_rate, got = M.decode_wav_pcm16(M.encode_wav_pcm16(arr, rate))
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, arr)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=1, max_value=13),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_bmp_roundtrip_property(h, w, seed):
+        px = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(M.decode_bmp_rgb(M.encode_bmp_rgb(px)), px)
