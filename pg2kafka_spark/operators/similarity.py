@@ -470,46 +470,70 @@ def embedding_near_dup_lsh(
     ``num_blocks``× (all-pairs by construction) — right at 10⁴-10⁶
     vectors, impossible at 10⁹. This one buckets the corpus in
     ``num_tables`` independent hyperplane tables (different seeds)
-    and expands pairs only within a bucket, verifying exact cosine
-    inline: per table one uniform-key shuffle of (id, vector),
-    expected bucket size N/2^num_planes, candidate recall
-    1−(1−p^m)^L for per-bit agreement p = 1−θ/π. Identical-vector
-    clusters collapse into one bucket in every table (the
-    boilerplate problem again) — ``max_bucket_size`` drops them via
-    the same broadcast anti-join cap as the text-LSH paths; exact
-    dups belong to the cheaper exact pass.
+    and scores pairs only within a bucket: per table one uniform-key
+    shuffle of (id, vector), expected bucket size N/2^num_planes,
+    candidate recall 1−(1−p^m)^L for per-bit agreement p = 1−θ/π.
+    Within-bucket scoring is a grouped-map BLAS kernel
+    (``applyInPandas`` per bucket, same kernel shape as the block
+    matmul) — a first formulation computed each candidate's cosine as
+    an interpreted JVM array fold, which measured 11× slower than the
+    matmul it was supposed to beat; candidates must never materialize
+    as rows. Identical-vector clusters collapse into one bucket in
+    every table (the boilerplate problem again) — ``max_bucket_size``
+    drops them via the same broadcast anti-join cap as the text-LSH
+    paths; exact dups belong to the cheaper exact pass.
 
-    ``cos_sim`` is 6-dp rounded (portability discipline); pairs
-    caught by several tables are emitted once.
+    ``cos_sim`` is 6-dp rounded (portability discipline, numpy round
+    like the matmul path); pairs caught by several tables are emitted
+    once.
     """
+    import numpy as np
+    import pandas as pd
+
     from pg2kafka_spark.operators.dedup import _cap_buckets, _persist
 
+    thr = float(threshold)
+
+    def kernel(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        n = np.einsum("ij,ij->i", A, A)
+        cos = np.round((A @ A.T) / np.sqrt(np.outer(n, n)), 6)
+        mask = (cos >= thr) & (ids[:, None] < ids[None, :])
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cos_sim": cos[ii, jj]}
+        )
+
     v = _persist(
-        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__e"))
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            as_double(F.col(vec_col)).alias("e"),
+        )
     )
     out = None
     for t in range(num_tables):
         b = v.select(
-            id_col,
-            "__e",
+            "id",
+            "e",
             hyperplane_signature(
-                F.col("__e"), num_planes, dim, seed + 101 * t
+                F.col("e"), num_planes, dim, seed + 101 * t
             ).alias("bucket"),
         )
         b = _cap_buckets(b, max_bucket_size, "bucket")
-        a, c = b.alias("a"), b.alias("b")
-        pairs = (
-            a.join(
-                c,
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.round(cosine(F.col("a.__e"), F.col("b.__e")), 6).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
+        pairs = b.groupBy("bucket").applyInPandas(
+            kernel, "id_a bigint, id_b bigint, cos_sim double"
         )
         out = pairs if out is None else out.unionByName(pairs)
     # a pair found by several tables has the same rounded cosine in

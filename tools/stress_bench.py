@@ -79,6 +79,10 @@ def main() -> None:
         "embedding_near_dup block matmul (20k vecs, 400M pairs)",
         S.embedding_near_dup_pairs(embx, threshold=0.95),
     )
+    timed(
+        "embedding_near_dup LSH discovery (20k vecs)",
+        S.embedding_near_dup_lsh(embx, threshold=0.95),
+    )
     queries = embx.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
