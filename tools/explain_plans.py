@@ -54,11 +54,52 @@ COMMENTARY = {
         "no corpus self-join anywhere in the plan."
     ),
     "minhash_lsh_pairs": (
-        "LSH discovery path: Arrow-batched signature kernel "
-        "(`ArrowEvalPython`) over a once-computed shingle-hash array; the "
-        "self-join shuffles only (id, band, bucket) — the 64-long "
-        "signature is joined back per *deduped* candidate pair, not "
-        "carried through the band explosion."
+        "LSH discovery path: the JVM side emits one xxhash64 per token; "
+        "shingle composition AND the k-permutation min-fold run fused in "
+        "one Arrow kernel (`ArrowEvalPython`) — no shingle strings, no "
+        "array_distinct (a min is duplicate-blind). The self-join "
+        "shuffles only (id, band, bucket); hot buckets (boilerplate "
+        "clusters sharing whole signatures) are removed pre-join by a "
+        "broadcast ANTI-join against the aggregated over-cap key set — "
+        "a map-side filter, not a re-shuffle. The 64-long signature is "
+        "joined back per *deduped* candidate pair, not carried through "
+        "the band explosion."
+    ),
+    "user_event_rollup_salted": (
+        "Salted two-phase aggregation: two `Exchange`s — hash on "
+        "(user_id, __salt), then hash on user_id — each fed by a "
+        "map-side partial `HashAggregate`. This is the shape for the "
+        "Zipfian key AQE cannot help with (AQE splits partitions, not "
+        "keys). Summed doubles go through DECIMAL so the result is "
+        "bit-stable under any partition layout — the plan's exchanges "
+        "change with core count, the answer must not."
+    ),
+    "doc_pii_scrub": (
+        "Map-only scrub: chained `regexp_replace` + split-count "
+        "expressions inside one `WholeStageCodegen` projection over the "
+        "scan — no shuffle, no Python. At 100 TB this is scan-bound, "
+        "exactly what a redaction pass should be."
+    ),
+    "embedding_near_dup_lsh_pairs": (
+        "Discovery-path near-dup: per hyperplane table one uniform "
+        "bucket shuffle, then `FlatMapGroupsInPandas` — the per-bucket "
+        "pairwise cosine runs as ONE symmetric BLAS matmul per bucket "
+        "group; candidate pairs never exist as rows on the JVM side. "
+        "Contrast with embedding_near_dup_pairs (exact, all-pairs via "
+        "num_blocks× replication): same kernel shape, but work is "
+        "bucket-local, so the formulation survives 10⁹ vectors."
+    ),
+    "doc_repetition": (
+        "Gopher-style repetition gate: explode bigrams → two-level "
+        "aggregate (gram counts, per-doc max) on uniform keys, "
+        "broadcast-joined back to the per-doc token counts. Two "
+        "exchanges total, both with map-side partials."
+    ),
+    "multimodal_features_real": (
+        "Real-codec path: two partition-preserving `MapInPandas` stages "
+        "(encode fixture → decode/feature) and a 3-group aggregate. No "
+        "shuffle until the final rollup; decode parallelism == input "
+        "splits, the right shape for MB-scale binary rows."
     ),
     "event_asof_order": (
         "As-of join via the union trick: NO join node in the plan — both "
