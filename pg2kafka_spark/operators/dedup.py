@@ -110,6 +110,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the
+    daily-ingest shape: ``seen_fingerprints`` is the (fp) table the
+    pipeline maintains (md5 of normalized text, one row per kept doc),
+    ``new_docs`` the incoming batch. Keeps batch docs whose
+    fingerprint is unseen, lowest-id representative within the batch.
+
+    Plan: one within-batch window on the uniform fp key + one
+    LEFT ANTI join against the fingerprint store. At 100 TB the store
+    is bucketed/partitioned by fp so the anti-join co-locates; the
+    batch side is small by construction. Callers append
+    ``result.select(fp)`` back to the store afterwards — the operator
+    itself is pure.
+    """
+    fresh = exact_dedup(new_docs, text_col, id_col).withColumn(
+        "__fp", fingerprint(F.col(text_col))
+    )
+    seen = seen_fingerprints.select(F.col("fp").alias("__fp"))
+    return fresh.join(seen, "__fp", "left_anti").drop("__fp")
+
+
 # ---------------------------------------------------------------------------
 # Shingle Jaccard (exact near-dup verification)
 # ---------------------------------------------------------------------------
@@ -618,6 +644,7 @@ __all__ = [
     "release_sketch_caches",
     "sketch_cache_scope",
     "exact_dedup",
+    "incremental_exact_dedup",
     "shingle_sets",
     "jaccard_pairs",
     "shingle_hashes",

@@ -404,6 +404,46 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_batch",
+    oracle="""
+    WITH seen AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 250
+    ),
+    batch AS (SELECT * FROM documents WHERE doc_id >= 250),
+    fresh AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM batch
+      QUALIFY row_number() OVER (PARTITION BY
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) = 1
+    )
+    SELECT doc_id AS keep_doc_id FROM fresh
+    WHERE fp NOT IN (SELECT fp FROM seen)
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup (operators/dedup.py incremental_exact_dedup):
+    docs with id < 250 stand in for the already-ingested corpus (its
+    maintained fingerprint store), the rest are the incoming batch —
+    kept iff their fingerprint is new, lowest-id within the batch. One
+    window on the uniform fp key + one left-anti join against the
+    store (co-locatable via fp bucketing at scale)."""
+    docs = load_table(spark, "documents", sf_dir)
+    from pg2kafka_spark.operators.text import fingerprint as fp
+
+    seen = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(fp(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 250)
+    kept = D.incremental_exact_dedup(batch, seen)
+    return kept.select(F.col("doc_id").alias("keep_doc_id"))
+
+
+@query(
     "doc_char_ngram_stats",
     oracle="""
     WITH t AS (

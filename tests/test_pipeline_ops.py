@@ -85,6 +85,27 @@ def test_simhash_pairs_have_similar_term_profiles(spark):
         )
 
 
+def test_incremental_dedup_respects_store_and_batch(spark):
+    from pg2kafka_spark.operators.text import fingerprint as fp
+
+    seen_docs = spark.createDataFrame(
+        [(1, "already ingested text"), (2, "another old doc")],
+        "doc_id long, text string",
+    )
+    seen = seen_docs.select(fp(F.col("text")).alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "Already  INGESTED text"),   # dup of store after normalize
+            (11, "genuinely new document"),
+            (12, "genuinely new document"),   # within-batch dup, higher id
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in D.incremental_exact_dedup(batch, seen).collect()}
+    assert kept == {11, 13}
+
+
 def test_sketch_cache_scope_releases_storage(spark):
     docs = load_table(spark, "documents", SF_DIR)
     sc = spark.sparkContext
