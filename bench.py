@@ -7,8 +7,31 @@
 Each query executes end-to-end into the ``noop`` sink: the full plan
 runs (scan → shuffle → agg/window), nothing is converted to Python
 rows — measuring collect() would benchmark Py4J serialization of
-result sets, not the engine. A warm-up pass amortizes JVM/codegen
-startup so the numbers measure the plans, not the JIT.
+result sets, not the engine.
+
+Methodology (the round-5 lesson, recorded in BASELINE.md):
+
+* **Per-plan warmup at sf0.001.** First execution of a plan pays a
+  fixed JVM cost — Janino compilation of the generated projection plus
+  C2 JIT of the interpreted higher-order-function eval chain — that is
+  keyed to the PLAN SHAPE, not the data (measured: ~3 s for the deep
+  portable-hash expression tree, after which the same plan over 100×
+  the rows runs in 0.3 s). Best-of-2 within one process usually hides
+  it, but on a loaded host both timed runs can land inside the warmup
+  window (the r5 ``minhash_signatures_portable`` 2.83 s artifact row vs
+  0.32 s steady-state). Running every query once at the smallest scale
+  factor compiles/JITs every plan for pennies, so the timed section
+  measures the plans, not the JVM.
+
+* **Best-of-2 at the target scale factor** — the min is the engine's
+  capability; single-run local timings have multi-second noise on a
+  shared host.
+
+* **stdout discipline.** The driver parses stdout as JSON; Spark and
+  Ivy write banners to fd 1. We re-point fd 1 at stderr for the whole
+  run (so even JVM-side writes land in the log, not the artifact) and
+  write the result line to the saved real stdout at the end. The same
+  payload goes to ``BENCH_LOCAL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -17,13 +40,24 @@ import json
 import os
 import sys
 import time
+import traceback
 
-from pg2kafka_spark.session import get_spark
+WARM_SF_DIR = "/root/testdata/sf0.001"
 
 
-def main() -> None:
+def main() -> int:
+    # Claim the real stdout before anything (Spark/Ivy/JVM) can write
+    # to it; everything else in the process now goes to stderr.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pg2kafka_spark.operators.dedup import release_sketch_caches
+    from pg2kafka_spark.session import get_spark
+
     spark = get_spark("pg2kafka_spark-bench")
 
     import __spark_entry__ as entrymod
@@ -33,44 +67,69 @@ def main() -> None:
     def run(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    # Warm-up: codegen/classloading (JVM path) AND the Arrow Python
-    # worker pool (mapInPandas path) — otherwise the alphabetically
-    # first UDF query pays ~1-2 s of worker startup inside its timing.
-    from pg2kafka_spark.operators.dedup import release_sketch_caches
-
-    run(qs["top_orders"](spark, sf_dir))
-    run(qs["multimodal_features"](spark, sf_dir))
-    release_sketch_caches()
-
-    # Best-of-2 per query: single-run local timings have multi-second
-    # noise (shared host); the min is the engine's capability.
+    # Warm-up: execute EVERY query once at sf0.001. This compiles the
+    # generated code and JITs the interpreted-expression paths for
+    # every plan shape (plan-keyed, so it carries over to the target
+    # sf) and starts the Arrow Python worker pool for the
+    # mapInPandas/applyInPandas queries.
+    errors: dict[str, str] = {}
+    t_warm = time.perf_counter()
+    for name in sorted(qs):
+        try:
+            run(qs[name](spark, WARM_SF_DIR))
+        except Exception:
+            errors[name] = f"warmup: {traceback.format_exc(limit=3)}"
+        release_sketch_caches()
+    warm_secs = round(time.perf_counter() - t_warm, 2)
+    print(f"[bench] warmup pass ({len(qs)} plans @ sf0.001): {warm_secs}s",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
+        if name in errors:
+            continue
         best = float("inf")
-        for _ in range(2):
-            df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            run(df)
-            best = min(best, time.perf_counter() - t0)
-            # drop persisted sketch intermediates between runs so the
-            # suite measures each query cold and storage never accrues
-            release_sketch_caches()
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                run(df)
+                best = min(best, time.perf_counter() - t0)
+                # drop persisted sketch intermediates between runs so
+                # the suite measures each query cold and storage never
+                # accrues
+                release_sketch_caches()
+            timings[name] = round(best, 4)
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warmup_secs": warm_secs,
+    }
+    if errors:
+        payload["errors"] = errors
+    line = json.dumps(payload)
+
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+
     spark.stop()
+    os.write(real_stdout, (line + "\n").encode())
+    # rc stays 0 on per-query errors: a parseable artifact with an
+    # "errors" field beats an rc=1 with no artifact (the r4 failure
+    # mode). Total-crash still raises out of main().
+    return 0
 
 
 if __name__ == "__main__":

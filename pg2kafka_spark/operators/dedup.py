@@ -84,13 +84,27 @@ def sketch_cache_scope():
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the scan gave
-    too few splits. The heavy stages here are per-row (shingle/hash)
-    compute — on a small local file Spark plans 1 split and the whole
-    sketch pass runs on one core. At 100 TB the scan has thousands of
-    splits and this is a no-op (never repartition DOWN)."""
+    """Repartition up to the session's parallelism when the input is
+    small. The heavy stages here are per-row (shingle/hash) compute —
+    on a small local file Spark plans 1 split and the whole sketch
+    pass runs on one core. At 100 TB the scan has thousands of splits
+    and this is a no-op (never repartition DOWN).
+
+    Smallness comes from the optimizer's size estimate (one
+    analyze+optimize pass on the tiny projection), not the round-5
+    ``df.rdd`` probe — ``.rdd`` forced full physical planning plus an
+    RDD conversion per sketch query. Threshold: anything under
+    ``parallelism × 128 MiB`` gains more from the extra cores on the
+    per-row compute than the one small shuffle costs; above it the
+    scan already has ≥ parallelism splits."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return df.repartition(target)
+    if size < target * (128 << 20):
         return df.repartition(target)
     return df
 
@@ -268,7 +282,27 @@ def _minhash_udf(num_hashes: int, seed: int):
 
 
 #: Odd mixing constants for the in-kernel shingle-hash composition.
+#: The first three are fixed (xxhash-style primes) so existing n≤3
+#: signatures stay byte-stable; larger n extends the family
+#: deterministically via _shingle_constants.
 _SHINGLE_C = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _shingle_constants(n: int) -> tuple[int, ...]:
+    """First ``n`` odd 64-bit mixing constants: the fixed base tuple,
+    extended for arbitrary shingle width by a golden-ratio LCG (round-5
+    advice: indexing the 3-tuple raised IndexError inside the executor
+    for shingle_n > 3 — a silent API regression vs the string-shingle
+    path, which supported any n)."""
+    if n <= len(_SHINGLE_C):
+        return _SHINGLE_C[:n]
+    out = list(_SHINGLE_C)
+    x = _SHINGLE_C[-1]
+    mask = (1 << 64) - 1
+    while len(out) < n:
+        x = (x * 0x9E3779B97F4A7C15 + 0xD1B54A32D192ED03) & mask
+        out.append(x | 1)
+    return tuple(out)
 
 
 def _minhash_from_tokens_udf(num_hashes: int, shingle_n: int, seed: int):
@@ -299,7 +333,10 @@ def _minhash_from_tokens_udf(num_hashes: int, shingle_n: int, seed: int):
     a_params, b_params = _permutation_params(num_hashes, seed)
     a_np = np.array(a_params, dtype=np.int64)
     b_np = np.array(b_params, dtype=np.int64)
-    c = [np.int64(x - (1 << 64) if x >= 1 << 63 else x) for x in _SHINGLE_C[:shingle_n]]
+    c = [
+        np.int64(x - (1 << 64) if x >= 1 << 63 else x)
+        for x in _shingle_constants(shingle_n)
+    ]
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(hs: pd.Series) -> pd.Series:
@@ -563,7 +600,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix_bits: int = 16,
+    prefix_bits: int | None = None,
     max_block_size: int | None = 1000,
     rotations: int = 1,
 ) -> DataFrame:
@@ -590,6 +627,17 @@ def simhash_near_pairs(
     blocks before each join (same rationale as ``minhash_lsh_pairs``:
     their members are exact dups, ``exact_dedup``'s job). ``None``
     disables.
+
+    ``prefix_bits=None`` (default) sizes the block keyspace to the
+    corpus (floor 16, cap 40 — a prefix must stay < 64 bits): a fixed
+    2^16 keyspace would make ``max_block_size`` drop AVERAGE blocks of
+    unrelated docs once N > cap·65536 (~65M docs) — silent 0-recall,
+    the round-5 advice finding. The floor keeps small-corpus behavior
+    (and the rotation recall guarantee for the default max_hamming)
+    identical; when auto-scaling does raise the prefix at huge N,
+    raise ``rotations`` alongside if you need the ``max_hamming <
+    64/prefix_bits`` pigeonhole guarantee rather than probabilistic
+    recall.
     """
     # persist: the sketch table feeds both sides of every rotation's
     # self-join; without it the token-hash + UDF pass runs 2r times
@@ -597,6 +645,13 @@ def simhash_near_pairs(
         with_simhash(_spread(df.select(id_col, text_col)), text_col)
         .select(id_col, "simhash")
     )
+    if prefix_bits is None:
+        if max_block_size is not None:
+            from pg2kafka_spark.operators.similarity import scaled_keyspace_bits
+
+            prefix_bits = scaled_keyspace_bits(sh.count(), max_block_size, 16, 40)
+        else:
+            prefix_bits = 16
     return simhash_pairs_from_sketches(
         sh, max_hamming, id_col, prefix_bits, max_block_size, rotations
     )

@@ -423,6 +423,92 @@ def frame_overlap_pairs(frames: DataFrame, min_common: int = 2) -> DataFrame:
     )
 
 
+#: Output schema of the integer-exact decode census (oracle twin).
+DECODE_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sum_a", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("sum_c", T.LongType(), False),
+    ]
+)
+
+
+def decode_media_checked(media: DataFrame) -> DataFrame:
+    """Integer-exact census of the REAL decode path — the oracle twin
+    of ``decode_media(mode="real")`` (round-5 verdict: the media
+    queries were all rows-only; this makes the codecs themselves
+    hash-checkable).
+
+    Decodes every payload with the same ``decode_wav_pcm16`` /
+    ``decode_bmp_rgb`` codecs and emits only INTEGER functionals of
+    the decoded signal, so a DuckDB oracle that re-derives the
+    expected samples/pixels analytically (the ``synth_real_media``
+    payloads are deterministic in ``md5(text)``) matches bit-for-bit
+    — no float summation-order caveats:
+
+    * audio: ``sum_a`` = Σ samples, ``sum_b`` = Σ |samples|,
+      ``sum_c`` = sample count (+ rate-derived ``duration_ms``);
+    * image: ``sum_a``/``sum_b``/``sum_c`` = per-channel R/G/B pixel
+      sums (+ ``width``/``height``).
+
+    Any header corruption, chunk-walk bug, row-padding or BGR/top-down
+    mistake in the codecs moves at least one of these integers. Same
+    distributed shape as the production decode: partition-preserving
+    ``mapInPandas``, one output row per item.
+    """
+
+    def census_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, content in zip(
+                pdf["media_id"], pdf["media_type"], pdf["content"]
+            ):
+                data = bytes(content)
+                if data[:4] == b"RIFF":
+                    rate, samples = decode_wav_pcm16(data)
+                    s = samples.astype(np.int64)
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "media_type": mtype,
+                            "n_bytes": len(data),
+                            "width": None,
+                            "height": None,
+                            "duration_ms": int(len(s) * 1000 // max(rate, 1)),
+                            "sum_a": int(s.sum()),
+                            "sum_b": int(np.abs(s).sum()),
+                            "sum_c": int(len(s)),
+                        }
+                    )
+                elif data[:2] == b"BM":
+                    px = decode_bmp_rgb(data).astype(np.int64)
+                    h, w, _ = px.shape
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "media_type": mtype,
+                            "n_bytes": len(data),
+                            "width": int(w),
+                            "height": int(h),
+                            "duration_ms": None,
+                            "sum_a": int(px[:, :, 0].sum()),
+                            "sum_b": int(px[:, :, 1].sum()),
+                            "sum_c": int(px[:, :, 2].sum()),
+                        }
+                    )
+                else:
+                    raise ValueError("unsupported container in decode census")
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(census_batches, schema=DECODE_CHECK_SCHEMA)
+
+
 def media_stats(features: DataFrame) -> DataFrame:
     """Typed-metadata rollup by media type (runs entirely on the
     decoded projection — never touches the binary column)."""

@@ -18,9 +18,13 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -197,10 +201,16 @@ def kmeans_centroids(
     Cells that go empty keep their previous centroid.
     """
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    # reduce the id mod 2³¹−1 BEFORE the salt multiply: the product
+    # then stays < 2³¹·salt ≈ 5.7e18 < 2⁶³, so the ordering is
+    # overflow-free for ANY bigint id (id·salt directly would throw
+    # under ANSI mode for ids ≥ ~3.5e9 — both engines). Values are
+    # unchanged for ids < 2³¹−1 (pmod is the identity there).
     ordered = c.withColumn(
         "__h",
         F.pmod(
-            F.col(id_col).cast("bigint") * F.lit(PORTABLE_SAMPLE_SALT),
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+            * F.lit(PORTABLE_SAMPLE_SALT),
             F.lit(PORTABLE_SAMPLE_MOD),
         ),
     ).orderBy("__h", id_col)
@@ -227,10 +237,28 @@ def kmeans_centroids(
             .withColumn("__arn", F.row_number().over(asg_w))
             .filter(F.col("__arn") == 1)
         )
-        means = asg.groupBy("cid").agg(
+        # Per-component means via EXACT decimal sums, not avg(double):
+        # a double partial-sum order depends on partition layout, so a
+        # sum near a 5e-7 rounding boundary could flip the 6th decimal
+        # across core counts or vs the oracle (the same discipline as
+        # the salted-agg DECIMAL caveat). decimal(27,15) keeps 15 dp of
+        # each component exactly; the sum is order-independent; ONE
+        # double division + round(6) at the end is deterministic.
+        sums = asg.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col("__cv").getItem(i).cast("decimal(27,15)")).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        means = sums.select(
+            "cid",
             F.array(
-                *[F.round(F.avg(F.col("__cv").getItem(i)), 6) for i in range(dim)]
-            ).alias("__me")
+                *[
+                    F.round(F.col(f"__s{i}").cast("double") / F.col("__n"), 6)
+                    for i in range(dim)
+                ]
+            ).alias("__me"),
         )
         # both sides are n_centroids rows; hint anyway — an aggregate
         # output has no stats, so the planner would SMJ it
@@ -451,12 +479,55 @@ def embedding_near_dup_pairs(
     )
 
 
+def scaled_keyspace_bits(
+    n_rows: int,
+    max_bucket_size: int,
+    floor_bits: int,
+    cap_bits: int,
+    target_fill: float = 8.0,
+) -> int:
+    """Bits for an LSH keyspace sized to the corpus: smallest ``m``
+    with expected bucket size ``n/2^m ≤ max_bucket_size/target_fill``,
+    clamped to ``[floor_bits, cap_bits]``.
+
+    Why this exists (round-5 advice): the hot-bucket cap's rationale —
+    "over-cap buckets are exact-dup clusters, drop them" — only holds
+    when the keyspace is large relative to N. With a FIXED keyspace of
+    ``2^floor_bits`` buckets, once ``N > max_bucket_size·2^bits`` the
+    AVERAGE bucket of unrelated vectors exceeds the cap and the
+    anti-join silently drops everything — recall collapses to 0 with
+    no error. Scaling bits with N keeps expected buckets ``target_fill``×
+    under the cap so only genuine duplicate pile-ups get dropped.
+    Raises if even ``cap_bits`` cannot keep the expected bucket under
+    the cap (the caller must raise the cap or pre-dedup).
+    """
+    if n_rows <= 0:
+        return floor_bits
+    need = math.ceil(math.log2(max(1.0, target_fill * n_rows / max_bucket_size)))
+    bits = max(floor_bits, need)
+    if bits > cap_bits:
+        if n_rows / float(1 << cap_bits) > max_bucket_size:
+            raise ValueError(
+                f"corpus of {n_rows} rows needs >{cap_bits} keyspace bits to "
+                f"keep expected LSH buckets under max_bucket_size="
+                f"{max_bucket_size}; raise the cap or exact-dedup first"
+            )
+        bits = cap_bits
+    if bits > floor_bits:
+        _log.warning(
+            "LSH keyspace auto-scaled to %d bits for %d rows "
+            "(expected bucket %.0f ≤ cap %d)",
+            bits, n_rows, n_rows / float(1 << bits), max_bucket_size,
+        )
+    return bits
+
+
 def embedding_near_dup_lsh(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     num_tables: int = 4,
     seed: int = 42,
@@ -482,6 +553,13 @@ def embedding_near_dup_lsh(
     every table (the boilerplate problem again) — ``max_bucket_size``
     drops them via the same broadcast anti-join cap as the text-LSH
     paths; exact dups belong to the cheaper exact pass.
+
+    ``num_planes=None`` (default) sizes the keyspace to the corpus
+    via :func:`scaled_keyspace_bits` (one count on the persisted
+    vector projection): a FIXED 2^8-bucket keyspace would make the
+    cap drop *average* buckets once N > cap·256 (~2.5M vectors) —
+    silent 0-recall. The floor of 8 keeps small-corpus behavior (and
+    every existing test/query) byte-identical.
 
     ``cos_sim`` is 6-dp rounded (portability discipline, numpy round
     like the matmul path); pairs caught by several tables are emitted
@@ -522,6 +600,12 @@ def embedding_near_dup_lsh(
             as_double(F.col(vec_col)).alias("e"),
         )
     )
+    if num_planes is None:
+        num_planes = (
+            scaled_keyspace_bits(v.count(), max_bucket_size, 8, 24)
+            if max_bucket_size is not None
+            else 8
+        )
     out = None
     for t in range(num_tables):
         b = v.select(

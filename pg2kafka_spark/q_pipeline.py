@@ -618,12 +618,19 @@ def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> s
 
     parts = [
         f"cents0 AS (SELECT vec_id AS cid, e AS ce FROM d "
-        f"ORDER BY (vec_id * 2654435761) % 2147483647, vec_id LIMIT {n_centroids})"
+        f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
+        f"LIMIT {n_centroids})"
     ]
     for it in range(iters):
         prev = f"cents{it}"
         nxt = "cents" if it == iters - 1 else f"cents{it + 1}"
-        avg_terms = ", ".join(f"round(avg(e[{i + 1}]), 6)" for i in range(dim))
+        # exact decimal sums / one double division — order-independent,
+        # mirrors kmeans_centroids' DECIMAL discipline
+        avg_terms = ", ".join(
+            f"round(CAST(sum(CAST(e[{i + 1}] AS DECIMAL(27,15))) AS DOUBLE)"
+            f" / count(*), 6)"
+            for i in range(dim)
+        )
         parts.append(
             f"kasg{it} AS (SELECT vec_id, e, cid FROM ("
             f"SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id "
@@ -827,6 +834,83 @@ def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_real_media(docs)
     features = M.decode_media(media, mode="real")
     return M.media_stats(features).orderBy("media_type")
+
+
+def _md5_word_le(c: int) -> str:
+    """DuckDB expression: little-endian uint16 word ``c`` of
+    ``md5(text)`` — mirrors ``np.frombuffer(md5(text).digest(),
+    '<u2')[c]`` in synth_real_media. Hex nibbles are mapped through a
+    strpos lookup (DuckDB has no hex→int scalar)."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    lo, hi = 2 * c, 2 * c + 1  # byte indices (0-based)
+    return (
+        f"((16*{nib(2 * lo + 1)} + {nib(2 * lo + 2)})"
+        f" + 256*(16*{nib(2 * hi + 1)} + {nib(2 * hi + 2)}))"
+    )
+
+
+@query(
+    "multimodal_decode_parity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_md5_word_le(0)} AS w0, {_md5_word_le(1)} AS w1,
+             {_md5_word_le(2)} AS w2
+      FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    ),
+    audio AS (
+      -- odd doc_ids: 2000-sample 8 kHz sine, freq = 200 + w0 % 800,
+      -- samples = round-half-even(12000·sin(2π·f·i/8000)) — the exact
+      -- arithmetic synth_real_media encodes into the WAV container
+      SELECT w.doc_id AS media_id, 'audio' AS media_type,
+             CAST(4044 AS BIGINT) AS n_bytes,
+             CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+             CAST(250 AS BIGINT) AS duration_ms,
+             CAST(sum(CAST(round_even(
+               12000 * sin(2*pi()*(200.0 + (w0 % 800))*i.i/8000.0), 0)
+               AS BIGINT)) AS BIGINT) AS sum_a,
+             CAST(sum(abs(CAST(round_even(
+               12000 * sin(2*pi()*(200.0 + (w0 % 800))*i.i/8000.0), 0)
+               AS BIGINT))) AS BIGINT) AS sum_b,
+             CAST(count(*) AS BIGINT) AS sum_c
+      FROM w CROSS JOIN range(2000) i(i)
+      WHERE w.doc_id % 2 = 1
+      GROUP BY w.doc_id
+    ),
+    image AS (
+      -- even doc_ids: 16×16 BMP-24, px[r][c][ch] = (r+c)·4 + w_ch%97
+      -- (never wraps mod 256: max 120+96); container = 54 B header +
+      -- 16 rows × 48 B (no padding) = 822 B
+      SELECT w.doc_id AS media_id, 'image' AS media_type,
+             CAST(822 AS BIGINT) AS n_bytes,
+             CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+             CAST(NULL AS BIGINT) AS duration_ms,
+             CAST(sum(((r.r + c.c)*4 + (w0 % 97)) % 256) AS BIGINT) AS sum_a,
+             CAST(sum(((r.r + c.c)*4 + (w1 % 97)) % 256) AS BIGINT) AS sum_b,
+             CAST(sum(((r.r + c.c)*4 + (w2 % 97)) % 256) AS BIGINT) AS sum_c
+      FROM w CROSS JOIN range(16) r(r) CROSS JOIN range(16) c(c)
+      WHERE w.doc_id % 2 = 0
+      GROUP BY w.doc_id
+    )
+    SELECT * FROM audio UNION ALL SELECT * FROM image
+    """,
+)
+def multimodal_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-codec path under an EXACT oracle (round-5 verdict #4):
+    documents → real WAV-PCM16/BMP-24 containers (synth_real_media) →
+    chunk-walking/header-parsing decode (decode_wav_pcm16 /
+    decode_bmp_rgb) → integer functionals of the decoded signal
+    (operators/multimodal.decode_media_checked). The oracle re-derives
+    every expected sample/pixel analytically from md5(text) — it never
+    sees the container bytes — so a hash-match proves encode→decode is
+    lossless and the codecs parse exactly the structures they claim
+    (RIFF chunk walk, BMP bottom-up BGR rows, padding). All-integer
+    outputs: no float summation-order caveats."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_real_media(docs)
+    return M.decode_media_checked(media)
 
 
 @query("media_near_dup_real")  # rows-only: real-codec frame stage

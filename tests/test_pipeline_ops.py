@@ -576,3 +576,69 @@ def test_simhash_portable_majority_vote(spark):
         D.simhash_portable(df).collect()[0].simhash
         == D.simhash_portable(one).collect()[0].simhash
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 advice fixes: keyspace scaling, arbitrary shingle width,
+# overflow-safe portable ordering
+# ---------------------------------------------------------------------------
+
+
+def test_scaled_keyspace_bits_floors_scales_and_raises():
+    # small corpora stay at the floor (existing behavior unchanged)
+    assert S.scaled_keyspace_bits(1_000, 10_000, 8, 24) == 8
+    assert S.scaled_keyspace_bits(0, 10_000, 8, 24) == 8
+    # large corpora scale: expected bucket stays ~8x under the cap
+    bits = S.scaled_keyspace_bits(10_000_000, 10_000, 8, 24)
+    assert bits > 8 and 10_000_000 / (1 << bits) <= 10_000 / 8
+    # clamped to cap_bits while the expected bucket still fits the cap
+    # (1e11 rows want 27 bits; 1e11/2^24 ~ 6k still under the cap)
+    assert S.scaled_keyspace_bits(10**11, 10_000, 8, 24) == 24
+    # impossible configurations raise instead of silently dropping all
+    import pytest
+    with pytest.raises(ValueError, match="keyspace bits"):
+        S.scaled_keyspace_bits(10**12, 10, 8, 24)
+
+
+def test_minhash_kernel_supports_arbitrary_shingle_width(spark):
+    # round-5 advice: _SHINGLE_C had 3 constants, so shingle_n > 3
+    # raised IndexError inside the executor
+    from pg2kafka_spark.operators.dedup import _SHINGLE_C, _shingle_constants
+
+    cs = _shingle_constants(6)
+    assert cs[:3] == _SHINGLE_C          # n<=3 signatures byte-stable
+    assert len(cs) == len(set(cs)) == 6  # distinct
+    assert all(c % 2 == 1 for c in cs)   # odd (invertible mod 2^64)
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "short doc here")],
+        "doc_id long, text string",
+    )
+    sig = df.select(
+        "doc_id", D.minhash_signature(F.col("text"), 8, shingle_n=5).alias("s")
+    ).collect()
+    by_id = {r.doc_id: r.s for r in sig}
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 8
+    # doc 3 has 3 tokens < shingle width -> all-sentinel signature
+    assert len(set(by_id[3])) == 1
+
+
+def test_kmeans_seeding_safe_for_64bit_ids(spark):
+    # round-5 advice: id * salt overflowed int64 under ANSI for ids
+    # >= ~3.5e9; the ordering now reduces mod 2^31-1 first
+    big = spark.createDataFrame(
+        [(2**61 + i, [float(i + 1)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = S.kmeans_centroids(big, n_centroids=2, iters=1, dim=4).collect()
+    assert len(cents) == 2
+
+
+def test_simhash_default_prefix_matches_explicit_floor(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    auto = sorted(
+        map(tuple, D.simhash_near_pairs(docs, max_hamming=3).collect())
+    )
+    fixed = sorted(
+        map(tuple, D.simhash_near_pairs(docs, max_hamming=3, prefix_bits=16).collect())
+    )
+    assert auto == fixed
