@@ -4,6 +4,12 @@ import pytest
 
 from pg2kafka_spark.session import get_spark
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running stress tests (skew fixtures, ~30s each)"
+    )
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -378,3 +378,76 @@ def test_stream_stream_join_within_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_crash_between_sink_write_and_commit_redelivers_then_converges(
+    spark, outbox, tmp_path
+):
+    # The at-least-once floor, exercised at its worst point (reference
+    # crash window: after produce main.go:161, before mark main.go:172):
+    # the sink write succeeds, then the query dies BEFORE the epoch
+    # commit. On restart the uncommitted batch is redelivered — the
+    # delivered log must contain duplicates (at-least-once, not magic)
+    # — and dedup_events_by_uuid over that log converges back to
+    # effectively-once.
+    delivered = str(tmp_path / "delivered")
+    ckpt = str(tmp_path / "ckpt_crash")
+    _write_events(
+        spark, [_event(i, "users", "INSERT", "{}", key=str(i)) for i in range(3)], outbox
+    )
+    _write_events(
+        spark, [_event(i, "users", "UPDATE", '{"x":1}', key=str(i)) for i in range(3, 5)], outbox
+    )
+
+    def write_then_crash(df, epoch_id):
+        df.write.mode("append").parquet(delivered)
+        raise RuntimeError("injected crash between sink write and commit")
+
+    events = read_event_stream(spark, outbox, max_files_per_trigger=1)
+    q = (
+        events.writeStream.queryName("crash_relay")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(write_then_crash)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+
+    first_attempt = spark.read.parquet(delivered).count()
+    assert first_attempt > 0  # the sink write DID land before the crash
+
+    # restart from the same checkpoint, healthy sink this time
+    events = read_event_stream(spark, outbox, max_files_per_trigger=1)
+    q = (
+        events.writeStream.queryName("crash_relay_resume")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, _: df.write.mode("append").parquet(delivered))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(delivered)
+    total, distinct_uuids = log.count(), log.select("uuid").distinct().count()
+    assert distinct_uuids == 5           # every event delivered
+    assert total == 5 + first_attempt    # the uncommitted batch came twice
+    redelivered = (
+        log.groupBy("uuid").count().filter(F.col("count") > 1).count()
+    )
+    assert redelivered == first_attempt  # exactly the crashed batch
+
+    # downstream consumer applies the uuid dedup -> effectively-once
+    dedup_stream = dedup_events_by_uuid(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(delivered)
+    )
+    dq = (
+        dedup_stream.writeStream.queryName("crash_dedup_out")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    dq.awaitTermination(120)
+    rows = spark.table("crash_dedup_out").collect()
+    assert len(rows) == 5
+    assert len({r.uuid for r in rows}) == 5
