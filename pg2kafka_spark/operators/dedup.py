@@ -815,6 +815,50 @@ def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
     return shingle_hashes_from_pairs(token_hash_pairs(text), n)
 
 
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any token
+    ``n``-gram with an eval/benchmark set — the standard n-gram-overlap
+    contamination check a pretraining pipeline runs before training
+    (8-13 gram verbatim collision against held-out benchmarks).
+
+    Returns ``(id, n_shared)`` for contaminated docs only, where
+    ``n_shared`` counts distinct shared n-gram hashes (the portable
+    rolling-hash family, so the check is oracle-expressible).
+
+    Scale shape: the eval side is tiny by construction (benchmarks are
+    MBs against a 100 TB corpus) — its distinct n-gram hashes
+    BROADCAST, so the corpus side is one linear explode + a map-side
+    broadcast join; the only shuffle is the per-doc count on uniform
+    id keys. The corpus never self-joins and the eval set is hashed
+    once.
+    """
+    d = _spread(docs.select(id_col, text_col)).select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
+        ).alias("__g"),
+    )
+    e = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(e), "__g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("__g")).alias("n_shared"))
+    )
+
+
 def minhash_signatures_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

@@ -22,6 +22,8 @@ import logging
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _log = logging.getLogger(__name__)
@@ -95,16 +97,28 @@ def hyperplane_signature(
 ) -> Column:
     """m-bit random-hyperplane signature as a BIGINT bucket id: bit j
     set iff dot(vec, plane_j) ≥ 0. Cosine-similar vectors collide with
-    probability 1 − θ/π per bit."""
-    planes = _hyperplanes(num_planes, dim, seed)
-    v = as_double(vec)
-    bucket = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(dot(v, p) >= 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return bucket
+    probability 1 − θ/π per bit.
+
+    Arrow-batched kernel: one (batch × dim) @ (dim × m) BLAS matmul
+    plus a bit-weight matvec per batch. The first formulation unrolled
+    m interpreted higher-order-function dot folds into the projection
+    — ~m·dim interpreted ops per ROW, which stops being tolerable
+    exactly when :func:`scaled_keyspace_bits` raises m at large N. A
+    BLAS dot can disagree with a sequential fold only when |dot| is
+    within summation-order noise of 0 (a vector essentially ON a
+    random hyperplane) — for LSH bucketing that bit was already a coin
+    flip; no consumer is oracle-checked on bucket values."""
+    planes_t = np.asarray(_hyperplanes(num_planes, dim, seed), dtype=np.float64).T
+    weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+
+    @F.pandas_udf("bigint")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        return pd.Series(((A @ planes_t) >= 0.0) @ weights)
+
+    return sig(as_double(vec))
 
 
 def lsh_bucket_topk(

@@ -1063,6 +1063,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontamination_check",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(g.s, ''), x -> x <> ''),
+                   x -> CAST(ord(x) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS gh
+      FROM t, unnest(list_transform(range(1, len(toks) - 6),
+             j -> array_to_string(toks[j:j+7], ' '))) AS g(s)
+      WHERE len(toks) >= 8
+    ),
+    eg AS (
+      SELECT DISTINCT
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(g.s, ''), x -> x <> ''),
+                   x -> CAST(ord(x) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS gh
+      FROM (SELECT doc_id, toks[1:15] AS toks FROM t WHERE doc_id % 20 = 0) e,
+           unnest(list_transform(range(1, len(toks) - 6),
+             j -> array_to_string(toks[j:j+7], ' '))) AS g(s)
+      WHERE len(toks) >= 8
+    )
+    SELECT tg.doc_id, CAST(count(DISTINCT tg.gh) AS BIGINT) AS n_shared
+    FROM tg JOIN eg ON tg.gh = eg.gh
+    GROUP BY tg.doc_id
+    """,
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_hits):
+    every 20th document's first-15-token snippet plays the role of a
+    leaked eval benchmark; training docs sharing any verbatim token
+    8-gram with a snippet are flagged with their distinct shared-gram
+    count. The eval side broadcasts (benchmarks are MBs against a
+    100 TB corpus), the corpus side is one linear explode + map-side
+    join + one uniform-key count — fully oracle-checked through the
+    portable rolling-hash family."""
+    from pg2kafka_spark.operators.text import normalized_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(normalized_text(F.col("text")), " "), 1, 15), " "
+        ).alias("text"),
+    )
+    return D.contamination_hits(docs, ev, n=8)
+
+
+@query(
     "minhash_signatures_portable",
     oracle="""
     WITH t AS (

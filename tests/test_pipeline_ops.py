@@ -642,3 +642,21 @@ def test_simhash_default_prefix_matches_explicit_floor(spark):
         map(tuple, D.simhash_near_pairs(docs, max_hamming=3, prefix_bits=16).collect())
     )
     assert auto == fixed
+
+
+def test_contamination_hits_flags_verbatim_overlap_only(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta DIFFERENT tail"),
+            (3, "completely unrelated words that never overlap with anything here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared for r in D.contamination_hits(train, ev).collect()}
+    # docs 1 and 2 contain the eval 8-gram verbatim; doc 3 shares none
+    assert hits == {1: 1, 2: 1}

@@ -165,3 +165,12 @@ def test_portable_minhash_linear_runtime_budget(spark):
     t0 = time.perf_counter()
     assert minhash_signatures_portable(df, k=8).count() == 60 * 8
     assert time.perf_counter() - t0 < 60
+
+
+def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
+    # the eval side is MBs against a 100 TB corpus: its distinct gram
+    # hashes must broadcast; the only plain shuffle is the per-doc
+    # count on uniform id keys (+ the small-scan spread repartition)
+    p = plan_of(spark, "decontamination_check", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

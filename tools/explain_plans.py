@@ -147,6 +147,21 @@ COMMENTARY = {
         "serialization runs inside whole-stage codegen next to the scan; "
         "parallelism = input splits."
     ),
+    "decontamination_check": (
+        "Benchmark decontamination: the eval set's distinct gram hashes "
+        "build once and BROADCAST (`BroadcastHashJoin`, no "
+        "`SortMergeJoin`) — benchmarks are MBs against a 100 TB corpus, "
+        "so the corpus side is a linear explode + map-side membership "
+        "join; the only plain shuffle is the per-doc count on uniform "
+        "doc_id keys with a map-side partial."
+    ),
+    "multimodal_decode_parity": (
+        "Oracle twin of the real-codec path: encode fixture → decode "
+        "census as two partition-preserving `MapInPandas` stages, no "
+        "shuffle anywhere — the oracle comparison happens outside the "
+        "plan. Integer functionals of the decoded signal keep the "
+        "check exact at any partitioning."
+    ),
 }
 
 

@@ -25,6 +25,7 @@ SF_DIRS = [
 HEADLINE = {
     "exact_dedup_documents": "documents",
     "minhash_signatures_portable": "documents",
+    "decontamination_check": "documents",
     "minhash_lsh_pairs": "documents",
     "simhash_near_pairs": "documents",
     "training_corpus_assembly": "documents",
