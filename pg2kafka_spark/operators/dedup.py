@@ -859,6 +859,66 @@ def contamination_hits(
     )
 
 
+def duplicate_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verbatim-substring self-overlap (the corpus-internal sibling of
+    ``contamination_hits``): for every document, how many of its
+    distinct token ``n``-grams also appear verbatim in at least one
+    OTHER document — the per-doc signal behind exact-substring dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22, which masks duplicated 50-token spans; here the
+    span length is ``n`` and the output is the doc-level count +
+    fraction a gating stage thresholds on).
+
+    Returns ``(id, n_grams, n_dup_grams, dup_gram_frac)``; docs
+    shorter than ``n`` tokens emit no grams and are absent (same rule
+    as the shingle operators). ``dup_gram_frac`` is a single IEEE
+    division of exact integers — bit-exact cross-engine.
+
+    Scale shape: gram hashes are uniform keys. The shared-gram table
+    is a map-side-partial count over (gram, doc)-distinct rows — hot
+    boilerplate grams combine map-side, never concentrating raw rows
+    on one reducer (this is why it is NOT a window over the gram key:
+    a window partition can't partial-aggregate and AQE can't split
+    it). The join back is gram-keyed with the dup-gram side reduced
+    to single (gram) rows, so AQE's skew-join split handles any
+    residual hot gram. Two uniform-key shuffles + one per-doc count.
+    """
+    g = _spread(docs.select(id_col, text_col)).select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
+        ).alias("__g"),
+    )
+    dupg = (
+        g.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__nd"))  # rows are (gram, doc)-distinct
+        .filter(F.col("__nd") > 1)
+        .select("__g")
+    )
+    per_doc = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_per_doc = (
+        g.join(dupg, "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return per_doc.join(dup_per_doc, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+            "n_dup_grams"
+        ),
+        (
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long"))
+            / F.col("n_grams")
+        ).alias("dup_gram_frac"),
+    )
+
+
 def minhash_signatures_portable(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
 ) -> DataFrame:

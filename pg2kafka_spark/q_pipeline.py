@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pg2kafka_spark.catalog import load_table
 from pg2kafka_spark.operators import dedup as D
+from pg2kafka_spark.operators import graph as G
 from pg2kafka_spark.operators import multimodal as M
 from pg2kafka_spark.operators import similarity as S
 from pg2kafka_spark.operators import text as X
@@ -58,18 +59,20 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs
     FROM documents
     GROUP BY 1
-    HAVING count(*) > 1
     """,
 )
 def bow_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words dedup: md5 of the sorted token list — catches
     pure reorderings that exact dedup misses. Groups with >1 member
-    are the near-dup clusters."""
+    are the near-dup clusters; ALL groups are emitted (the keep-list
+    consumer filters) so the fingerprint math stays hash-checked even
+    on corpora with no reorder-dups — the regenerated testdata has
+    none, and a 0-row artifact row is no evidence."""
     docs = load_table(spark, "documents", sf_dir)
-    return (
-        docs.groupBy(X.bag_of_words_fingerprint(F.col("text")).alias("bow_fp"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
+    return docs.groupBy(
+        X.bag_of_words_fingerprint(F.col("text")).alias("bow_fp")
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs")
     )
 
 
@@ -1120,6 +1123,151 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return D.contamination_hits(docs, ev, n=8)
+
+
+_JACCARD_EDGES = """
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM prs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.1
+    ),
+    und AS (SELECT id_a AS s, id_b AS d FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    comp AS (SELECT s AS doc_id, least(s, min(d)) AS component_id
+             FROM reach GROUP BY s)
+"""
+
+
+@query(
+    "near_dup_components",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_EDGES
+    + """
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labelling: exact shingle-Jaccard pairs
+    (threshold 0.1) → connected components by min-label propagation
+    (operators/graph.py) → every document labelled with the min doc_id
+    reachable through the near-dup graph; edge-less docs are their own
+    singleton component. The oracle reproduces the fixpoint with a
+    recursive-CTE transitive closure, so the iterative Spark loop is
+    hash-checked end-to-end — rare for an iterative algorithm.
+
+    Scale: the component loop runs on the post-discovery PAIR list
+    (tiny vs the corpus); at 100 TB the pair source is
+    ``minhash_lsh_pairs`` instead of the exact quadratic verifier,
+    same downstream shape.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    comps = G.connected_components(pairs, node_col="doc_id")
+    return G.components_with_isolates(
+        comps, docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@query(
+    "near_dup_canonical",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_EDGES
+    + """,
+    full_t AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS comp_size,
+           (row_number() OVER (PARTITION BY component_id
+                               ORDER BY n_chars DESC, doc_id ASC)) = 1
+             AS is_canonical
+    FROM full_t
+    """,
+)
+def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster: keep the
+    longest document (tiebreak: smallest doc_id) of each connected
+    component — the component-wise formulation that pair-wise keep
+    lists get wrong on transitive chains (see operators/graph.py).
+    Single window pass over the component key after labelling.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    comps = G.connected_components(pairs, node_col="doc_id")
+    labeled = G.components_with_isolates(
+        comps, docs.select("doc_id", "n_chars"), node_col="doc_id"
+    )
+    return G.canonical_per_component(
+        labeled, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "component_id", "comp_size", "is_canonical")
+
+
+@query(
+    "doc_duplicate_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split_regex(g.s, ''), x -> x <> ''),
+                   x -> CAST(ord(x) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS gh
+      FROM t, unnest(list_transform(range(1, len(toks) - 6),
+             j -> array_to_string(toks[j:j+7], ' '))) AS g(s)
+      WHERE len(toks) >= 8
+    ),
+    dg AS (SELECT gh FROM tg GROUP BY gh HAVING count(*) > 1),
+    per AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+    dup AS (
+      SELECT tg.doc_id, count(*) AS n_dup_grams
+      FROM tg JOIN dg USING (gh) GROUP BY tg.doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           coalesce(d.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+           coalesce(d.n_dup_grams, CAST(0 AS BIGINT)) * 1.0 / p.n_grams
+             AS dup_gram_frac
+    FROM per p LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def doc_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring self-overlap per document (Lee et al. ACL'22
+    style): distinct token 8-grams shared verbatim with any OTHER
+    document, as a count + fraction for a gating threshold. See
+    ``operators/dedup.duplicate_ngram_stats`` for the skew-safe
+    two-shuffle shape. Oracle-checked through the portable
+    rolling-hash family (same CTE as ``decontamination_check``).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return D.duplicate_ngram_stats(docs, n=8)
 
 
 @query(

@@ -1,0 +1,87 @@
+"""Connected-components / canonical-selection unit tests
+(operators/graph.py). The oracle-parity side is covered by
+``near_dup_components`` / ``near_dup_canonical`` in the registry;
+these pin the algorithm on hand-built graphs where the answer is
+checkable by eye — especially the transitive-chain case that
+pair-wise keep lists get wrong."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.operators import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _labels(df):
+    return {r["node"]: r["component_id"] for r in df.collect()}
+
+
+def test_transitive_chain_is_one_component(spark):
+    # A-B, B-C, C-D: pair-wise "drop the larger id" would keep A and
+    # drop B, C, D even though A~D was never asserted; components give
+    # one cluster labelled min(id).
+    got = _labels(G.connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4)])))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_keep_separate_labels(spark):
+    got = _labels(
+        G.connected_components(_edges(spark, [(10, 11), (20, 21), (21, 22)]))
+    )
+    assert got == {10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_clique_converges_in_one_round(spark):
+    # a boilerplate cluster is a clique: diameter 1, so max_iter=2
+    # (one propagation + one no-change confirmation) must suffice
+    got = _labels(
+        G.connected_components(
+            _edges(spark, [(5, 6), (5, 7), (6, 7)]), max_iter=2
+        )
+    )
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_empty_edge_list_yields_empty_labels(spark):
+    df = G.connected_components(_edges(spark, []))
+    assert df.columns == ["node", "component_id"]
+    assert df.count() == 0
+
+
+def test_nonconvergence_raises_instead_of_partial_labels(spark):
+    # path of 6 nodes has diameter 5; 2 rounds cannot reach the
+    # fixpoint and the operator must refuse, not return partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(
+            _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]),
+            max_iter=2,
+        )
+
+
+def test_isolates_become_singletons_and_keep_columns(spark):
+    comps = G.connected_components(_edges(spark, [(1, 2)]), node_col="doc_id")
+    nodes = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id long, n_chars long"
+    )
+    full = G.components_with_isolates(comps, nodes, node_col="doc_id")
+    rows = {r["doc_id"]: (r["component_id"], r["n_chars"]) for r in full.collect()}
+    assert rows == {1: (1, 10), 2: (1, 20), 3: (3, 30)}
+
+
+def test_canonical_is_longest_then_smallest_id(spark):
+    labeled = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 90), (3, 1, 90), (7, 7, 10)],
+        "doc_id long, component_id long, n_chars long",
+    )
+    out = G.canonical_per_component(
+        labeled, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    rows = {r["doc_id"]: (r["comp_size"], r["is_canonical"]) for r in out.collect()}
+    # doc 2 wins the 3-doc cluster (longest, ties broken by id); the
+    # isolate is its own canonical
+    assert rows == {1: (3, False), 2: (3, True), 3: (3, False), 7: (1, True)}

@@ -660,3 +660,28 @@ def test_contamination_hits_flags_verbatim_overlap_only(spark):
     hits = {r.doc_id: r.n_shared for r in D.contamination_hits(train, ev).collect()}
     # docs 1 and 2 contain the eval 8-gram verbatim; doc 3 shares none
     assert hits == {1: 1, 2: 1}
+
+
+def test_duplicate_ngram_stats_counts_cross_doc_grams_only(spark):
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share exactly the first 8 tokens -> 1 shared gram
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta OTHER tail"),
+            # self-repetition within one doc must NOT count as duplicated
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"),
+            # shorter than 8 tokens -> no grams, absent from the output
+            (4, "too short for any gram"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_gram_frac)
+        for r in D.duplicate_ngram_stats(docs, n=8).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (3, 1, 1 / 3)
+    assert out[2] == (3, 1, 1 / 3)
+    # doc 3 has 9 positions but the repeated 8-gram dedups to 8 distinct
+    # hashes, none shared with another doc
+    assert out[3] == (8, 0, 0.0)
