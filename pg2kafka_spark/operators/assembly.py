@@ -77,3 +77,61 @@ def assign_packs(
         .withColumn("pack_id", F.expr(f"__cum_before div {int(budget)}"))
         .drop("__cum_before")
     )
+
+
+#: Knuth multiplicative salt for the portable keep/drop ordering —
+#: same family as similarity.PORTABLE_SAMPLE_SALT; reduced mod 2^31-1
+#: BEFORE multiplying so the product stays < 2^62 for any bigint id
+#: (ANSI-mode overflow-safe, same fix as the k-means seeding).
+MIX_SALT = 2654435761
+MIX_MOD = (1 << 31) - 1
+
+
+def mix_rebalance(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Data-dependent corpus mixing: compute per-stratum keep rates
+    that rebalance the OBSERVED stratum counts toward a uniform
+    target mix, then keep/drop each row by a deterministic portable
+    hash of its id. Unlike ``stratified_hash_sample`` (caller-fixed
+    rates), the rates here are derived from the data: each stratum's
+    quota is ``total div n_strata`` rows and its keep rate is
+    ``min(1, quota/count)`` in parts-per-million — over-represented
+    sources are downsampled to the quota, under-represented ones kept
+    whole (the standard mixing move before weighting epochs).
+
+    All integer arithmetic (quota, ppm rate, hash bucket) so the
+    decision is bit-identical on any engine — no float rates, no
+    ``rand()`` (retry-safe on a 1000-executor job).
+
+    Scale shape: stratum counts are one map-side-partial count on a
+    tiny keyspace; the per-stratum rate table is a few rows and
+    BROADCASTS back onto the corpus, so the keep/drop pass is
+    map-only. Adding a rows-per-stratum floor/ceiling or non-uniform
+    target weights changes only the rate expression.
+
+    Returns the input plus ``rate_ppm`` and ``kept``.
+    """
+    rates = (  # the counts table is |strata| rows — global window is fine
+
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(ppm),
+                F.expr(f"((sum(__n) OVER () div count(__n) OVER ()) * {ppm}) div __n"),
+            ),
+        )
+        .drop("__n")
+    )
+    bucket = (
+        F.pmod(F.pmod(F.col(id_col), F.lit(MIX_MOD)) * F.lit(MIX_SALT), F.lit(MIX_MOD))
+        % F.lit(ppm)
+    )
+    return df.join(F.broadcast(rates), strata_col).withColumn(
+        "kept", bucket < F.col("rate_ppm")
+    )

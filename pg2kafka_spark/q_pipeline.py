@@ -983,6 +983,39 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_mix_rebalance",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    r AS (
+      SELECT source,
+             least(CAST(1000000 AS BIGINT),
+                   ((CAST(sum(n) OVER () AS BIGINT) // count(n) OVER ())
+                    * 1000000) // n)
+               AS rate_ppm
+      FROM c
+    )
+    SELECT d.doc_id, d.source, r.rate_ppm,
+           ((d.doc_id % 2147483647) * 2654435761) % 2147483647 % 1000000
+             < r.rate_ppm AS kept
+    FROM documents d JOIN r USING (source)
+    """,
+)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent corpus mixing: per-source keep rates derived
+    from the observed counts (uniform target mix, integer ppm math),
+    keep/drop decided by a portable id hash — see
+    ``operators/assembly.mix_rebalance``. The rate table broadcasts;
+    the keep/drop pass is map-only.
+    """
+    from pg2kafka_spark.operators.assembly import mix_rebalance
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mix_rebalance(docs, strata_col="source").select(
+        "doc_id", "source", "rate_ppm", "kept"
+    )
+
+
+@query(
     "doc_pack_assignments",
     oracle="""
     WITH t AS (

@@ -74,3 +74,51 @@ def test_stratified_sample_is_deterministic_and_respects_rates(spark):
     assert a.filter(F.col("bucket") < 0).count() == 0
     assert a.filter((F.col("lang") == "en") & (F.col("bucket") >= 10)).count() == 0
     assert a.filter(F.col("bucket") >= 90).count() == 0
+
+
+def test_mix_rebalance_downsamples_to_uniform_quota(spark):
+    from pg2kafka_spark.operators.assembly import mix_rebalance
+
+    # 300 docs from 'web', 60 from 'books', 40 from 'code': total 400,
+    # 3 strata -> quota 133 each. web gets rate 133*1e6//300 = 443333
+    # ppm; the small strata exceed no quota and keep everything.
+    rows = (
+        [(i, "web") for i in range(300)]
+        + [(1000 + i, "books") for i in range(60)]
+        + [(2000 + i, "code") for i in range(40)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_rebalance(docs, strata_col="source").cache()
+    rates = {
+        r["source"]: r["rate_ppm"]
+        for r in out.select("source", "rate_ppm").distinct().collect()
+    }
+    assert rates == {"web": 443333, "books": 1_000_000, "code": 1_000_000}
+    kept = {
+        r["source"]: r["n"]
+        for r in out.filter("kept").groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    # every under-quota stratum survives whole; the hash keeps web
+    # within a loose band of its 133-doc quota (deterministic, so the
+    # exact count is stable run to run)
+    assert kept["books"] == 60 and kept["code"] == 40
+    assert 100 <= kept["web"] <= 166
+    # determinism: same input -> identical keep set
+    again = mix_rebalance(docs, strata_col="source")
+    assert sorted(
+        r["doc_id"] for r in again.filter("kept").collect()
+    ) == sorted(r["doc_id"] for r in out.filter("kept").collect())
+    out.unpersist()
+
+
+def test_mix_rebalance_rate_table_broadcasts(spark):
+    from pg2kafka_spark.operators.assembly import mix_rebalance
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(50)], "doc_id long, source string"
+    )
+    plan = mix_rebalance(docs, strata_col="source")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -174,3 +174,21 @@ def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
     p = plan_of(spark, "decontamination_check", sf_dir)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_duplicate_ngram_stats_partial_aggregates_no_window(spark, sf_dir):
+    # the shared-gram count must partial-aggregate map-side (hot
+    # boilerplate grams combine before the exchange); a Window over
+    # the gram key could not, and AQE could not split it
+    p = plan_of(spark, "doc_duplicate_ngrams", sf_dir)
+    assert "Window" not in p
+    assert "partial_count" in p
+
+
+def test_near_dup_component_loop_lineage_is_truncated(spark, sf_dir):
+    # the label table must enter the plan as a materialized RDD scan:
+    # a replan (AQE, retry) must never re-run the propagation loop
+    p = plan_of(spark, "near_dup_canonical", sf_dir)
+    assert "ExistingRDD" in p
+    # one window pass computes rank + size together
+    assert p.count("Window") >= 1

@@ -155,6 +155,34 @@ COMMENTARY = {
         "join; the only plain shuffle is the per-doc count on uniform "
         "doc_id keys with a map-side partial."
     ),
+    "doc_duplicate_ngrams": (
+        "Exact-substring self-overlap: the gram table is built from one "
+        "linear explode; the shared-gram set is a map-side-partial count "
+        "over (gram, doc)-distinct rows (hot boilerplate grams combine "
+        "before the exchange — deliberately NOT a window, which couldn't "
+        "partial-aggregate), and the join back is gram-keyed against a "
+        "single-row-per-gram side, so AQE's skew split covers any "
+        "residual hot gram. Two uniform-key shuffles + one per-doc count."
+    ),
+    "source_mix_rebalance": (
+        "Data-dependent corpus mixing: per-source counts reduce to a "
+        "|sources|-row rate table that BROADCASTS back "
+        "(`BroadcastHashJoin`, no `SortMergeJoin`), so the keep/drop "
+        "decision — integer ppm hash arithmetic — runs map-side in the "
+        "scan stage. The only plain exchange is the tiny count "
+        "aggregation."
+    ),
+    "near_dup_canonical": (
+        "Canonical selection over duplicate clusters: the component "
+        "labels come out of the min-label-propagation loop as a "
+        "localCheckpoint-ed table (`Scan ExistingRDD` — the iterative "
+        "lineage is truncated, so downstream replans can't re-run the "
+        "loop), joined back to the corpus on uniform doc ids, then ONE "
+        "window exchange on component_id computes rank and size "
+        "together. The loop itself is one edge⋈label shuffle + one "
+        "min-aggregate per round, rounds = duplicate-cluster diameter "
+        "(cliques: 1)."
+    ),
     "multimodal_decode_parity": (
         "Oracle twin of the real-codec path: encode fixture → decode "
         "census as two partition-preserving `MapInPandas` stages, no "
