@@ -54,9 +54,13 @@ def _persist(df: DataFrame) -> DataFrame:
 
 
 def release_sketch_caches() -> None:
-    """Unpersist every tracked sketch intermediate (idempotent)."""
+    """Unpersist every tracked sketch intermediate plus any graph
+    checkpoint state (idempotent)."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    from pg2kafka_spark.operators.graph import release_graph_state
+
+    release_graph_state()
 
 
 from contextlib import contextmanager as _contextmanager

@@ -42,6 +42,53 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+#: Checkpoint RDD ids still holding executor storage, as (SparkContext,
+#: rdd id) pairs — see ``release_graph_state``.
+_TRACKED: list[tuple[object, int]] = []
+
+
+def _persistent_ids(sc) -> set[int]:
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _unpersist_ids(sc, ids) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        jrdd = jmap.get(rid)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
+def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """``localCheckpoint`` the frame (eager — materializes now, truncates
+    lineage so iterative plans stay O(1) deep) and report which storage
+    RDD ids it created, so superseded rounds can be dropped eagerly and
+    suite runners can release the final state between queries."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = df.localCheckpoint()
+    new = _persistent_ids(sc) - before
+    _TRACKED.extend((sc, rid) for rid in new)
+    return out, new
+
+
+def _release(sc, ids: set[int]) -> None:
+    _unpersist_ids(sc, ids)
+    _TRACKED[:] = [(c, rid) for (c, rid) in _TRACKED if rid not in ids]
+
+
+def release_graph_state() -> None:
+    """Unpersist every tracked checkpoint (idempotent). Unlike the
+    sketch caches (which lazily recompute if consumed after release),
+    a localCheckpoint IS the data — a ``connected_components`` result
+    consumed after this call fails rather than recomputing, so
+    materialize results before releasing. Suite runners (bench.py,
+    check_parity) call this between queries via
+    ``release_sketch_caches``."""
+    while _TRACKED:
+        sc, rid = _TRACKED.pop()
+        _unpersist_ids(sc, {rid})
+
 
 def connected_components(
     edges: DataFrame,
@@ -61,17 +108,20 @@ def connected_components(
     Materializes per round (localCheckpoint) — callers get back a
     small, fully-resolved label table, not a lazily nested plan.
     """
-    und = (
+    sc = edges.sparkSession.sparkContext
+    und, und_ids = _checkpoint(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = und.select(F.col("s").alias(node_col)).distinct().withColumn(
-        "__lbl", F.col(node_col)
-    ).localCheckpoint()
+    labels, lbl_ids = _checkpoint(
+        und.select(F.col("s").alias(node_col)).distinct().withColumn(
+            "__lbl", F.col(node_col)
+        )
+    )
     prev_sum = labels.agg(F.sum("__lbl")).first()[0]
     if prev_sum is None:  # no edges at all
+        _release(sc, und_ids)
         return labels.select(
             F.col(node_col), F.col("__lbl").alias(label_col)
         )
@@ -79,14 +129,20 @@ def connected_components(
         msgs = und.join(
             labels.withColumnRenamed(node_col, "s"), "s"
         ).select(F.col("d").alias(node_col), "__lbl")
-        labels = (
+        labels, new_ids = _checkpoint(
             labels.union(msgs)
             .groupBy(node_col)
             .agg(F.min("__lbl").alias("__lbl"))
-            .localCheckpoint()
         )
+        # the new round is materialized — the superseded label state is
+        # dead weight; drop it NOW so executor storage holds exactly one
+        # label table regardless of round count (at 100 TB the pair
+        # graph's label table is the big state here)
+        _release(sc, lbl_ids)
+        lbl_ids = new_ids
         new_sum = labels.agg(F.sum("__lbl")).first()[0]
         if new_sum == prev_sum:
+            _release(sc, und_ids)
             return labels.select(F.col(node_col), F.col("__lbl").alias(label_col))
         prev_sum = new_sum
     raise RuntimeError(

@@ -13,6 +13,15 @@ from pyspark.sql import functions as F
 from pg2kafka_spark.operators import graph as G
 
 
+@pytest.fixture(autouse=True)
+def _release_graph_state():
+    # connected_components leaves its final label table checkpointed
+    # (callers need it materialized); release it after every test so a
+    # shared session's executor storage doesn't accrue across the suite
+    yield
+    G.release_graph_state()
+
+
 def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "id_a long, id_b long")
 
@@ -85,3 +94,22 @@ def test_canonical_is_longest_then_smallest_id(spark):
     # doc 2 wins the 3-doc cluster (longest, ties broken by id); the
     # isolate is its own canonical
     assert rows == {1: (3, False), 2: (3, True), 3: (3, False), 7: (1, True)}
+
+
+def test_storage_bounded_to_one_label_table_and_releasable(spark):
+    """Round N's label checkpoint must be DROPPED once round N+1 is
+    materialized (storage holds one label table + the edge list, not
+    one per round), and release_graph_state must empty storage."""
+    sc = spark.sparkContext
+    G.release_graph_state()
+    base = len(sc._jsc.sc().getRDDStorageInfo())
+    # a 6-chain needs several propagation rounds
+    df = G.connected_components(
+        _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    )
+    assert _labels(df) == {i: 1 for i in range(1, 7)}
+    # after convergence: only the final label checkpoint remains (the
+    # edge list is released at return)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) <= base + 1
+    G.release_graph_state()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == base

@@ -109,10 +109,14 @@ def test_incremental_dedup_respects_store_and_batch(spark):
 def test_sketch_cache_scope_releases_storage(spark):
     docs = load_table(spark, "documents", SF_DIR)
     sc = spark.sparkContext
+    # baseline-relative: earlier tests in a shared session may hold
+    # their own storage (e.g. a graph checkpoint) — the scope's
+    # contract is that IT releases what IT persisted
+    base = len(sc._jsc.sc().getRDDStorageInfo())
     with D.sketch_cache_scope():
         D.minhash_lsh_pairs(docs).count()
-        assert len(sc._jsc.sc().getRDDStorageInfo()) > 0
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+        assert len(sc._jsc.sc().getRDDStorageInfo()) > base
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == base
 
 
 def test_exact_dedup_keeps_lowest_id(spark):
