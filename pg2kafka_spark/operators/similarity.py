@@ -289,6 +289,103 @@ def kmeans_centroids(
     return _persist(cents)
 
 
+def assign_cells(
+    prepared: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Nearest-centroid assignment for a ``(id, __cv)`` frame against a
+    ``(cid, __ce)`` centroid table: one map-only pass over the corpus
+    with the centroids broadcast, argmax on 6-dp-rounded cosine with
+    cid as tiebreak (the engine-portable discipline shared with
+    :func:`kmeans_centroids`). Returns ``(id, __cv, cid)``."""
+    asg_w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        prepared.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "__cv",
+            "cid",
+            F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
+        )
+        .withColumn("__arn", F.row_number().over(asg_w))
+        .filter(F.col("__arn") == 1)
+        .select(id_col, "__cv", "cid")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    prune WITHIN each cluster — a vector is dropped when some
+    smaller-id vector in the same cluster has cosine ≥ ``threshold``.
+    Clustering bounds the quadratic pair scan to one cluster at a
+    time, which is exactly what makes semantic dedup tractable at
+    corpus scale (the published recipe; near-identical vectors landing
+    in different clusters are the method's documented recall loss).
+
+    Returns ``(id, cid, max_prior_sim, kept)`` for every corpus row.
+    ``max_prior_sim`` is the max 6-dp-rounded cosine against any
+    smaller-id vector in the vector's cluster, with ``-2.0`` as the
+    no-prior sentinel (a real cosine is ≥ −1; NULL would round-trip
+    as NaN through the Arrow kernel) — so the operator stays fully
+    oracle-checkable against the unrolled-k-means SQL twin.
+
+    Scale shape: training/assignment are the IVF plan (broadcast
+    centroids, map-only). The per-cluster prune is ONE grouped-map
+    BLAS task per cluster — O(m²) in cluster size m, so pick
+    ``n_centroids ≈ N / target_cluster_size`` to bound task memory;
+    at 100 TB that means n_centroids in the 10⁴–10⁵ range (the paper
+    uses 11k clusters for LAION), NOT this demo default of 8.
+
+    Design-note refs: the reference relays rows (blendle/pg2kafka
+    main.go:68-120) and has no embedding stage; this is M5 pipeline
+    surface (SURVEY.md §7).
+    """
+    thr = float(threshold)
+    cents = kmeans_centroids(
+        corpus, n_centroids, iters, dim, id_col, vec_col, train_sample
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col)
+
+    def kernel(key, pdf):
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__cv"].iloc[order]]
+        )
+        g = V @ V.T
+        n = np.einsum("ij,ij->i", V, V)
+        cos = np.round(g / np.sqrt(np.outer(n, n)), 6)
+        # ids are sorted ascending: "prior" = strictly lower triangle
+        prior = np.tril(np.ones_like(cos, dtype=bool), k=-1)
+        masked = np.where(prior, cos, -2.0)
+        mx = masked.max(axis=1, initial=-2.0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": np.full(len(ids), key[0], dtype=np.int64),
+                "max_prior_sim": mx,
+                "kept": mx < thr,
+            }
+        )
+
+    return cells.groupBy("cid").applyInPandas(
+        kernel, f"{id_col} bigint, cid bigint, max_prior_sim double, kept boolean"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -335,21 +432,7 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown train mode {train!r}")
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
-    asg_w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_sim").desc(), F.col("cid").asc()
-    )
-    cells = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "__cv",
-            "cid",
-            F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
-        )
-        .withColumn("__arn", F.row_number().over(asg_w))
-        .filter(F.col("__arn") == 1)
-        .select(id_col, "__cv", "cid")
-    )
+    cells = assign_cells(c, cents, id_col)
     q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv"))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("probe_sim").desc(), F.col("cid").asc()

@@ -712,6 +712,51 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup_embeddings",
+    oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes()
+    + """
+    ,
+    asg AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT d.vec_id, d.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    prior AS (
+      SELECT a.vec_id,
+             max(round(list_inner_product(a.e, b.e)
+               / sqrt(list_inner_product(a.e, a.e) * list_inner_product(b.e, b.e)),
+               6)) AS mps
+      FROM asg a JOIN asg b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           coalesce(p.mps, -2.0) AS max_prior_sim,
+           coalesce(p.mps, -2.0) < 0.4 AS kept
+    FROM asg a LEFT JOIN prior p ON p.vec_id = a.vec_id
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space (the SAME deterministic portable k-means the IVF index
+    trains — the oracle unrolls identical Lloyd iterations), then
+    drop any vector whose cluster holds a smaller-id vector with
+    cosine ≥ 0.4. The cluster pass bounds the quadratic pair scan to
+    one grouped-map BLAS task per cluster; ``max_prior_sim`` uses
+    −2.0 as the no-prior sentinel so the whole operator — training,
+    assignment, prune — is hash-checked against ANSI SQL."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.semantic_dedup(emb, threshold=0.4, n_centroids=8)
+
+
 @query("embedding_ann_lsh")  # rows-only: hyperplane seeds not portable SQL
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via 8-bit random-hyperplane LSH with 1-bit

@@ -689,3 +689,39 @@ def test_duplicate_ngram_stats_counts_cross_doc_grams_only(spark):
     # doc 3 has 9 positions but the repeated 8-gram dedups to 8 distinct
     # hashes, none shared with another doc
     assert out[3] == (8, 0, 0.0)
+
+
+def test_semantic_dedup_drops_planted_in_cluster_duplicates(spark):
+    """SemDeDup keeps the smallest-id member of a semantic-duplicate
+    group and drops the rest — and vectors with no ≥-threshold prior
+    keep max_prior_sim's −2.0 sentinel."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(20, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant two near-copies of vector 3 (tiny jitter: cosine ≈ 1)
+    for j, nid in enumerate((100, 101)):
+        v = base[3] + rng.normal(scale=1e-3, size=dim)
+        rows.append((nid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semantic_dedup(
+        emb, threshold=0.9, n_centroids=4, dim=dim
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 22
+    # the copies share vector 3's cluster (cosine ≈ 1 beats any other
+    # centroid) and are dropped; the original (smallest id) survives
+    assert by_id[3]["kept"]
+    for nid in (100, 101):
+        assert by_id[nid]["cid"] == by_id[3]["cid"]
+        assert not by_id[nid]["kept"]
+        assert by_id[nid]["max_prior_sim"] >= 0.9
+    # every cluster's minimum id carries the no-prior sentinel
+    first = {}
+    for r in sorted(out, key=lambda r: r["vec_id"]):
+        if r["cid"] not in first:
+            first[r["cid"]] = r
+    for r in first.values():
+        assert r["max_prior_sim"] == -2.0 and r["kept"]
