@@ -208,3 +208,59 @@ def redact_pii(text: Column, token: str = "<PII>") -> Column:
     for _, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lo: int = 4_880_000,
+    keep_hi: int = 4_920_000,
+) -> DataFrame:
+    """CCNet-style language-model quality gate with a corpus-trained
+    unigram LM (Wenzek et al. 2020, arXiv:1911.00359, use a LM over
+    the corpus and keep the middle of the perplexity distribution:
+    too-predictable = templated/repetitive, too-surprising = garbage).
+
+    Scoring is the document's mean token surprisal −log2 p(token)
+    under the corpus's own unigram distribution, carried in FIXED-
+    POINT MICRO-BITS: each token contributes
+    ``round(ln(T/c)/ln(2)·1e6)`` as a BIGINT (T = corpus token count,
+    c = token count), summed exactly per document — the one float op
+    (a log per DISTINCT token) happens before the sum, so the
+    aggregate is order-independent and engine-portable (same
+    discipline as tfidf's integer idf surrogate; a double sum of
+    per-token logs would be partition-order-dependent).
+
+    Returns ``(id, n_tokens, mean_surprisal_microbits, kept)`` where
+    ``kept`` bands the mean into [keep_lo, keep_hi] micro-bits.
+
+    Scale shape: one uniform-key shuffle to count terms, one
+    broadcast of the 1-row corpus total, one uniform-key shuffle to
+    re-aggregate per document — the tf-idf plan. The unigram "model"
+    never materializes on the driver.
+    """
+    import math
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("__t"))
+    sbits = F.round(
+        F.log(F.col("__t").cast("double") / F.col("__c")) / math.log(2.0) * 1e6
+    ).cast("bigint")
+    per_doc = (
+        tok.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), sbits.alias("__sb"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__sb").alias("__s"))
+    )
+    mean = F.expr("__s div n_tokens")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        mean.alias("mean_surprisal_microbits"),
+        mean.between(F.lit(keep_lo), F.lit(keep_hi)).alias("kept"),
+    )

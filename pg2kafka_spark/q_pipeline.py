@@ -1144,6 +1144,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_unigram_surprisal",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM tok),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CAST(round(ln(CAST(t AS DOUBLE) / c) / ln(2) * 1000000) AS BIGINT))
+               AS s
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           s // n_tokens AS mean_surprisal_microbits,
+           s // n_tokens BETWEEN 4880000 AND 4920000 AS kept
+    FROM per_doc
+    """,
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality gate: score every document by
+    its mean token surprisal under the corpus's own unigram
+    distribution (fixed-point micro-bits — exact integer sums, no
+    order-dependent double aggregation) and keep the middle of the
+    distribution. The band [4.88, 4.92] bits is fit to this fixture's
+    ~4.9-bit small-vocab corpus; a real deploy re-fits it to the
+    corpus percentiles."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.unigram_surprisal(docs)
+
+
+@query(
     "decontamination_check",
     oracle=r"""
     WITH t AS (

@@ -725,3 +725,23 @@ def test_semantic_dedup_drops_planted_in_cluster_duplicates(spark):
             first[r["cid"]] = r
     for r in first.values():
         assert r["max_prior_sim"] == -2.0 and r["kept"]
+
+
+def test_unigram_surprisal_hand_corpus(spark):
+    """Hand-checkable corpus: counts a:5, rare:1, T=6 — per-token
+    micro-bit surprisal must equal round(log2(T/c)*1e6) and the mean
+    must use exact integer division."""
+    import math
+
+    from pg2kafka_spark.operators.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a rare")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_surprisal(docs, keep_lo=0, keep_hi=10**6).collect()}
+    sb = lambda t, c: round(math.log(t / c) / math.log(2.0) * 1e6)
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["mean_surprisal_microbits"] == sb(6, 5)
+    assert rows[2]["mean_surprisal_microbits"] == (sb(6, 5) + sb(6, 1)) // 2
+    # band: doc1 (0.263 bits) inside [0, 1] bit, doc2 (1.42 bits) out
+    assert rows[1]["kept"] and not rows[2]["kept"]
