@@ -179,6 +179,132 @@ def histogram_quantile(
     return picked.select(*group_cols, F.round(est, 6).alias(out_col))
 
 
+#: Count-min row-salt (Knuth multiplicative constant — also the
+#: portable-sample salt in similarity.py); < 2^31 so ``key_mod +
+#: depth·salt`` stays far under 2^63.
+CM_SALT = 2654435761
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    phi: float = 0.0075,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates + heavy-hitter flags per distinct key, engine-portable.
+
+    The sketch table is ``depth × width`` counters: row j counts keys
+    by ``portable_int_hash(key_mod + j·CM_SALT) mod width``;
+    ``cm_est(k) = min_j counter[j][h_j(k)]`` — an overestimate-only
+    bound (never under), with ``err ≤ e/width · N`` at probability
+    ``1 − e^-depth``. ``is_heavy`` flags keys with ``cm_est ≥ φ·N`` —
+    a superset of the true heavy hitters, the standard batch use of
+    CM. ``exact_n`` rides along so the overestimate is visible (and
+    the oracle checks both). Integer arithmetic end-to-end — exact
+    hash-match, no float caveats.
+
+    Scale shape: building the sketch is one map-side ``depth``-fold
+    explode into a ``(row, bucket)`` groupBy — depth·width counters
+    TOTAL regardless of N, so the reduce state is O(1); the probe
+    joins distinct keys against the BROADCAST counter table and
+    min-reduces per key. At 100 TB the counter table is still
+    depth·width rows — the whole point of sketching the stream
+    instead of counting it.
+    """
+    keymod = F.pmod(F.abs(F.col(key_col).cast("bigint")), F.lit(HLL_MOD))
+    rep = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(keymod.alias("__k"))
+        .withColumn("__d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .select(
+            "__d",
+            F.pmod(
+                portable_int_hash(F.col("__k") + F.col("__d") * F.lit(CM_SALT)),
+                F.lit(width),
+            ).alias("__b"),
+        )
+    )
+    table = rep.groupBy("__d", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    ncnt = df.filter(F.col(key_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    probes = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select(key_col, "exact_n", keymod.alias("__k"))
+        .withColumn("__d", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .select(
+            key_col,
+            "exact_n",
+            "__d",
+            F.pmod(
+                portable_int_hash(F.col("__k") + F.col("__d") * F.lit(CM_SALT)),
+                F.lit(width),
+            ).alias("__b"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(table), ["__d", "__b"])
+        .groupBy(key_col, "exact_n")
+        .agg(F.min("__c").alias("cm_est"))
+    )
+    # φ·N as an integer ceiling: is_heavy = cm_est·1e6 ≥ φ·1e6·N keeps
+    # the comparison in exact int64 (φ scaled to ppm)
+    phi_ppm = int(round(phi * 1_000_000))
+    return est.crossJoin(F.broadcast(ncnt)).select(
+        key_col,
+        "cm_est",
+        "exact_n",
+        (F.col("cm_est") * F.lit(1_000_000) >= F.col("__n") * F.lit(phi_ppm)).alias(
+            "is_heavy"
+        ),
+    )
+
+
+def count_min_heavy_hitters_sql(
+    key_expr: str,
+    from_clause: str,
+    depth: int = 4,
+    width: int = 64,
+    phi: float = 0.0075,
+) -> str:
+    """DuckDB twin of :func:`count_min_heavy_hitters` — generated
+    from the same constants so the sides cannot drift."""
+    phi_ppm = int(round(phi * 1_000_000))
+
+    def bucket(k: str, d: str) -> str:
+        kmod = f"(abs(CAST({k} AS BIGINT)) % {HLL_MOD})"
+        return f"({portable_int_hash_sql(f'({kmod} + {d} * {CM_SALT})')} % {width})"
+
+    return f"""
+    WITH src AS (SELECT {key_expr} AS k FROM {from_clause}
+                 WHERE {key_expr} IS NOT NULL),
+    depths AS (SELECT unnest(range({depth})) AS __d),
+    rep AS (
+      SELECT __d, {bucket('k', '__d')} AS __b
+      FROM src CROSS JOIN depths
+    ),
+    tbl AS (SELECT __d, __b, count(*) AS c FROM rep GROUP BY 1, 2),
+    n AS (SELECT count(*) AS n FROM src),
+    probes AS (
+      SELECT k, count(*) AS exact_n FROM src GROUP BY 1
+    ),
+    est AS (
+      SELECT p.k, p.exact_n, min(t.c) AS cm_est
+      FROM probes p CROSS JOIN depths d
+      JOIN tbl t ON t.__d = d.__d
+        AND t.__b = {bucket('p.k', 'd.__d')}
+      GROUP BY 1, 2
+    )
+    SELECT k, cm_est, exact_n,
+           cm_est * 1000000 >= n.n * {phi_ppm} AS is_heavy
+    FROM est CROSS JOIN n
+    """
+
+
 __all__ = [
     "HLL_M",
     "HLL_REG_BITS",
@@ -193,4 +319,7 @@ __all__ = [
     "hll_rank_sql",
     "hll_distinct",
     "histogram_quantile",
+    "CM_SALT",
+    "count_min_heavy_hitters",
+    "count_min_heavy_hitters_sql",
 ]

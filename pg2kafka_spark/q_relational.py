@@ -726,6 +726,32 @@ def user_value_sketches_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cm_oracle() -> str:
+    from pg2kafka_spark.operators import sketch as K
+
+    return (
+        K.count_min_heavy_hitters_sql("user_id", "events")
+        .replace("SELECT k, cm_est", "SELECT k AS user_id, cm_est")
+    )
+
+
+@query("user_heavy_hitters_cm", oracle=_cm_oracle())
+def user_heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters over event traffic — the sketch that
+    finds skewed keys (the keys ``user_event_rollup_salted`` exists
+    to survive) without counting them exactly: a 4×64-counter table
+    regardless of N, overestimate-only, with ``is_heavy`` flagging
+    keys at ≥ 0.75% of traffic. Exact counts ride along so the
+    CM error bound is visible; integer math end-to-end, so the
+    oracle (generated from the same constants —
+    operators/sketch.py:count_min_heavy_hitters_sql) hash-matches
+    exactly."""
+    from pg2kafka_spark.operators import sketch as K
+
+    events = load_table(spark, "events", sf_dir)
+    return K.count_min_heavy_hitters(events, "user_id")
+
+
 @query(
     "customer_event_activity",
     oracle="""

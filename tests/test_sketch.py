@@ -53,3 +53,33 @@ def test_histogram_quantile_exact_on_point_mass(spark):
     df = spark.createDataFrame([("g", 2.5)] * 10, "g string, value double")
     est = K.histogram_quantile(df, ["g"], "value", "p50").collect()[0]["p50"]
     assert 2.4375 <= est <= 2.5625  # the [2.4375, 2.5) bin ± width
+
+
+def test_count_min_never_underestimates_and_flags_planted_hitter(spark):
+    """CM is overestimate-only (min over depth rows of colliding-key
+    sums ≥ the key's own count), and a planted key owning ~30% of the
+    stream must be flagged heavy while the long tail is not."""
+    rows = [(777,)] * 300 + [(i,) for i in range(700)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = K.count_min_heavy_hitters(df, "user_id", width=64, phi=0.05).collect()
+    assert len(out) == 701
+    by_id = {r["user_id"]: r for r in out}
+    for r in out:
+        assert r["cm_est"] >= r["exact_n"], (r["user_id"], r["cm_est"], r["exact_n"])
+    assert by_id[777]["exact_n"] == 300 and by_id[777]["is_heavy"]
+    # tail keys: exact 1 of 1000 — only collision-inflated estimates
+    # could flag them; with depth 4 the min row keeps them below 5%
+    n_false = sum(1 for r in out if r["user_id"] != 777 and r["is_heavy"])
+    assert n_false == 0, f"{n_false} tail keys wrongly flagged heavy"
+
+
+def test_count_min_width_tightens_error(spark):
+    """Widening the sketch reduces total overestimate — the e/width·N
+    error bound in action."""
+    rows = [(i % 97,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id long")
+    err = {}
+    for w in (16, 256):
+        out = K.count_min_heavy_hitters(df, "user_id", width=w).collect()
+        err[w] = sum(r["cm_est"] - r["exact_n"] for r in out)
+    assert err[256] < err[16], err
