@@ -745,3 +745,35 @@ def test_unigram_surprisal_hand_corpus(spark):
     assert rows[2]["mean_surprisal_microbits"] == (sb(6, 5) + sb(6, 1)) // 2
     # band: doc1 (0.263 bits) inside [0, 1] bit, doc2 (1.42 bits) out
     assert rows[1]["kept"] and not rows[2]["kept"]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """SQ8 (int8 scalar quantization, ~0.2% step error per dim) must
+    reproduce nearly all exact top-3 neighbors, and its stored codes
+    must actually be int8."""
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, queries, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in S.quantized_topk(emb, queries, k=3).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"SQ8 recall@3 {recall:.2f}"
+    # codes are genuine tinyint arrays (the 1-byte/dim index claim)
+    stats = S.quantization_stats(emb)
+    coded = (
+        emb.select(S.as_double(F.col("embedding")).alias("__cv"))
+        .crossJoin(F.broadcast(stats))
+        .select(S._quantize_expr("__cv", 64).alias("q"))
+    )
+    assert coded.schema["q"].dataType.simpleString() == "array<tinyint>"
+    mn, mx = coded.select(
+        F.min(F.array_min("q")), F.max(F.array_max("q"))
+    ).first()
+    assert -128 <= mn and mx <= 127
