@@ -81,10 +81,21 @@ def sketch_cache_scope():
         # scope (DataFrames are lazy; consuming one after exit just
         # recomputes without the cache, which is safe but slower)
     """
+    from pg2kafka_spark.operators import graph as _graph
+
+    n_sketch = len(_PERSISTED)
+    n_graph = len(_graph._TRACKED)
     try:
         yield
     finally:
-        release_sketch_caches()
+        # release ONLY what was persisted inside the scope: a caller
+        # (or an earlier test in a shared session) may still be
+        # consuming tables it persisted before entering
+        while len(_PERSISTED) > n_sketch:
+            _PERSISTED.pop().unpersist()
+        while len(_graph._TRACKED) > n_graph:
+            sc, rid = _graph._TRACKED.pop()
+            _graph._unpersist_ids(sc, {rid})
 
 
 def _spread(df: DataFrame) -> DataFrame:

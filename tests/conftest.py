@@ -23,3 +23,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_tracked_storage():
+    """Release sketch/centroid/graph storage after every test — the
+    session is shared suite-wide, and operators that persist
+    intermediates (kmeans centroids, LSH signatures, CC labels)
+    would otherwise accrue executor storage across hundreds of
+    tests and poison storage-accounting assertions."""
+    yield
+    from pg2kafka_spark.operators.dedup import release_sketch_caches
+
+    release_sketch_caches()
