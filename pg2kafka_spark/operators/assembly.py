@@ -135,3 +135,30 @@ def mix_rebalance(
     return df.join(F.broadcast(rates), strata_col).withColumn(
         "kept", bucket < F.col("rate_ppm")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_ppk: int = 900,
+    val_ppk: int = 50,
+    mod: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    ``portable_int_hash(id) mod 1000``, then contiguous per-mille
+    bands (default 900/50/50). Hash-driven for the same reasons as
+    :func:`stratified_hash_sample` — reproducible across runs,
+    engines, and executor retries (never ``rand()``), with the mixer
+    (not an affine hash) guaranteeing bands are independent of id
+    lattice structure so every stratum converges to the target
+    proportions without per-stratum bookkeeping. Map-only: the
+    assignment runs inside the scan stage at any scale."""
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    bucket = F.pmod(portable_int_hash(F.col(id_col)), F.lit(mod))
+    split = (
+        F.when(bucket < F.lit(train_ppk), F.lit("train"))
+        .when(bucket < F.lit(train_ppk + val_ppk), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)

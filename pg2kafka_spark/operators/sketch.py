@@ -305,6 +305,130 @@ def count_min_heavy_hitters_sql(
     """
 
 
+#: Bloom word size: 32 bits per int64 word keeps every mask
+#: ``1 << bit`` positive (no sign-bit), so ``&``/``bit_or`` agree
+#: between engines with zero two's-complement caveats.
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_word_bit(key_mod: Column, j: int, m_bits: int) -> tuple[Column, Column]:
+    h = F.pmod(
+        portable_int_hash(key_mod + F.lit(j) * F.lit(CM_SALT)), F.lit(m_bits)
+    )
+    return F.shiftright(h, 5), F.pmod(h, F.lit(BLOOM_WORD_BITS))
+
+
+def _bit_mask(b: Column) -> Column:
+    # SQL shiftleft accepts a column bit count; the Python wrapper
+    # doesn't — call the JVM function directly
+    return F.call_function("shiftleft", F.lit(1).cast("bigint"), b)
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 32768, k: int = 3
+) -> DataFrame:
+    """Build a Bloom filter over ``keys`` as ONE row holding a dense
+    ``array<bigint>`` bitset (``m_bits/32`` words) — the compact form
+    a semi-join pushdown ships to every executor. ``k`` portable
+    hashes per key (same mixer family as the CM/HLL sketches), words
+    OR-merged with ``bit_or`` — integer-exact, so the filter (and its
+    false-positive set) is bit-identical on any engine.
+
+    Scale shape: one uniform-key aggregate over k·|keys| (word, mask)
+    rows into ≤ m_bits/32 words, densified against a ``range`` frame,
+    collapsed to one broadcastable row. m_bits=2²⁵ (1 MiB words) still
+    broadcasts trivially; size by the standard
+    ``m ≈ −k·n / ln(1 − fp^(1/k))``."""
+    assert m_bits % BLOOM_WORD_BITS == 0 and (m_bits & (m_bits - 1)) == 0
+    n_words = m_bits // BLOOM_WORD_BITS
+    keymod = F.pmod(F.abs(F.col(key_col).cast("bigint")), F.lit(HLL_MOD))
+    parts = []
+    for j in range(k):
+        w, b = _bloom_word_bit(keymod, j, m_bits)
+        parts.append(
+            keys.filter(F.col(key_col).isNotNull()).select(
+                w.alias("word"),
+                _bit_mask(b).alias("mask"),
+            )
+        )
+    rep = parts[0]
+    for p in parts[1:]:
+        rep = rep.unionAll(p)
+    words = rep.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    dense = (
+        keys.sparkSession.range(n_words)
+        .withColumnRenamed("id", "word")
+        .join(F.broadcast(words), "word", "left")
+        .na.fill({"bits": 0})
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(word, bits))),"
+                " s -> s.bits)"
+            ).alias("bloom")
+        )
+    )
+    return dense
+
+
+def bloom_might_contain(
+    key: Column, bloom_col: Column, m_bits: int = 32768, k: int = 3
+) -> Column:
+    """Membership test against a ``bloom_build`` bitset column: true
+    iff ALL k bits are set (no false negatives; false positives at
+    the designed rate, deterministically). Pure column algebra —
+    map-only over the probe side with the bitset broadcast."""
+    keymod = F.pmod(F.abs(key.cast("bigint")), F.lit(HLL_MOD))
+    cond = F.lit(True)
+    for j in range(k):
+        w, b = _bloom_word_bit(keymod, j, m_bits)
+        mask = _bit_mask(b)
+        cond = cond & (
+            F.element_at(bloom_col, (w + F.lit(1)).cast("int")).bitwiseAND(mask)
+            != F.lit(0)
+        )
+    return cond
+
+
+def _bloom_word_bit_sql(key: str, j: int, m_bits: int) -> tuple[str, str]:
+    kmod = f"(abs(CAST({key} AS BIGINT)) % {HLL_MOD})"
+    h = f"({portable_int_hash_sql(f'({kmod} + {j} * {CM_SALT})')} % {m_bits})"
+    return f"({h} >> 5)", f"({h} % {BLOOM_WORD_BITS})"
+
+
+def bloom_build_sql(
+    keys_sql: str, key: str, m_bits: int = 32768, k: int = 3
+) -> str:
+    """DuckDB twin of :func:`bloom_build` — CTE body ending in a
+    1-row ``bloom`` list. ``keys_sql`` provides the key rows."""
+    n_words = m_bits // BLOOM_WORD_BITS
+    arms = " UNION ALL ".join(
+        f"SELECT {w} AS word, (CAST(1 AS BIGINT) << {b}) AS mask "
+        f"FROM __bloom_keys WHERE {key} IS NOT NULL"
+        for w, b in (_bloom_word_bit_sql(key, j, m_bits) for j in range(k))
+    )
+    return f"""
+    __bloom_keys AS ({keys_sql}),
+    __bloom_rep AS ({arms}),
+    __bloom_words AS (SELECT word, bit_or(mask) AS bits FROM __bloom_rep GROUP BY 1),
+    __bloom AS (
+      SELECT list(coalesce(w.bits, 0) ORDER BY r.i) AS bloom
+      FROM range({n_words}) r(i) LEFT JOIN __bloom_words w ON w.word = r.i
+    )"""
+
+
+def bloom_might_contain_sql(
+    key: str, m_bits: int = 32768, k: int = 3
+) -> str:
+    """DuckDB spelling of :func:`bloom_might_contain` against the
+    ``__bloom`` CTE's ``bloom`` list (1-indexed like Spark's
+    element_at)."""
+    conds = []
+    for j in range(k):
+        w, b = _bloom_word_bit_sql(key, j, m_bits)
+        conds.append(f"(bloom[CAST({w} + 1 AS INT)] & (CAST(1 AS BIGINT) << {b})) <> 0")
+    return "(" + " AND ".join(conds) + ")"
+
+
 __all__ = [
     "HLL_M",
     "HLL_REG_BITS",
@@ -322,4 +446,9 @@ __all__ = [
     "CM_SALT",
     "count_min_heavy_hitters",
     "count_min_heavy_hitters_sql",
+    "BLOOM_WORD_BITS",
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_build_sql",
+    "bloom_might_contain_sql",
 ]

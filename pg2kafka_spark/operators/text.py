@@ -264,3 +264,52 @@ def unigram_surprisal(
         mean.alias("mean_surprisal_microbits"),
         mean.between(F.lit(keep_lo), F.lit(keep_hi)).alias("kept"),
     )
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    context-length chunking step before tokenize-and-pack (stride <
+    window gives the half-window overlap RAG/pretraining chunkers use
+    so no span is ever split across a boundary without a copy that
+    contains it whole).
+
+    Map-only: tokenize once, explode the start offsets
+    (``sequence(0, n−1, stride)``), slice per start — no shuffle, no
+    UDF; at 100 TB the expansion factor is bounded by
+    ``⌈window/stride⌉`` and the op runs inside the scan stage.
+
+    Returns ``(id, chunk_idx, start_idx, n_chunk_tokens,
+    chunk_text)``; ``chunk_idx`` is the 0-based window ordinal.
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(F.col("__toks"))
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(n > 0)
+        .select(
+            F.col(id_col),
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+            ).alias("start_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"start_idx div {stride}").alias("chunk_idx"),
+            "start_idx",
+            F.slice(F.col("__toks"), F.col("start_idx") + 1, window).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            "start_idx",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -109,6 +109,80 @@ def shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, threshold=0.1)
 
 
+@query(
+    "cross_source_dup_matrix",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT id_a, id_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.1
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs,
+           round(CAST(sum(CAST(jaccard AS DECIMAL(18, 12))) AS DOUBLE)
+                 / count(*), 6) AS avg_jaccard
+    FROM jp
+    JOIN documents da ON da.doc_id = jp.id_a
+    JOIN documents db ON db.doc_id = jp.id_b
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-leakage matrix between corpus sources: which sources
+    near-duplicate into which (the governance question behind
+    source-level dedup and eval decontamination). Near-dup pairs from
+    the exact Jaccard formulation (at 100 TB: feed the LSH candidate
+    set instead — identical downstream shape), joined to source
+    labels, aggregated on the unordered source pair. Pair jaccards
+    cast to DECIMAL before summing so the mean is partition-order-
+    independent (the salted-agg discipline)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b", "jaccard")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            F.broadcast(src).withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("source", "src_a"),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src).withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("source", "src_b"),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.col("jaccard").cast("decimal(18,12)").alias("__j"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum("__j").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
 @query("minhash_lsh_pairs")  # rows-only: hash-seed math is not portable SQL
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidate pairs with
@@ -1036,6 +1110,66 @@ def media_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Training-set assembly (operators/assembly.py)
 # ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    )
+    SELECT t.doc_id,
+           u.start // 32 AS chunk_idx,
+           u.start AS start_idx,
+           len(list_slice(t.toks, u.start + 1,
+                          least(u.start + 64, len(t.toks)))) AS n_chunk_tokens,
+           array_to_string(list_slice(t.toks, u.start + 1,
+                          least(u.start + 64, len(t.toks))), ' ') AS chunk_text
+    FROM t, unnest(range(0, len(t.toks), 32)) AS u(start)
+    WHERE len(t.toks) > 0
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token / 32-stride context chunking of every
+    document — tokenize once, explode start offsets, slice — entirely
+    map-only inside the scan stage (expansion bounded by
+    window/stride = 2×)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.chunk_token_windows(docs, window=64, stride=32)
+
+
+def _split_oracle() -> str:
+    from pg2kafka_spark.operators.sketch import portable_int_hash_sql
+
+    h = portable_int_hash_sql("doc_id")
+    return f"""
+    WITH b AS (
+      SELECT doc_id, source, ({h}) % 1000 AS split_bucket FROM documents
+    )
+    SELECT doc_id, source, split_bucket,
+           CASE WHEN split_bucket < 900 THEN 'train'
+                WHEN split_bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@query("doc_train_val_test_split", oracle=_split_oracle())
+def doc_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 900/50/50-per-mille train/val/test assignment
+    via the portable integer mixer — a pure function of doc_id, so
+    the split survives reruns, engine swaps, and executor retries,
+    and never needs a persisted assignment table. Map-only at any
+    scale (runs inside the scan stage)."""
+    from pg2kafka_spark.operators.assembly import train_val_test_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return train_val_test_split(docs).select(
+        "doc_id", "source", "split_bucket", "split"
+    )
 
 
 @query(

@@ -726,6 +726,81 @@ def user_value_sketches_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_oracle() -> str:
+    from pg2kafka_spark.operators import sketch as K
+
+    build = K.bloom_build_sql(
+        "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "o_orderkey",
+    )
+    probe = K.bloom_might_contain_sql("l_orderkey")
+    return f"""
+    WITH {build},
+    flagged AS (
+      SELECT l.l_orderkey,
+             {probe} AS bloom_pass,
+             EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey
+                       AND o.o_orderpriority = '1-URGENT') AS is_match
+      FROM lineitem l CROSS JOIN __bloom
+    )
+    SELECT count(*) AS n_probe,
+           sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_pass,
+           sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+           sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+             AS n_false_pos,
+           sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END)
+             AS n_false_neg
+    FROM flagged
+    """
+
+
+@query("bloom_semijoin_prune", oracle=_bloom_oracle())
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — the pushdown that saves a
+    100 TB fact shuffle: build a 32 Kbit / 3-hash Bloom bitset over
+    the urgent orderkeys (one tiny aggregate, broadcast as a single
+    array row), then filter lineitem MAP-ONLY before any join would
+    run. The summary row audits the filter: zero false negatives by
+    construction, false positives at the designed ~1-2% rate —
+    deterministic down to the exact false-positive set, since the
+    hash mixer is the engine-portable sketch family
+    (operators/sketch.py:bloom_build; oracle generated from the same
+    constants)."""
+    from pg2kafka_spark.operators import sketch as K
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bloom = K.bloom_build(urgent, "o_orderkey")
+    flagged = (
+        li.select("l_orderkey")
+        .crossJoin(F.broadcast(bloom))
+        .withColumn(
+            "bloom_pass", K.bloom_might_contain(F.col("l_orderkey"), F.col("bloom"))
+        )
+        .join(
+            F.broadcast(urgent.distinct().withColumn("__m", F.lit(1))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .withColumn("is_match", F.col("__m").isNotNull())
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_match"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(F.col("is_match") & ~F.col("bloom_pass"), 1).otherwise(0)
+        ).alias("n_false_neg"),
+    )
+
+
 def _cm_oracle() -> str:
     from pg2kafka_spark.operators import sketch as K
 

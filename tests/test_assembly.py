@@ -122,3 +122,25 @@ def test_mix_rebalance_rate_table_broadcasts(spark):
     plan = mix_rebalance(docs, strata_col="source")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_train_val_test_split_bands_and_determinism(spark):
+    from pg2kafka_spark.operators.assembly import train_val_test_split
+
+    docs = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    out = train_val_test_split(docs)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # mixer-driven bands: proportions converge to 900/50/50 per mille
+    assert abs(counts["train"] - 9000) < 300
+    assert abs(counts["val"] - 500) < 120
+    assert abs(counts["test"] - 500) < 120
+    # bucket ↔ split consistency and rerun determinism
+    bad = out.filter(
+        ((F.col("split_bucket") < 900) & (F.col("split") != "train"))
+        | ((F.col("split_bucket") >= 950) & (F.col("split") != "test"))
+    ).count()
+    assert bad == 0
+    again = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again

@@ -777,3 +777,25 @@ def test_quantized_topk_recall_vs_exact(spark):
         F.min(F.array_min("q")), F.max(F.array_max("q"))
     ).first()
     assert -128 <= mn and mx <= 127
+
+
+def test_chunk_token_windows_offsets_and_overlap(spark):
+    from pg2kafka_spark.operators.text import chunk_token_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x")], "doc_id long, text string"
+    )
+    out = chunk_token_windows(docs, window=4, stride=2).collect()
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_idx"], r["chunk_text"])
+        for r in out
+    }
+    assert got == {
+        (1, 0): (0, "a b c d"),
+        (1, 1): (2, "c d e"),
+        (1, 2): (4, "e"),
+        (2, 0): (0, "x"),
+    }
+    # every token index is covered by some chunk; consecutive chunks
+    # overlap by window - stride
+    assert all(r["n_chunk_tokens"] >= 1 for r in out)

@@ -192,3 +192,38 @@ def test_near_dup_component_loop_lineage_is_truncated(spark, sf_dir):
     assert "ExistingRDD" in p
     # one window pass computes rank + size together
     assert p.count("Window") >= 1
+
+
+def test_bloom_prune_never_sort_merge_joins_the_fact(spark, sf_dir):
+    # the whole point: fact rows are filtered by a broadcast bitset +
+    # broadcast key join — no fact-side shuffle join anywhere
+    p = plan_of(spark, "bloom_semijoin_prune", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # exactness audit join
+
+
+def test_quantized_topk_is_broadcast_and_group_limited(spark, sf_dir):
+    p = plan_of(spark, "embedding_topk_quantized", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p  # bounded-heap top-k
+
+
+def test_semantic_dedup_prunes_per_cluster_in_grouped_map(spark, sf_dir):
+    p = plan_of(spark, "semantic_dedup_embeddings", sf_dir)
+    # the quadratic scan lives in one grouped-map kernel per cluster,
+    # never a pairwise self-join
+    assert "FlatMapGroupsInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "collect_list" not in p
+
+
+def test_chunk_windows_is_map_only(spark, sf_dir):
+    p = plan_of(spark, "doc_chunk_windows", sf_dir)
+    assert "Exchange" not in p
+
+
+def test_count_min_counter_table_broadcasts(spark, sf_dir):
+    p = plan_of(spark, "user_heavy_hitters_cm", sf_dir)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_count" in p or "HashAggregate" in p

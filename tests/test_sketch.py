@@ -83,3 +83,25 @@ def test_count_min_width_tightens_error(spark):
         out = K.count_min_heavy_hitters(df, "user_id", width=w).collect()
         err[w] = sum(r["cm_est"] - r["exact_n"] for r in out)
     assert err[256] < err[16], err
+
+
+def test_bloom_no_false_negatives_and_designed_fp_rate(spark):
+    """Every inserted key must pass (Bloom guarantees no false
+    negatives); disjoint probe keys pass only at ~the designed
+    false-positive rate."""
+    keys = spark.range(3000).select((F.col("id") * 7 + 1).alias("k"))
+    bloom = K.bloom_build(keys, "k", m_bits=32768, k=3)
+    probe_in = keys.crossJoin(F.broadcast(bloom)).select(
+        K.bloom_might_contain(F.col("k"), F.col("bloom")).alias("p")
+    )
+    assert probe_in.filter(~F.col("p")).count() == 0
+    # disjoint probes: ids shifted out of the inserted key range
+    probe_out = (
+        spark.range(5000)
+        .select((F.col("id") * 7 + 1_000_000).alias("k"))
+        .crossJoin(F.broadcast(bloom))
+        .select(K.bloom_might_contain(F.col("k"), F.col("bloom")).alias("p"))
+    )
+    fp = probe_out.filter(F.col("p")).count() / 5000
+    # designed rate (1 - e^(-k n / m))^k ≈ 1.3% for n=3000, m=32768, k=3
+    assert fp < 0.05, f"false-positive rate {fp:.3f}"

@@ -190,6 +190,55 @@ COMMENTARY = {
         "plan. Integer functionals of the decoded signal keep the "
         "check exact at any partitioning."
     ),
+    "semantic_dedup_embeddings": (
+        "SemDeDup: k-means training reuses the IVF plan (centroids "
+        "BROADCAST both directions, assignment map-only over the "
+        "corpus), then ONE grouped-map BLAS task per cluster does the "
+        "within-cluster prune — the quadratic pair scan is bounded by "
+        "cluster size, which n_centroids controls (paper-scale: 10⁴-10⁵ "
+        "clusters for 10⁹ vectors). One cid exchange feeds "
+        "`FlatMapGroupsInPandas`; nothing else shuffles."
+    ),
+    "bloom_semijoin_prune": (
+        "Bloom semi-join pushdown: the urgent-key bitset reduces to ONE "
+        "array row (`bit_or` partials map-side, ≤ m/32 word rows "
+        "through the exchange) and BROADCASTS; the fact probe is then "
+        "pure column algebra inside the scan stage — the fact table "
+        "never shuffles at all. This is the plan that replaces a 100 TB "
+        "`SortMergeJoin` with a 4 KiB broadcast when only the pruned "
+        "count/rows are needed downstream."
+    ),
+    "user_heavy_hitters_cm": (
+        "Count-min heavy hitters: the 4×64 counter table aggregates "
+        "with map-side partials (state O(depth·width), independent of "
+        "N) and BROADCASTS to the probe side; probes are the distinct "
+        "keys (one uniform-key exchange) min-reduced over their 4 "
+        "counters. No sort, no skew exposure — hot keys only make "
+        "counters bigger, not partitions."
+    ),
+    "embedding_topk_quantized": (
+        "SQ8 quantized search: per-dimension stats are ONE aggregate "
+        "row (128 min/max partials, map-side) broadcast to encode both "
+        "sides; encode/dequantize/cosine all run in the scan stage "
+        "(`WholeStageCodegen`), queries broadcast, and the top-k is the "
+        "`WindowGroupLimit` bounded-heap — the brute-force plan, minus "
+        "4× of the bytes a real index would scan."
+    ),
+    "doc_unigram_surprisal": (
+        "Unigram-LM scoring: two uniform-key exchanges (term counts, "
+        "per-doc re-aggregation) plus a broadcast 1-row corpus total — "
+        "the tf-idf plan shape. The per-token log happens once per "
+        "joined row map-side; the per-doc sum is exact BIGINT micro-"
+        "bits, so the aggregate partial-combines without float-order "
+        "caveats."
+    ),
+    "doc_chunk_windows": (
+        "Context chunking: tokenize → explode stride offsets → slice, "
+        "all inside one `WholeStageCodegen` scan stage — zero "
+        "exchanges, output bounded at window/stride (2×) of the input "
+        "rows. The chunker a 100 TB pretokenization pass wants: "
+        "partition-preserving, no driver involvement."
+    ),
 }
 
 
