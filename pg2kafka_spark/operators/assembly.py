@@ -162,3 +162,51 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key, chosen by a deterministic
+    content-hash order — the per-domain document cap every web-scale
+    ingestion pipeline applies (a handful of template-heavy domains
+    otherwise dominate the corpus; RefinedWeb/C4 cap them instead of
+    trusting dedup to catch every variant).
+
+    Exact salted two-phase top-``cap`` (the naive single window
+    partitions by the KEY — domains are few and huge, so one task
+    would sort an entire hot domain):
+
+    1. rank inside (key, salt) where salt = mixer(id) mod
+       ``n_salts``, keep rank <= cap — spreads a hot key over
+       ``n_salts`` tasks; map-side the window input stays the raw
+       scan, nothing is pre-aggregated;
+    2. re-rank survivors inside key, keep rank <= cap — per key at
+       most ``cap * n_salts`` rows reach this stage, so the hot
+       partition is bounded by the CAP, not the corpus.
+
+    Exactness: any row in a key's true top-``cap`` (by the global
+    order) ranks <= cap within its salt bucket too, so phase 1 never
+    drops it, and phase 2's rank over survivors equals the global
+    rank for every emitted row (all globally-better rows also
+    survived phase 1). The order is ``(mixer(id), id)`` — a total,
+    engine-portable order, so the kept set is an unbiased fixed-size
+    sample that is stable across runs, retries, and engines.
+    """
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    h = portable_int_hash(F.col(id_col))
+    salt = F.pmod(h, F.lit(int(n_salts)))
+    w1 = Window.partitionBy(F.col(key_col), salt).orderBy(h, F.col(id_col))
+    w2 = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= F.lit(int(cap)))
+        .withColumn("key_rank", F.row_number().over(w2))
+        .filter(F.col("key_rank") <= F.lit(int(cap)))
+        .drop("__rk1")
+    )

@@ -1031,3 +1031,101 @@ def simhash_portable(
     for i in range(n_bits):
         sim = sim + F.when(_ones(i) * 2 > n, F.lit(1 << i)).otherwise(F.lit(0))
     return staged.select(id_col, sim.alias("simhash"), n.cast("long").alias("n_tokens"))
+
+
+def duplicated_segment_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-segment removal — the unstructured-text
+    analog of RefinedWeb/CCNet line-level dedup (there a "line" is a
+    newline-delimited string; here, where documents are continuous
+    token streams, a segment is a non-overlapping ``seg_words``-token
+    window of the normalized text). Any segment that appears verbatim
+    in >= ``min_docs`` DISTINCT documents (navigation chrome, license
+    boilerplate, templated headers) is removed from EVERY document,
+    and the remaining segments are reassembled in order.
+
+    Unlike ``duplicate_ngram_stats`` (which only SCORES overlap for a
+    document-level gate), this op rewrites the corpus: the output is
+    one row per input document with the scrubbed text fingerprint and
+    kept/removed counts — the shape a downstream tokenizer consumes.
+
+    Plan (2 uniform-key shuffles + 1 join, scale-safe at 100 TB):
+
+    1. segment: map-only inside the scan (tokenize once, slice
+       non-overlapping windows, posexplode — expansion factor 1×,
+       unlike overlapping shingles);
+    2. dup set: groupBy md5(segment) with two-phase distinct-doc
+       count — md5 keys are uniform, so no skew regardless of how
+       hot a boilerplate segment is (the count collapses map-side);
+    3. mark: join segments against the dup set on the md5 key. The
+       dup set is the corpus's repeated-boilerplate tail — orders of
+       magnitude smaller than the corpus — so AQE picks a broadcast
+       join at real scale; we leave the join unhinted so the planner
+       can fall back to shuffle-hash if a pathological corpus makes
+       the dup set huge.
+    4. reassemble: groupBy doc with an order-restoring
+       sort-filter-join over the collected (idx, segment) structs —
+       one shuffle keyed by the (unique) doc id.
+
+    Determinism: the segmentation is a pure function of the text, the
+    dup threshold counts DISTINCT docs (retry-safe), and reassembly
+    sorts on the unique segment index — no rand(), no
+    collect-order dependence.
+    """
+    from pg2kafka_spark.operators.text import normalized_text
+
+    w = int(seg_words)
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(F.col("__toks")) / F.lit(float(w))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * w + 1, w), " "),
+    )
+    seg_rows = (
+        _spread(df.select(id_col, text_col))
+        .select(id_col, toks.alias("__toks"))
+        .select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+
+    dup = (
+        seg_rows.groupBy(F.md5(F.col("seg")).alias("sfp"))
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= F.lit(int(min_docs)))
+        .select("sfp")
+    )
+
+    marked = seg_rows.join(
+        dup, F.md5(seg_rows["seg"]) == dup["sfp"], "left"
+    ).select(
+        id_col,
+        "seg_idx",
+        "seg",
+        F.col("sfp").isNotNull().alias("is_dup"),
+    )
+
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("seg_idx").alias("i"),
+                F.col("is_dup").alias("d"),
+                F.col("seg").alias("s"),
+            )
+        )
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(ordered, lambda x: ~x["d"]), lambda x: x["s"]
+        ),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+        F.md5(kept_text).alias("scrubbed_fp"),
+        F.length(kept_text).cast("long").alias("n_chars_kept"),
+    )

@@ -1755,3 +1755,82 @@ def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["source"],
         budget=4096,
     )
+
+
+@query(
+    "doc_segment_scrub",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)
+    ),
+    dup AS (
+      SELECT md5(seg) AS sfp FROM seg
+      GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (d.sfp IS NOT NULL) AS is_dup
+      FROM seg s LEFT JOIN dup d ON md5(s.seg) = d.sfp
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
+           md5(coalesce(
+             string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT is_dup),
+             '')) AS scrubbed_fp,
+           CAST(coalesce(
+             len(string_agg(seg, ' ' ORDER BY seg_idx)
+                 FILTER (WHERE NOT is_dup)), 0) AS BIGINT) AS n_chars_kept
+    FROM marked GROUP BY doc_id
+    """,
+)
+def doc_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-segment removal (RefinedWeb line-dedup
+    on continuous text): 8-token segments appearing verbatim in >= 2
+    distinct documents are scrubbed from every document and the
+    survivors reassembled in order — emitted as per-doc scrubbed
+    fingerprint + kept/removed counts. See
+    ``operators/dedup.duplicated_segment_scrub`` for the 2-shuffle
+    scale analysis. Fully hash-checked including the reassembled
+    text (via its md5)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.duplicated_segment_scrub(docs, seg_words=8, min_docs=2)
+
+
+def _source_cap_oracle(cap: int = 50) -> str:
+    from pg2kafka_spark.operators.sketch import portable_int_hash_sql
+
+    h = portable_int_hash_sql("doc_id")
+    return f"""
+    SELECT doc_id, source, key_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY ({h}), doc_id) AS key_rank
+      FROM documents)
+    WHERE key_rank <= {cap}
+    """
+
+
+@query("source_capped_sample", oracle=_source_cap_oracle())
+def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb ingestion guard
+    against template-heavy domains): keep at most 50 docs per
+    ``source``, chosen by the portable content-hash order. The Spark
+    side runs the exact salted two-phase top-cap
+    (``operators/assembly.per_key_cap``) so a hot domain never
+    concentrates in one task; the oracle is the single-window
+    spelling — both produce identical rows AND identical per-key
+    ranks, which the hash check pins."""
+    from pg2kafka_spark.operators.assembly import per_key_cap
+
+    docs = load_table(spark, "documents", sf_dir)
+    return per_key_cap(
+        docs, key_col="source", id_col="doc_id", cap=50
+    ).select("doc_id", "source", F.col("key_rank").cast("long").alias("key_rank"))

@@ -799,3 +799,80 @@ def test_chunk_token_windows_offsets_and_overlap(spark):
     # every token index is covered by some chunk; consecutive chunks
     # overlap by window - stride
     assert all(r["n_chunk_tokens"] >= 1 for r in out)
+
+
+def test_segment_scrub_removes_cross_doc_boilerplate(spark):
+    from pg2kafka_spark.operators.dedup import duplicated_segment_scrub
+
+    boiler = "click here to subscribe now"  # 5 tokens -> one segment @ w=5
+    rows = [
+        (1, boiler + " alpha beta gamma delta eps"),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, "totally unique content nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_segment_scrub(
+            df, seg_words=5, min_docs=2
+        ).collect()
+    }
+    # the shared leading segment is scrubbed from both docs 1 and 2
+    assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+    # reassembly preserves the remaining text in order
+    import hashlib
+
+    assert (
+        out[1]["scrubbed_fp"]
+        == hashlib.md5(b"alpha beta gamma delta eps").hexdigest()
+    )
+    assert out[3]["n_chars_kept"] == len(rows[2][1])
+
+
+def test_segment_scrub_fully_removed_doc_yields_empty_fp(spark):
+    from pg2kafka_spark.operators.dedup import duplicated_segment_scrub
+
+    t = "one two three four five"
+    df = spark.createDataFrame(
+        [(1, t), (2, t)], ["doc_id", "text"]
+    )
+    out = duplicated_segment_scrub(df, seg_words=5, min_docs=2).collect()
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in out:
+        assert r["n_removed"] == r["n_segments"] == 1
+        assert r["scrubbed_fp"] == empty_md5
+        assert r["n_chars_kept"] == 0
+
+
+def test_per_key_cap_matches_single_window_and_enforces_cap(spark):
+    from pyspark.sql import Window
+
+    from pg2kafka_spark.operators.assembly import per_key_cap
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    # skewed: key 'hot' has 400 rows, 'cold' has 3, cap is 10
+    rows = [(i, "hot") for i in range(400)] + [
+        (1000 + i, "cold") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = per_key_cap(
+        df, key_col="source", id_col="doc_id", cap=10, n_salts=4
+    )
+    got = {(r["doc_id"], r["source"], r["key_rank"]) for r in capped.collect()}
+
+    h = portable_int_hash(F.col("doc_id"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    naive = (
+        df.withColumn("key_rank", F.row_number().over(w))
+        .filter(F.col("key_rank") <= 10)
+    )
+    want = {(r["doc_id"], r["source"], r["key_rank"]) for r in naive.collect()}
+    assert got == want
+    per_key = {}
+    for _, src, rk in got:
+        per_key.setdefault(src, []).append(rk)
+    assert sorted(per_key["hot"]) == list(range(1, 11))
+    assert sorted(per_key["cold"]) == [1, 2, 3]
