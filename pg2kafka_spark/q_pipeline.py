@@ -1834,3 +1834,64 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key_cap(
         docs, key_col="source", id_col="doc_id", cap=50
     ).select("doc_id", "source", F.col("key_rank").cast("long").alias("key_rank"))
+
+
+def _zorder_oracle(bits: int = 8, bucket_bits: int = 6) -> str:
+    from pg2kafka_spark.operators.layout import quantize_sql, z_value_sql
+
+    qd = quantize_sql("day", "dlo", "dhi", bits)
+    qk = quantize_sql("k", "klo", "khi", bits)
+    z = z_value_sql("qd", "qk", bits)
+    shift = 2 * bits - bucket_bits
+    return f"""
+    WITH base AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+               AS day,
+             CAST(l_partkey AS BIGINT) AS k
+      FROM lineitem
+    ),
+    s AS (
+      SELECT min(day) AS dlo, max(day) AS dhi,
+             min(k) AS klo, max(k) AS khi
+      FROM base
+    ),
+    q AS (
+      SELECT day, k, dlo, dhi, klo, khi,
+             {qd} AS qd, {qk} AS qk
+      FROM base, s
+    ),
+    b AS (
+      SELECT ({z} >> {shift}) AS bucket, day, k, dlo, dhi, klo, khi FROM q
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(day) AS day_lo, max(day) AS day_hi,
+           min(k) AS key_lo, max(k) AS key_hi,
+           (max(day) - min(day) + 1) / (min(dhi) - min(dlo) + 1)
+             AS day_extent_frac,
+           (max(k) - min(k) + 1) / (min(khi) - min(klo) + 1)
+             AS key_extent_frac
+    FROM b GROUP BY 1
+    """
+
+
+@query("zorder_layout_stats", oracle=_zorder_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout quality over lineitem's
+    (ship-day, partkey) plane: quantize both dims to 8 bits against
+    their global extents, interleave, split the z-space into 64
+    fixed-width buckets (deterministic stand-ins for output files),
+    and measure each bucket's min/max envelope per dimension as a
+    fraction of the global span — the multiplicative 2-D scan-pruning
+    a `ZORDER BY`-style rewrite buys at 100 TB, measured rather than
+    asserted. Integer math end to end (DECIMAL floor-div for the
+    quantizer); the oracle SQL is GENERATED from the same bit
+    constants (``operators/layout.z_value_sql``) so the engines
+    cannot drift."""
+    from pg2kafka_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir)
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    return L.zorder_bucket_stats(
+        li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
+    )

@@ -103,3 +103,54 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for name in ("ev_bucketed", "prof_bucketed"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_z_value_interleaves_bits(spark):
+    from pg2kafka_spark.operators import layout as L
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["a", "b"])
+    (z,) = df.select(
+        L.z_value(F.col("a"), F.col("b"), bits=3).alias("z")
+    ).first()
+    # a=101 -> odd positions 5,1 set (32+2); b=011 -> even positions 2,0 (4+1)
+    assert z == 32 + 2 + 4 + 1 == 39
+
+
+def test_quantize_is_bounded_and_monotone(spark):
+    from pg2kafka_spark.operators import layout as L
+
+    rows = [(v,) for v in (0, 1, 499, 500, 999, 1000)]
+    df = spark.createDataFrame(rows, ["v"])
+    out = df.select(
+        F.col("v"),
+        L.quantize(
+            F.col("v").cast("long"), F.lit(0).cast("long"),
+            F.lit(1000).cast("long"), bits=4
+        ).alias("q"),
+    ).collect()
+    qs = {r["v"]: r["q"] for r in out}
+    assert qs[0] == 0 and qs[1000] == 15
+    assert all(0 <= q <= 15 for q in qs.values())
+    vals = [qs[v] for v in (0, 1, 499, 500, 999, 1000)]
+    assert vals == sorted(vals)
+
+
+def test_zorder_buckets_cover_small_rectangles(spark, sf_dir):
+    """The point of the layout: each z-bucket's envelope spans a
+    small fraction of BOTH dimensions, so 2-D range predicates prune
+    multiplicatively. With bucket_bits=6 each bucket is the top 3
+    quantized bits per dim -> ~1/8 of each range (+1 quant cell)."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir)
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    stats = L.zorder_bucket_stats(
+        li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
+    ).collect()
+    assert len(stats) > 8
+    for r in stats:
+        assert r["day_extent_frac"] <= 0.2, r
+        assert r["key_extent_frac"] <= 0.2, r
+    # and the buckets tile the corpus: every row landed somewhere
+    assert sum(r["n_rows"] for r in stats) == li.count()
