@@ -210,3 +210,68 @@ def per_key_cap(
         .filter(F.col("key_rank") <= F.lit(int(cap)))
         .drop("__rk1")
     )
+
+
+def strict_pack_spans(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    partition_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Strict token-level sequence packing — the exact formulation
+    :func:`assign_packs` documents as its simplification: documents
+    are laid end to end per partition and EVERY pack holds exactly
+    ``budget`` tokens (except the partition's last), so a document
+    that straddles a boundary is SPLIT and emits one span row per
+    pack it touches. This is what a training dataloader actually
+    consumes: (pack, position, length) slices, not whole-doc
+    assignments.
+
+    Pure integer algebra: with ``s`` = exclusive prefix sum of
+    tokens and ``n`` = the doc's tokens, the doc covers packs
+    ``s div B .. (s+n-1) div B``; the per-pack span is the overlap of
+    ``[s, s+n)`` with ``[p*B, (p+1)*B)``. One window prefix-sum per
+    partition (the sessionization shuffle shape) + a map-only
+    bounded explode (a doc touches at most ``n div B + 2`` packs, so
+    the fan-out is ~``total_tokens / budget`` rows corpus-wide — the
+    same cardinality as the output a dataloader needs).
+
+    Emits ``pack_id`` (per partition), ``doc_id`` order column,
+    ``doc_tok_start`` (offset of the span within the document),
+    ``pack_tok_start`` (offset within the pack), and ``span_tokens``;
+    spans of one doc concatenated across packs reconstruct the doc,
+    and per-pack span sums hit exactly ``budget`` — both properties
+    are what the tests pin.
+    """
+    b = int(budget)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.col(token_col).cast("long")
+    staged = df.withColumn(
+        "__s", F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    ).filter(n > 0)
+    first_pack = F.expr(f"__s div {b}")
+    last_pack = F.expr(f"(__s + {token_col} - 1) div {b}")
+    packs = F.sequence(first_pack, last_pack)
+    e = staged.select(
+        *partition_cols,
+        order_col,
+        n.alias("__n"),
+        F.col("__s"),
+        F.explode(packs).alias("pack_id"),
+    )
+    p_lo = F.col("pack_id") * b
+    span_lo = F.greatest(F.col("__s"), p_lo)
+    span_hi = F.least(F.col("__s") + F.col("__n"), p_lo + b)
+    return e.select(
+        *partition_cols,
+        "pack_id",
+        order_col,
+        (span_lo - F.col("__s")).alias("doc_tok_start"),
+        (span_lo - p_lo).alias("pack_tok_start"),
+        (span_hi - span_lo).alias("span_tokens"),
+    )

@@ -1895,3 +1895,55 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.zorder_bucket_stats(
         li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
     )
+
+
+@query(
+    "doc_pack_spans_strict",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT source, doc_id, n,
+             CAST(coalesce(sum(n) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+      FROM d
+    ),
+    e AS (
+      SELECT source, doc_id, n, s, CAST(u.p AS BIGINT) AS pack_id
+      FROM s, unnest(range(s // 512, (s + n - 1) // 512 + 1)) AS u(p)
+      WHERE n > 0
+    )
+    SELECT source, pack_id, doc_id,
+           greatest(s, pack_id*512) - s AS doc_tok_start,
+           greatest(s, pack_id*512) - pack_id*512 AS pack_tok_start,
+           least(s + n, pack_id*512 + 512) - greatest(s, pack_id*512)
+             AS span_tokens
+    FROM e
+    """,
+)
+def doc_pack_spans_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict token-level sequence packing of documents into
+    512-token training sequences per source shard: every pack is
+    exactly full (boundary docs are split into spans), emitted as the
+    (pack, doc, offsets, length) slice table a dataloader consumes.
+    See ``operators/assembly.strict_pack_spans`` for the one-window +
+    bounded-explode scale shape. Integer algebra end to end —
+    hash-checked against the same arithmetic in DuckDB."""
+    from pg2kafka_spark.operators.assembly import strict_pack_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "source", "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return strict_pack_spans(
+        d,
+        token_col="n_tokens",
+        order_col="doc_id",
+        partition_cols=["source"],
+        budget=512,
+    )

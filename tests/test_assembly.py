@@ -144,3 +144,48 @@ def test_train_val_test_split_bands_and_determinism(spark):
     again = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
     first = {r["doc_id"]: r["split"] for r in out.collect()}
     assert first == again
+
+
+def test_strict_pack_spans_reconstruct_and_fill(spark):
+    from pg2kafka_spark.operators.assembly import strict_pack_spans
+
+    rows = [
+        ("a", 1, 3),
+        ("a", 2, 10),  # straddles: fills pack 0 (5 left? see budget)
+        ("a", 3, 2),
+        ("b", 7, 4),
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+    out = strict_pack_spans(
+        df, token_col="n_tokens", order_col="doc_id",
+        partition_cols=["source"], budget=8,
+    ).collect()
+    # spans per doc sum to the doc's tokens, contiguous from 0
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r["pack_id"])
+        n = [x[2] for x in rows if x[1] == doc_id][0]
+        assert sum(s["span_tokens"] for s in spans) == n
+        assert spans[0]["doc_tok_start"] == 0
+        for prev, cur in zip(spans, spans[1:]):
+            assert (
+                prev["doc_tok_start"] + prev["span_tokens"]
+                == cur["doc_tok_start"]
+            )
+    # every pack except each partition's last is exactly full
+    by_pack = {}
+    for r in out:
+        key = (r["source"], r["pack_id"])
+        by_pack[key] = by_pack.get(key, 0) + r["span_tokens"]
+    for src in {s for s, _ in by_pack}:
+        packs = sorted(p for s, p in by_pack if s == src)
+        for p in packs[:-1]:
+            assert by_pack[(src, p)] == 8, (src, p, by_pack)
+    # doc 2 (10 tokens after 3) spans packs 0 and 1 of source a
+    assert [r["pack_id"] for r in sorted(by_doc[2], key=lambda r: r["pack_id"])] == [0, 1]
+    # pack-relative offsets are consistent: start + preceding spans align
+    for r in out:
+        assert 0 <= r["pack_tok_start"] < 8
+        assert r["pack_tok_start"] + r["span_tokens"] <= 8
