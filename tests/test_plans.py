@@ -227,3 +227,39 @@ def test_count_min_counter_table_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_segment_scrub_broadcasts_dup_set_and_never_sorts_corpus(spark, sf_dir):
+    p = plan_of(spark, "doc_segment_scrub", sf_dir)
+    # the boilerplate dup-set is the small side of the mark join
+    assert "BroadcastHashJoin" in p
+    # reassembly is an aggregation (array_sort over collected structs),
+    # never a corpus-wide Sort/Window
+    assert "Window" not in p
+    assert " Sort (" not in p
+
+
+def test_source_cap_is_two_phase_window(spark, sf_dir):
+    p = plan_of(spark, "source_capped_sample", sf_dir)
+    # phase 1 partitions by (source, salt), phase 2 by source alone:
+    # two Window nodes, two exchanges — the hot-domain spread
+    assert p.count("Window") >= 2
+    assert p.count(" Exchange (") == 2
+
+
+def test_zorder_stats_single_bucket_exchange(spark, sf_dir):
+    p = plan_of(spark, "zorder_layout_stats", sf_dir)
+    # 1-row global stats broadcast back; the only data shuffles are the
+    # single-partition stats reduction and the 64-key bucket agg
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count(" Exchange (") == 2
+    # both scans read just the two layout dims
+    assert "l_comment" not in p and "l_extendedprice" not in p
+
+
+def test_strict_packing_no_global_sort(spark, sf_dir):
+    p = plan_of(spark, "doc_pack_spans_strict", sf_dir)
+    # one per-shard window prefix sum + bounded explode; the only
+    # exchange feeds the window partitioning
+    assert p.count(" Exchange (") == 1
+    assert "Generate" in p  # the bounded pack explode

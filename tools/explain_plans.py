@@ -239,6 +239,38 @@ COMMENTARY = {
         "rows. The chunker a 100 TB pretokenization pass wants: "
         "partition-preserving, no driver involvement."
     ),
+    "doc_segment_scrub": (
+        "Corpus-wide duplicated-segment removal (line-dedup analog): "
+        "segmentation is map-only in the scan (non-overlapping windows, "
+        "1× expansion); the dup-set groupBy keys on md5 (uniform, "
+        "skew-proof however hot the boilerplate); the mark join is "
+        "left unhinted so AQE broadcasts the (small) boilerplate tail; "
+        "reassembly is one exchange on the unique doc id with an "
+        "order-restoring array_sort — no window over the corpus."
+    ),
+    "source_capped_sample": (
+        "Per-domain cap as the exact salted two-phase top-cap: phase 1 "
+        "ranks inside (domain, salt) so a hot domain spreads over 32 "
+        "tasks; phase 2 re-ranks ≤ cap·salts survivors per domain — "
+        "the second `Window` sees KB, not the corpus. A naive single "
+        "window would sort the whole hot domain in one task."
+    ),
+    "zorder_layout_stats": (
+        "Z-order layout quality: two column-pruned scans (only the two "
+        "layout dims leave the reader), a 1-row min/max reduction "
+        "broadcast back (`BroadcastNestedLoopJoin` on a single row), "
+        "the Morton interleave constant-folded into the scan-stage "
+        "projection, and ONE exchange on the 64-key bucket id with "
+        "map-side partials. The measurement costs two scans; the "
+        "layout it certifies prunes every later 2-D range scan."
+    ),
+    "doc_pack_spans_strict": (
+        "Strict packing: one window prefix-sum per source shard (the "
+        "sessionization shuffle shape), then a map-only bounded "
+        "explode (fan-out = total_tokens/512 rows). No global sort, "
+        "no driver loop — the slice table streams out of the shuffle "
+        "stage."
+    ),
 }
 
 
