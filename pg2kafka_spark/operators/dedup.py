@@ -961,15 +961,7 @@ def minhash_signatures_portable(
     Docs shorter than the shingle width yield no rows (same rule as
     ``shingle_jaccard_pairs``).
     """
-    from pg2kafka_spark.operators.text import normalized_text
-
-    n = 3
-    staged = (
-        _spread(df.select(id_col, text_col))
-        .filter(F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n)
-        .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
-        .select(id_col, shingle_hashes_from_pairs(F.col("__hp"), n).alias("__sh"))
-    )
+    staged = _portable_sig_stage(df, text_col, id_col)
     mod = F.lit(PORTABLE_MINHASH_MOD)
 
     def _min_i(i: Column) -> Column:
@@ -983,6 +975,75 @@ def minhash_signatures_portable(
     return (
         staged.select(id_col, F.posexplode(sig).alias("i", "minhash"))
         .select(id_col, F.col("i").cast("long"), "minhash")
+    )
+
+
+def _portable_sig_stage(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __sh) staged frame — the shared front of the portable
+    minhash kernel: short-doc filter at the scan, the O(doc_chars)
+    char fold staged once as ``__hp``, shingle hashes as ``__sh``.
+    Consumers put their min-fold expressions directly under a
+    Generate (posexplode) so CollapseProject cannot re-inline the
+    staged fold — the plan property tests/test_plans.py pins."""
+    from pg2kafka_spark.operators.text import normalized_text
+
+    return (
+        _spread(df.select(id_col, text_col))
+        .filter(F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n)
+        .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
+        .select(id_col, shingle_hashes_from_pairs(F.col("__hp"), n).alias("__sh"))
+    )
+
+
+def portable_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """LSH band keys from the PORTABLE minhash family: the k-element
+    signature split into ``k // band_rows`` bands, each rendered as a
+    comma-joined string key — (id, band, bkey) rows. Same banding
+    rule as the xxhash discovery path (``minhash_lsh_pairs``) but
+    engine-portable, so band membership — and therefore the candidate
+    set of any join over it — is exactly reproducible in SQL.
+
+    Map-only. The band keys are unrolled in PYTHON (each of the k
+    min-folds appears exactly once across the band expressions, built
+    from literal hash constants) rather than as nested runtime
+    ``transform`` lambdas — an outer HOF would re-evaluate the whole
+    k-fold signature per band, the same interpreted-HOF quadratic the
+    ``__hp`` staging exists to prevent.
+    """
+    staged = _portable_sig_stage(df, text_col, id_col)
+    mod = PORTABLE_MINHASH_MOD
+
+    def _min_i(i: int) -> Column:
+        a = F.lit(2 * i + 1)
+        b = F.lit((i * PORTABLE_MINHASH_SALT) % mod)
+        return F.array_min(
+            F.transform(
+                F.col("__sh"), lambda x: F.pmod(a * x + b, F.lit(mod))
+            )
+        )
+
+    nb = k // band_rows
+    band_exprs = [
+        F.concat_ws(
+            ",",
+            *[
+                _min_i(j * band_rows + r).cast("string")
+                for r in range(band_rows)
+            ],
+        )
+        for j in range(nb)
+    ]
+    return (
+        staged.select(id_col, F.posexplode(F.array(*band_exprs)).alias("band", "bkey"))
+        .select(id_col, F.col("band").cast("long"), "bkey")
     )
 
 
@@ -1128,4 +1189,76 @@ def duplicated_segment_scrub(
         F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
         F.md5(kept_text).alias("scrubbed_fp"),
         F.length(kept_text).cast("long").alias("n_chars_kept"),
+    )
+
+
+def incremental_near_dup(
+    store: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 8,
+    band_rows: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Daily-ingest NEAR-dup discovery: find incoming-batch documents
+    that are near-duplicates of the already-ingested corpus — the
+    fuzzy sibling of :func:`incremental_exact_dedup` (which only
+    catches byte-identical rewrites). Emits
+    (batch_id, store_id, common, n_batch, n_store, jaccard) for every
+    candidate pair whose exact shingle-Jaccard clears ``threshold``.
+
+    Pipeline: portable-minhash band keys on BOTH sides → band-key
+    equality join (batch side is one day's data; the store side at
+    100 TB is the MAINTAINED band-key table, bucketed by (band, bkey),
+    so the join co-locates and only the day's keys shuffle) → distinct
+    candidate pairs → exact Jaccard verification restricted to the
+    candidates (the quadratic step pays only for LSH survivors).
+
+    Built on the PORTABLE hash family end to end, so the whole
+    discovery+verification composition — including LSH recall
+    behavior — is reproducible in SQL and hash-checked, not just
+    rows-counted like the xxhash discovery path.
+    """
+    bs = portable_band_keys(store, text_col, id_col, k, band_rows).select(
+        F.col(id_col).alias("store_id"), "band", "bkey"
+    )
+    bb = portable_band_keys(batch, text_col, id_col, k, band_rows).select(
+        F.col(id_col).alias("batch_id"), "band", "bkey"
+    )
+    cand = (
+        bb.join(bs, ["band", "bkey"]).select("batch_id", "store_id").distinct()
+    )
+
+    shb = shingle_sets(batch, text_col, id_col, n).select(
+        F.col(id_col).alias("batch_id"), "shingle"
+    )
+    shs = shingle_sets(store, text_col, id_col, n).select(
+        F.col(id_col).alias("store_id"), "shingle"
+    )
+    sizes_b = shb.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_batch"))
+    sizes_s = shs.groupBy("store_id").agg(F.count(F.lit(1)).alias("n_store"))
+
+    common = (
+        cand.join(shb, "batch_id")
+        .join(shs, ["store_id", "shingle"])
+        .groupBy("batch_id", "store_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (
+        F.col("n_batch") + F.col("n_store") - F.col("common")
+    )
+    return (
+        common.join(sizes_b, "batch_id")
+        .join(sizes_s, "store_id")
+        .select(
+            "batch_id",
+            "store_id",
+            "common",
+            "n_batch",
+            "n_store",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
     )

@@ -1947,3 +1947,89 @@ def doc_pack_spans_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["source"],
         budget=512,
     )
+
+
+def _incr_near_dup_oracle(
+    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5
+) -> str:
+    from pg2kafka_spark.operators.dedup import (
+        PORTABLE_MINHASH_MOD as MOD,
+        PORTABLE_MINHASH_SALT as SALT,
+    )
+
+    roll = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(list_filter(string_split_regex(s, ''), x -> x <> ''),"
+        " x -> CAST(ord(x) AS BIGINT))),"
+        f" (a, b) -> (a * 131 + b) % {MOD})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    sh3 AS (
+      SELECT doc_id,
+             list_transform(range(1, length(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]) AS shs
+      FROM t WHERE length(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(shs, s -> {roll}) AS xs FROM sh3
+    ),
+    mh AS (
+      SELECT doc_id, u.i AS i,
+             list_min(list_transform(xs,
+               x -> ((2*u.i+1)*x + (u.i*{SALT}) % {MOD}) % {MOD})) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(range({k})) AS i) u
+    ),
+    bands AS (
+      SELECT doc_id, i // {band_rows} AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id
+      FROM bands b JOIN bands s ON b.band = s.band AND b.bkey = s.bkey
+      WHERE b.doc_id >= {split} AND s.doc_id < {split}
+    ),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    shd AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+    com AS (
+      SELECT c.batch_id, c.store_id, count(*) AS common
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.batch_id
+      JOIN shd b2 ON b2.doc_id = c.store_id AND b2.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT batch_id, store_id, common, sb.n AS n_batch, ss.n AS n_store,
+           common * 1.0 / (sb.n + ss.n - common) AS jaccard
+    FROM com
+    JOIN sizes sb ON sb.doc_id = batch_id
+    JOIN sizes ss ON ss.doc_id = store_id
+    WHERE common * 1.0 / (sb.n + ss.n - common) >= {threshold}
+    """
+
+
+@query("incremental_near_dup_batch", oracle=_incr_near_dup_oracle())
+def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest NEAR-dup discovery (fuzzy sibling of
+    ``incremental_dedup_batch``): docs with id < 250 are the
+    maintained corpus, the rest the incoming batch; portable-minhash
+    LSH bands join batch keys against the store's band-key table and
+    exact shingle-Jaccard >= 0.5 verifies the survivors. The entire
+    composition — signature math, banding, candidate recall, and
+    verification — is hash-checked against the same arithmetic in
+    DuckDB (``operators/dedup.incremental_near_dup``)."""
+    docs = load_table(spark, "documents", sf_dir)
+    store = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return D.incremental_near_dup(store, batch, threshold=0.5)

@@ -876,3 +876,30 @@ def test_per_key_cap_matches_single_window_and_enforces_cap(spark):
         per_key.setdefault(src, []).append(rk)
     assert sorted(per_key["hot"]) == list(range(1, 11))
     assert sorted(per_key["cold"]) == [1, 2, 3]
+
+
+def test_incremental_near_dup_finds_planted_neighbor_only(spark):
+    from pg2kafka_spark.operators.dedup import incremental_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store = spark.createDataFrame(
+        [(1, base), (2, "completely different words with no overlap at all")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of store doc 1: one token changed
+            (10, base.replace("kappa", "lambda")),
+            # unrelated
+            (11, "unrelated payload of fresh tokens nobody has seen"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = incremental_near_dup(store, batch, threshold=0.3).collect()
+    assert [(r["batch_id"], r["store_id"]) for r in got] == [(10, 1)]
+    (row,) = got
+    # 8 shingles each, 7 common -> jaccard 7/9
+    assert row["common"] == 7
+    assert abs(row["jaccard"] - 7 / 9) < 1e-12
+    # direction is store<-batch only: batch-batch/store-store never emitted
+    assert all(r["batch_id"] >= 10 and r["store_id"] < 10 for r in got)
