@@ -830,6 +830,32 @@ def shingle_rolling_hashes(text: Column, n: int = 3) -> Column:
     return shingle_hashes_from_pairs(token_hash_pairs(text), n)
 
 
+def _gram_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, __g) — one row per distinct token-``n``-gram rolling hash
+    per document, with the O(doc_chars) ``token_hash_pairs`` fold
+    staged as its own ``__hp`` projection. The staging is the
+    difference between linear and ``(2n+1)×``-linear: interpreted
+    HOFs re-evaluate outer-captured expressions with no CSE, and
+    ``shingle_hashes_from_pairs`` references its input ~2n+1 times —
+    at n=8 the inline spelling re-runs the char fold 17× per row
+    (measured 10.7 s → 4 s for ``doc_duplicate_ngrams`` at sf0.1).
+    CollapseProject keeps the stage because ``__hp`` is non-cheap and
+    multiply-referenced — the same pinned property as
+    ``minhash_signatures_portable``."""
+    return (
+        _spread(df.select(id_col, text_col))
+        .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(shingle_hashes_from_pairs(F.col("__hp"), n))
+            ).alias("__g"),
+        )
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -853,20 +879,8 @@ def contamination_hits(
     id keys. The corpus never self-joins and the eval set is hashed
     once.
     """
-    d = _spread(docs.select(id_col, text_col)).select(
-        id_col,
-        F.explode(
-            F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
-        ).alias("__g"),
-    )
-    e = (
-        eval_docs.select(
-            F.explode(
-                F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
-            ).alias("__g")
-        )
-        .distinct()
-    )
+    d = _gram_hash_rows(docs, text_col, id_col, n)
+    e = _gram_hash_rows(eval_docs, text_col, id_col, n).select("__g").distinct()
     return (
         d.join(F.broadcast(e), "__g")
         .groupBy(id_col)
@@ -903,12 +917,11 @@ def duplicate_ngram_stats(
     to single (gram) rows, so AQE's skew-join split handles any
     residual hot gram. Two uniform-key shuffles + one per-doc count.
     """
-    g = _spread(docs.select(id_col, text_col)).select(
-        id_col,
-        F.explode(
-            F.array_distinct(shingle_rolling_hashes(F.col(text_col), n))
-        ).alias("__g"),
-    )
+    # consumed three times (dup-gram counts + per-doc sizes + the
+    # join-back) — persist, or the O(doc_chars) token fold and the
+    # gram explode re-run per consumer (same discipline as
+    # ``jaccard_pairs``; measured 5.3 s → ~2 s at sf0.1).
+    g = _persist(_gram_hash_rows(docs, text_col, id_col, n))
     dupg = (
         g.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__nd"))  # rows are (gram, doc)-distinct
