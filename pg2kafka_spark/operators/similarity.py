@@ -375,6 +375,14 @@ def quantized_topk(
     brute-force-topk plan (queries broadcast, WindowGroupLimit).
     Compose with IVF cells for the standard IVF+SQ8 index when N
     demands it.
+
+    Cost note: encode/dequant/stats are UNROLLED 64-wide expressions
+    on purpose — unrolled arrays run inside whole-stage codegen while
+    ``zip_with``/``transform`` lambdas are interpreted-only, so per
+    ROW the unrolled form is ~10× cheaper. The price is one-time
+    analysis/Janino compilation of the ~1500-node trees (~2 s), which
+    dominates the small-SF bench row but amortizes to nothing on a
+    real corpus — the fixed cost is per PLAN, the saving per row.
     """
     stats = quantization_stats(corpus, dim, vec_col)
     c = (
