@@ -32,6 +32,11 @@ HEADLINE = {
     "embedding_near_dup_pairs": "embeddings",
     "user_event_rollup_salted": "events",
     "multimodal_features_real": "documents",
+    "doc_segment_scrub": "documents",
+    "doc_duplicate_ngrams": "documents",
+    "incremental_near_dup_batch": "documents",
+    "zorder_layout_stats": "lineitem",
+    "doc_pack_spans_strict": "documents",
 }
 
 
