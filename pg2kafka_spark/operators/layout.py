@@ -87,9 +87,12 @@ def zorder_repartition(
     BOUNDARIES only, never row content; all correctness-checked
     consumers use the deterministic fixed-width bucketing of
     :func:`zorder_bucket_stats` instead."""
-    return df.repartitionByRange(
-        num_partitions, z_col.alias("__z")
-    ).sortWithinPartitions("__z")
+    return (
+        df.withColumn("__z", z_col)
+        .repartitionByRange(num_partitions, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
 
 
 def zorder_bucket_stats(

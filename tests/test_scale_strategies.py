@@ -154,3 +154,69 @@ def test_zorder_buckets_cover_small_rectangles(spark, sf_dir):
         assert r["key_extent_frac"] <= 0.2, r
     # and the buckets tile the corpus: every row landed somewhere
     assert sum(r["n_rows"] for r in stats) == li.count()
+
+
+def test_zorder_write_produces_tight_file_envelopes(spark, sf_dir, tmp_path):
+    """End-to-end layout proof: range-partition+sort on the z-value,
+    WRITE parquet, and read the per-file min/max envelopes back from
+    the actual footers (what a scan planner prunes on). Each file's
+    envelope must cover a small fraction of BOTH dimensions — vs ~1.0
+    for the unsorted layout."""
+    import pyarrow.parquet as pq
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.col("l_partkey").cast("long").alias("key"),
+    )
+    lo_d, hi_d, lo_k, hi_k = li.agg(
+        F.min("day"), F.max("day"), F.min("key"), F.max("key")
+    ).first()
+    qd = L.quantize(F.col("day"), F.lit(lo_d), F.lit(hi_d), 8)
+    qk = L.quantize(F.col("key"), F.lit(lo_k), F.lit(hi_k), 8)
+    z = L.z_value(qd, qk, 8)
+
+    out = str(tmp_path / "zorder")
+    L.zorder_repartition(li, z, num_partitions=16).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    import glob
+
+    day_span = hi_d - lo_d + 1
+    key_span = hi_k - lo_k + 1
+    fracs = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        d_lo = k_lo = None
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            cols = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            s_d, s_k = cols["day"], cols["key"]
+            d_lo = s_d.min if d_lo is None else min(d_lo, s_d.min)
+            k_lo = s_k.min if k_lo is None else min(k_lo, s_k.min)
+            d_hi = s_d.max if rg == 0 else max(d_hi, s_d.max)
+            k_hi = s_k.max if rg == 0 else max(k_hi, s_k.max)
+        if d_lo is None:
+            continue
+        fracs.append(
+            (
+                (d_hi - d_lo + 1) / day_span,
+                (k_hi - k_lo + 1) / key_span,
+            )
+        )
+    assert len(fracs) >= 8
+    mean_d = sum(f[0] for f in fracs) / len(fracs)
+    mean_k = sum(f[1] for f in fracs) / len(fracs)
+    # 16 z-contiguous files over an 8-bit x 8-bit plane: each should
+    # cover well under half of each dimension (exact widths depend on
+    # the sampled range boundaries; unsorted layout gives ~1.0)
+    assert mean_d < 0.5, (mean_d, fracs)
+    assert mean_k < 0.5, (mean_k, fracs)

@@ -451,3 +451,44 @@ def test_crash_between_sink_write_and_commit_redelivers_then_converges(
     rows = spark.table("crash_dedup_out").collect()
     assert len(rows) == 5
     assert len({r.uuid for r in rows}) == 5
+
+
+def test_quality_gate_composes_unchanged_into_a_stream(spark, tmp_path):
+    """The map-only pipeline gates (quality features, language ID,
+    PII scrub) are plain column expressions, so the SAME operator
+    composes into readStream with zero changes — the property that
+    lets one codebase serve both the 100 TB backfill and the
+    streaming ingest path. Stream-vs-batch row parity pins it."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.text import (
+        predict_language,
+        redact_pii,
+        with_quality_features,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    def gate(df):
+        return (
+            with_quality_features(df)
+            .withColumn("lang_pred", predict_language(F.col("text")))
+            .withColumn("clean_text", redact_pii(F.col("text")))
+            .filter((F.col("n_tokens") >= 10) & (F.col("ttr") >= 0.2))
+            .select("doc_id", "n_tokens", "ttr", "lang_pred", "clean_text")
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        gate(stream)
+        .writeStream.queryName("doc_gate_stream")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from doc_gate_stream")
+    want = gate(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
