@@ -849,3 +849,84 @@ def embedding_near_dup_lsh(
     # a pair found by several tables has the same rounded cosine in
     # each — one aggregate dedups exactly
     return out.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    train_iters: int = 2,
+) -> DataFrame:
+    """IVF + SQ8 — the composed index every large-vector deployment
+    actually runs (FAISS ``IVFx,SQ8``): the coarse quantizer (portable
+    k-means) routes queries to ``n_probe`` inverted lists, and within
+    the probed lists the corpus is scored from its int8 codes
+    (asymmetric ADC: the QUERY stays full-precision, the corpus side
+    is dequantized — the standard accuracy/memory trade). This closes
+    the composition :func:`quantized_topk` promises: at 10⁹ vectors
+    the index holds 1 byte/dim per vector in cid-partitioned lists
+    and scans ``n_probe/n_centroids`` of them per query.
+
+    Every stage is the already-oracle-checked formulation — k-means
+    training, 6-dp-rounded assignment, min/max quantization stats,
+    exact-integer codes, exact-IEEE dequantization — so the COMPOSED
+    index is fully hash-checkable too (no seeds anywhere).
+
+    Scale shape: centroid table and 1-row quant stats broadcast; the
+    encode and the assignment are one fused map-only pass over the
+    corpus; the probe join is an equality join on cid. Same single
+    cid exchange as :func:`ivf_topk`, plus zero extra shuffles for
+    the quantization.
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, train_iters, dim, id_col, vec_col
+    )
+    stats = quantization_stats(corpus, dim, vec_col)
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col)
+    coded = (
+        cells.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col), "cid", _quantize_expr("__cv", dim).alias("__q"),
+            "mns", "steps",
+        )
+        .select(F.col(id_col), "cid", _dequantize_expr("__q", dim).alias("__de"))
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("probe_sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            "__qv",
+            "cid",
+            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
+        )
+        .withColumn("__prn", F.row_number().over(probe_w))
+        .filter(F.col("__prn") <= n_probe)
+        .select(query_id_col, "__qv", "cid")
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        coded.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("adc_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

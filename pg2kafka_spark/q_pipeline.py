@@ -2033,3 +2033,80 @@ def incremental_near_dup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = docs.filter(F.col("doc_id") < 250)
     batch = docs.filter(F.col("doc_id") >= 250)
     return D.incremental_near_dup(store, batch, threshold=0.5)
+
+
+@query(
+    "embedding_ann_ivf_sq8",
+    oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes()
+    + """
+    ,
+    asg AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT d.vec_id, d.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    dims AS (
+      SELECT i, min(e[i]) AS mn, (max(e[i]) - min(e[i])) / 255 AS step
+      FROM d CROSS JOIN range(1, 65) r(i)
+      GROUP BY i
+    ),
+    qstats AS (SELECT list(mn ORDER BY i) AS mns, list(step ORDER BY i) AS steps
+               FROM dims),
+    dq AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN steps[i] = 0 THEN mns[i]
+                    ELSE mns[i] + round((e[i] - mns[i]) / steps[i]) * steps[i]
+               END) AS de
+      FROM d CROSS JOIN qstats
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(q.qe, c.ce)
+                   / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS prn
+        FROM q CROSS JOIN cents c
+      ) WHERE prn <= 2
+    )
+    SELECT query_id, vec_id, adc_sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qe, x.de)
+               / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(x.de, x.de)), 6) AS adc_sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_inner_product(p.qe, x.de)
+                 / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(x.de, x.de)), 6) DESC,
+                 a.vec_id ASC) AS rank
+      FROM probes p JOIN asg a USING (cid) JOIN dq x ON x.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production index — IVF coarse quantizer over SQ8
+    codes (FAISS ``IVF8,SQ8`` shape): k-means routes each query to
+    its 2 nearest inverted lists; within them the corpus is scored
+    from int8 codes via asymmetric ADC (query full-precision, corpus
+    dequantized). Every stage reuses the already-oracle-checked
+    formulations, so the whole index — training, routing,
+    quantization, ranking — hash-matches DuckDB with no seeds.
+    See ``operators/similarity.ivf_sq8_topk``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_sq8_topk(emb, queries, k=3, n_centroids=8, n_probe=2).select(
+        "query_id", "vec_id", "adc_sim", F.col("rank").cast("long").alias("rank")
+    )

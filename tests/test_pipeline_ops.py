@@ -903,3 +903,28 @@ def test_incremental_near_dup_finds_planted_neighbor_only(spark):
     assert abs(row["jaccard"] - 7 / 9) < 1e-12
     # direction is store<-batch only: batch-batch/store-store never emitted
     assert all(r["batch_id"] >= 10 and r["store_id"] < 10 for r in got)
+
+
+def test_ivf_sq8_tracks_raw_ivf_ranking(spark, sf_dir):
+    """Same routing as raw IVF; scores differ only by int8
+    quantization error, so the top-3 per query should be nearly
+    identical on a 64-dim corpus (255-step grid -> ulp-scale
+    perturbation relative to the ranking gaps)."""
+    from pg2kafka_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    raw = S.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    sq8 = S.ivf_sq8_topk(emb, queries, k=3, n_centroids=8, n_probe=2).collect()
+    by_q_raw, by_q_sq8 = {}, {}
+    for r in raw:
+        by_q_raw.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in sq8:
+        by_q_sq8.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q_raw) == set(by_q_sq8)
+    for qid in by_q_raw:
+        assert len(by_q_raw[qid] & by_q_sq8[qid]) >= 2, (
+            qid, by_q_raw[qid], by_q_sq8[qid],
+        )
