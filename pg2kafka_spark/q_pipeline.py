@@ -2110,3 +2110,134 @@ def embedding_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_sq8_topk(emb, queries, k=3, n_centroids=8, n_probe=2).select(
         "query_id", "vec_id", "adc_sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+def _daily_ingest_oracle(
+    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5
+) -> str:
+    from pg2kafka_spark.operators.dedup import (
+        PORTABLE_MINHASH_MOD as MOD,
+        PORTABLE_MINHASH_SALT as SALT,
+    )
+
+    roll = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(list_filter(string_split_regex(s, ''), x -> x <> ''),"
+        " x -> CAST(ord(x) AS BIGINT))),"
+        f" (a, b) -> (a * 131 + b) % {MOD})"
+    )
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE doc_id >= {split}
+        AND len(string_split(text, ' ')) >= 30
+        AND len(list_distinct(string_split(text, ' ')))
+              * 1.0 / len(string_split(text, ' ')) >= 0.3
+    ),
+    batch_exact AS (
+      SELECT doc_id, text, fp, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1
+    ),
+    store_fp AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM documents WHERE doc_id < {split}
+    ),
+    fresh AS (
+      SELECT b.doc_id, b.text, b.n_tokens FROM batch_exact b
+      WHERE b.fp NOT IN (SELECT fp FROM store_fp)
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    sh3 AS (
+      SELECT doc_id,
+             list_transform(range(1, length(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]) AS shs
+      FROM t WHERE length(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(shs, s -> {roll}) AS xs FROM sh3
+    ),
+    mh AS (
+      SELECT doc_id, u.i AS i,
+             list_min(list_transform(xs,
+               x -> ((2*u.i+1)*x + (u.i*{SALT}) % {MOD}) % {MOD})) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(range({k})) AS i) u
+    ),
+    bands AS (
+      SELECT doc_id, i // {band_rows} AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id
+      FROM bands b JOIN bands s ON b.band = s.band AND b.bkey = s.bkey
+      WHERE b.doc_id IN (SELECT doc_id FROM fresh) AND s.doc_id < {split}
+    ),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    shd AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      FROM t2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+    com AS (
+      SELECT c.batch_id, c.store_id, count(*) AS common
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.batch_id
+      JOIN shd b2 ON b2.doc_id = c.store_id AND b2.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT batch_id FROM com
+      JOIN sizes sb ON sb.doc_id = batch_id
+      JOIN sizes ss ON ss.doc_id = store_id
+      WHERE common * 1.0 / (sb.n + ss.n - common) >= {threshold}
+    )
+    SELECT doc_id AS keep_doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM fresh WHERE doc_id NOT IN (SELECT batch_id FROM near)
+    """
+
+
+@query("daily_ingest_keep_list", oracle=_daily_ingest_oracle())
+def daily_ingest_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY job, end to end (the incremental twin of
+    ``training_corpus_assembly``'s backfill): incoming batch
+    (doc_id >= 250) → quality gates (>=30 tokens, ttr >= 0.3) →
+    exact dedup within the batch → anti-join the maintained corpus
+    fingerprint store → portable-LSH near-dup discovery vs the store
+    with exact-Jaccard verification (>= 0.5) → final keep list. One
+    oracle hash-checks the entire composition, including which docs
+    each pruning stage removed. Shuffle budget: the gates are
+    map-only, each dedup stage is one uniform-key shuffle or an
+    anti-join against a (bucketed-at-scale) store table, and the
+    near-dup stage is the band-key equality join — no stage exceeds
+    the shapes of its standalone operator."""
+    docs = load_table(spark, "documents", sf_dir)
+    store = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    gated = batch.filter(
+        (n_tok >= 30) & (X.unique_token_count(t) * 1.0 / n_tok >= 0.3)
+    )
+    store_fps = store.select(X.fingerprint(t).alias("fp")).distinct()
+    fresh = D.incremental_exact_dedup(gated, store_fps)
+    near = (
+        D.incremental_near_dup(store, fresh, threshold=0.5)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    return fresh.join(near, "doc_id", "left_anti").select(
+        F.col("doc_id").alias("keep_doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+    )

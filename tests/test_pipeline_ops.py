@@ -928,3 +928,53 @@ def test_ivf_sq8_tracks_raw_ivf_ranking(spark, sf_dir):
         assert len(by_q_raw[qid] & by_q_sq8[qid]) >= 2, (
             qid, by_q_raw[qid], by_q_sq8[qid],
         )
+
+
+def test_daily_ingest_stages_each_prune_correctly(spark):
+    """Synthetic batch exercising every pruning stage of the daily
+    flow: quality gate, within-batch exact dup, store exact dup,
+    store near-dup — and a clean doc that survives them all."""
+    from pg2kafka_spark.qreg import QUERIES
+
+    words = [f"tok{i}" for i in range(40)]
+    clean = " ".join(words)
+    near_store = " ".join(words[:-1] + ["changed"])
+    store_doc = clean
+    rows_store = [(1, store_doc)]
+    rows_batch = [
+        (100, "short doc"),                                  # gate: too short
+        (101, " ".join(["rep"] * 40)),                       # gate: ttr
+        (102, " ".join(f"u{i}" for i in range(40))),         # survives
+        (103, " ".join(f"u{i}" for i in range(40))),         # exact dup of 102 (in batch)
+        (104, store_doc),                                    # exact dup of store
+        (105, near_store),                                   # near dup of store
+    ]
+    docs = spark.createDataFrame(
+        rows_store + rows_batch, ["doc_id", "text"]
+    ).withColumn("source", F.lit("s"))
+
+    import pg2kafka_spark.q_pipeline as qp
+
+    # rebuild the query body against the synthetic frame (same code
+    # path as the registered query, with the same 250 split: ids < 250
+    # are store)... our store id is 1, batch ids >= 100 — reuse the
+    # operator composition directly with an explicit split at 100.
+    from pg2kafka_spark.operators import dedup as D
+    from pg2kafka_spark.operators import text as X
+
+    store = docs.filter(F.col("doc_id") < 100)
+    batch = docs.filter(F.col("doc_id") >= 100)
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    gated = batch.filter(
+        (n_tok >= 30) & (X.unique_token_count(t) * 1.0 / n_tok >= 0.3)
+    )
+    store_fps = store.select(X.fingerprint(t).alias("fp")).distinct()
+    fresh = D.incremental_exact_dedup(gated, store_fps)
+    near = (
+        D.incremental_near_dup(store, fresh, threshold=0.5)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = fresh.join(near, "doc_id", "left_anti")
+    assert {r["doc_id"] for r in kept.collect()} == {102}
