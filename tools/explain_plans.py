@@ -271,6 +271,23 @@ COMMENTARY = {
         "no driver loop — the slice table streams out of the shuffle "
         "stage."
     ),
+    "embedding_ann_ivf_sq8": (
+        "The composed production index (IVF8,SQ8): centroid table and "
+        "1-row quant stats both broadcast, encode+assignment fused "
+        "into one map-only corpus pass, probe join on cid. Same "
+        "single-exchange skeleton as raw IVF — the quantization adds "
+        "ZERO shuffles, it only shrinks what a real deployment stores "
+        "per list to 1 byte/dim."
+    ),
+    "daily_ingest_keep_list": (
+        "The daily incremental job end to end. Each stage keeps its "
+        "standalone shape: map-only gates in the scan, one uniform "
+        "fp-key window for batch dedup, LEFT ANTI against the (at "
+        "scale, fp-bucketed) store, band-key equality join for "
+        "near-dup discovery, Jaccard verify restricted to LSH "
+        "survivors. Stages compose in pruning order so each shuffle "
+        "sees less than the last."
+    ),
 }
 
 
