@@ -930,3 +930,128 @@ def ivf_sq8_topk(
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous ``sub_dim``-dim subspaces and each gets its own
+    :func:`kmeans_centroids` codebook (portable spherical k-means —
+    same seeding, rounding, and DECIMAL-mean discipline, so the
+    training is oracle-checkable per subspace). Returns
+    ``(m, cid, __ce)`` — ``m * n_codes`` rows, broadcastable at any
+    corpus size (the whole point of PQ: the index stores
+    ``m * log2(n_codes)`` bits per vector).
+    """
+    all_cents = None
+    for mi in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(
+                as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
+            ).alias("__sv"),
+        )
+        cents = kmeans_centroids(
+            sub, n_codes, iters, sub_dim, id_col, "__sv"
+        ).select(F.lit(mi).alias("m"), "cid", "__ce")
+        all_cents = cents if all_cents is None else all_cents.unionByName(cents)
+    from pg2kafka_spark.operators.dedup import _persist
+
+    return _persist(all_cents)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization top-k (Jégou et al., TPAMI'11; FAISS
+    ``PQ8`` shape): each vector is coded as ``m`` codebook ids (here
+    8×3 bits — a real deployment uses 8 bits/subspace; the shape is
+    identical), reconstructed as the concatenation of its per-subspace
+    centroids, and scored by asymmetric ADC — the query stays
+    full-precision against the reconstruction the compressed index
+    can know. Completes the ANN family: brute force (exact), LSH
+    (seeded buckets), IVF (routing), SQ8 (scalar codes), IVF+SQ8, and
+    now PQ (trained vector codes) — and like SQ8/IVF it is seedless,
+    so the ENTIRE index, per-subspace training included, hash-checks
+    against SQL.
+
+    Scale shape: training touches the corpus ``m * iters`` times on
+    ``sub_dim``-wide slices (column-pruned; use kmeans'
+    ``train_sample`` discipline at real N); coding is ONE window
+    argmax keyed by the unique ``(id, subspace)`` pair (uniform — a
+    union-explode over subspaces, never ``m`` separate id-joins);
+    reconstruction is one groupBy on the unique id; scoring is the
+    brute-force plan (queries broadcast, WindowGroupLimit). The
+    codebook table (``m * n_codes`` rows) broadcasts everywhere.
+    """
+    cents = pq_codebooks(
+        corpus, m, sub_dim, n_codes, iters, id_col, vec_col
+    )
+    subs = None
+    for mi in range(m):
+        s = corpus.select(
+            F.col(id_col),
+            F.lit(mi).alias("m"),
+            F.slice(
+                as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
+            ).alias("__sv"),
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    asg_w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("code_sim").desc(), F.col("cid").asc()
+    )
+    coded = (
+        subs.join(F.broadcast(cents), "m")
+        .select(
+            id_col,
+            "m",
+            "cid",
+            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
+            "__ce",
+        )
+        .withColumn("__arn", F.row_number().over(asg_w))
+        .filter(F.col("__arn") == 1)
+    )
+    recon = coded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("__ce")))
+                ),
+                lambda x: x["__ce"],
+            )
+        ).alias("__de")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("pq_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2241,3 +2241,83 @@ def daily_ingest_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_doc_id"),
         n_tok.cast("long").alias("n_tokens"),
     )
+
+
+def _pq_oracle(
+    m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3
+) -> str:
+    """PQ oracle generator: per-subspace seeded k-means (1 unrolled
+    Lloyd iteration, the same CTE shapes as ``_kmeans_cents_ctes``),
+    per-subspace argmax coding, concat reconstruction, asymmetric-ADC
+    scoring — all from the shared constants so the engines cannot
+    drift."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_inner_product({a}, {b}) / sqrt(list_inner_product({a}, {a})"
+            f" * list_inner_product({b}, {b})), 6)"
+        )
+
+    parts = []
+    for mi in range(m):
+        lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
+        avg_terms = ", ".join(
+            f"round(CAST(sum(CAST(e[{i + 1}] AS DECIMAL(27,15))) AS DOUBLE)"
+            f" / count(*), 6)"
+            for i in range(sub_dim)
+        )
+        parts += [
+            f"dm{mi} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM d)",
+            f"c{mi}s AS (SELECT vec_id AS cid, e AS ce FROM dm{mi} "
+            f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
+            f"LIMIT {n_codes})",
+            f"a{mi}t AS (SELECT vec_id, e, cid FROM ("
+            f"SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id "
+            f"ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn "
+            f"FROM dm{mi} d CROSS JOIN c{mi}s c) WHERE arn = 1)",
+            f"k{mi}m AS (SELECT cid, list_value({avg_terms}) AS me "
+            f"FROM a{mi}t GROUP BY cid)",
+            f"c{mi}f AS (SELECT p.cid, coalesce(mm.me, p.ce) AS ce "
+            f"FROM c{mi}s p LEFT JOIN k{mi}m mm ON mm.cid = p.cid)",
+            f"asg{mi} AS (SELECT vec_id, ce FROM ("
+            f"SELECT d.vec_id, c.ce, row_number() OVER (PARTITION BY d.vec_id "
+            f"ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn "
+            f"FROM dm{mi} d CROSS JOIN c{mi}f c) WHERE arn = 1)",
+        ]
+    concat = " || ".join(f"a{mi}.ce" for mi in range(m))
+    joins = " ".join(
+        f"JOIN asg{mi} a{mi} USING (vec_id)" for mi in range(1, m)
+    )
+    parts.append(
+        f"recon AS (SELECT vec_id, {concat} AS de FROM asg0 a0 {joins})"
+    )
+    adc = cos("q.qe", "r.de")
+    return (
+        "    , " + ",\n    ".join(parts) + f""",
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5)
+    SELECT query_id, vec_id, pq_sim, rank FROM (
+      SELECT q.query_id, r.vec_id, {adc} AS pq_sim,
+             row_number() OVER (PARTITION BY q.query_id
+                                ORDER BY {adc} DESC, r.vec_id ASC) AS rank
+      FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@query("embedding_ann_pq", oracle=_COSINE_ORACLE + _pq_oracle())
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search (FAISS ``PQ`` shape): 8 subspaces
+    × 8 dims, per-subspace portable-k-means codebooks, concat
+    reconstruction, asymmetric-ADC cosine top-3. The sixth and final
+    member of the ANN family, and like IVF/SQ8 fully seedless — the
+    oracle unrolls all eight per-subspace trainings as generated
+    CTEs, so even the codebook contents hash-match. See
+    ``operators/similarity.pq_topk``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(emb, queries, k=3).select(
+        "query_id", "vec_id", "pq_sim", F.col("rank").cast("long").alias("rank")
+    )

