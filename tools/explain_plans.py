@@ -279,6 +279,15 @@ COMMENTARY = {
         "ZERO shuffles, it only shrinks what a real deployment stores "
         "per list to 1 byte/dim."
     ),
+    "embedding_ann_pq": (
+        "Product quantization: 8 per-subspace training chains (each "
+        "the portable-k-means shape) feed ONE union-exploded coding "
+        "window keyed by the unique (id, subspace) pair — never m "
+        "separate id-joins — then a groupBy-id reconstruction and the "
+        "broadcast-query ADC scan. Training passes amortize across "
+        "query batches in production; the codebook table (64 rows) "
+        "broadcasts everywhere."
+    ),
     "daily_ingest_keep_list": (
         "The daily incremental job end to end. Each stage keeps its "
         "standalone shape: map-only gates in the scan, one uniform "
