@@ -492,3 +492,53 @@ def test_quality_gate_composes_unchanged_into_a_stream(spark, tmp_path):
     want = gate(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() > 0
+
+
+def test_streaming_ingest_dedups_against_static_store(spark, tmp_path):
+    """The daily-ingest dedup as a STREAM: incoming docs arrive as
+    files, are deduped within the stream on their content fingerprint
+    (dropDuplicates on fp — state-store backed), and anti-joined
+    against the STATIC corpus fingerprint store (stream-static joins
+    need no watermark). Result equals the batch incremental dedup on
+    the same split — the operator semantics carry to the relay path
+    unchanged."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.dedup import incremental_exact_dedup
+    from pg2kafka_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    store = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+
+    src = str(tmp_path / "incoming")
+    batch.write.mode("overwrite").parquet(src)
+    store_fps = store.select(fingerprint(F.col("text")).alias("fp")).distinct()
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    deduped = (
+        stream.withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+        .join(store_fps, "fp", "left_anti")
+        .select("doc_id", "fp")
+    )
+    q = (
+        deduped.writeStream.queryName("ingest_dedup_stream")
+        .format("memory")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_fps = {
+        r["fp"] for r in spark.sql("select * from ingest_dedup_stream").collect()
+    }
+    want = incremental_exact_dedup(batch, store_fps)
+    want_fps = {
+        r["fp"]
+        for r in want.select(fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    # same SET of surviving fingerprints (the stream's representative
+    # per group is arrival-order-dependent; the batch op picks min-id —
+    # group membership, not representative identity, is the contract)
+    assert got_fps == want_fps
+    assert len(got_fps) > 0
