@@ -313,3 +313,81 @@ def chunk_token_windows(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lo: int = 4_800_000,
+    keep_hi: int = 5_000_000,
+) -> DataFrame:
+    """Bigram-LM quality gate — the conditional-probability upgrade of
+    :func:`unigram_surprisal` (CCNet's actual filter is a 5-gram
+    KenLM; a corpus-trained bigram with add-one smoothing is the same
+    shape one order up: templated text now scores low because its
+    TRANSITIONS are predictable, not just its vocabulary).
+
+    Per-token surprisal is ``−log2 P(w_i | w_{i−1})`` with
+    ``P = (c2+1) / (c1+V)`` (``c2`` bigram count, ``c1`` unigram
+    count of the context, ``V`` vocabulary size), carried in the same
+    fixed-point micro-bit BIGINTs as the unigram gate: the single
+    float op (one log per joined row, on a ratio of exact integers)
+    happens before the sum, so the per-doc aggregate is
+    order-independent and engine-portable.
+
+    Documents with fewer than 2 tokens have no bigrams and are
+    absent (the shingle rule).
+
+    Scale shape: two uniform-key count shuffles (bigrams + unigrams),
+    a 1-row vocab total broadcast, then one uniform-key per-doc
+    re-aggregation — the tf-idf plan one order up. The bigram table
+    IS the model; it never materializes on the driver.
+    """
+    import math
+
+    toks = tokens(normalized_text(F.col(text_col)))
+    base = docs.select(F.col(id_col), toks.alias("__tk"))
+    uni = base.select(F.col(id_col), F.explode(F.col("__tk")).alias("term"))
+    c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__c1"))
+    v = uni.agg(F.countDistinct("term").alias("__v"))
+    bg = base.filter(F.size("__tk") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("__tk"), i).alias("w1"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("__tk"), i),
+                        F.element_at(F.col("__tk"), i + 1),
+                    ).alias("b"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("w1"), F.col("__p.b").alias("b"))
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("__c2"))
+    sbits = F.round(
+        F.log(
+            (F.col("__c1") + F.col("__v")).cast("double")
+            / (F.col("__c2") + F.lit(1))
+        )
+        / math.log(2.0)
+        * 1e6
+    ).cast("bigint")
+    per_doc = (
+        bg.join(c2, "b")
+        .join(c1, F.col("w1") == F.col("term"))
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), sbits.alias("__sb"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__sb").alias("__s"))
+    )
+    mean = F.expr("__s div n_bigrams")
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        mean.alias("mean_surprisal_microbits"),
+        mean.between(F.lit(keep_lo), F.lit(keep_hi)).alias("kept"),
+    )

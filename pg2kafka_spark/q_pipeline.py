@@ -2321,3 +2321,51 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(emb, queries, k=3).select(
         "query_id", "vec_id", "pq_sim", F.col("rank").cast("long").alias("rank")
     )
+
+
+@query(
+    "doc_bigram_surprisal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    u AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    c1 AS (SELECT term, count(*) AS c1 FROM u GROUP BY 1),
+    v AS (SELECT count(DISTINCT term) AS v FROM u),
+    bg AS (
+      SELECT doc_id, toks[u.i] AS w1,
+             toks[u.i] || ' ' || toks[u.i+1] AS b
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((c1.c1 + v.v) * 1.0 / (c2.c2 + 1)) / ln(2) * 1e6)
+                  AS BIGINT) AS sb
+      FROM bg JOIN c2 ON c2.b = bg.b
+      JOIN c1 ON c1.term = bg.w1
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(CAST(sum(sb) AS BIGINT) // count(*) AS BIGINT) AS m
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, m AS mean_surprisal_microbits,
+           m BETWEEN 4800000 AND 5000000 AS kept
+    FROM agg
+    """,
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality gate (conditional-probability upgrade of the
+    unigram CCNet gate): per-token −log2 P(w|prev) under the corpus's
+    own add-one-smoothed bigram model, in order-independent
+    fixed-point micro-bits; keep band [4.8, 5.0] bits. See
+    ``operators/text.bigram_surprisal`` for the two-count-shuffle
+    scale shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.bigram_surprisal(docs)

@@ -1005,3 +1005,32 @@ def test_pq_reconstruction_recall_beats_chance(spark, sf_dir):
     # structure for 24-bit codes to exploit); chance overlap here is
     # 10/500 * 3 ≈ 0.06 per query — observed ~0.33, well above it
     assert hits / total >= 0.2, (hits, total, by_q_exact, by_q_pq)
+
+
+def test_bigram_surprisal_hand_corpus(spark):
+    """Hand-computable corpus: 'a b a b' has predictable transitions
+    ('a b' twice, 'b a' once), so its mean bigram surprisal must be
+    LOWER than a doc of the same tokens in a never-repeated order —
+    the transition-predictability signal the unigram gate cannot see
+    (both docs have identical unigram distributions)."""
+    import math
+
+    from pg2kafka_spark.operators.text import bigram_surprisal
+
+    rows = [
+        (1, "a b a b a b a b"),     # maximally predictable transitions
+        (2, "a a b b a a b b"),     # same unigrams, mixed transitions
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+    assert (
+        out[1]["mean_surprisal_microbits"] < out[2]["mean_surprisal_microbits"]
+    )
+    # hand counts: doc1 bigrams = 4x'a b' + 3x'b a'; doc2 = 2x'aa',
+    # 2x'ab', 2x'bb', 1x'ba'. So c2('a b')=6, c2('b a')=4, c1('a')=8,
+    # V=2 -> bits('a b') = log2((8+2)/(6+1)), bits('b a') = log2(10/5)
+    expect_ab = round(math.log((8 + 2) / (6 + 1), 2) * 1e6)
+    expect_ba = round(math.log((8 + 2) / (4 + 1), 2) * 1e6)
+    want_mean = (4 * expect_ab + 3 * expect_ba) // 7
+    assert abs(out[1]["mean_surprisal_microbits"] - want_mean) <= 1
