@@ -189,3 +189,60 @@ def test_strict_pack_spans_reconstruct_and_fill(spark):
     for r in out:
         assert 0 <= r["pack_tok_start"] < 8
         assert r["pack_tok_start"] + r["span_tokens"] <= 8
+
+
+def test_strict_pack_spans_invariants_fuzz(spark):
+    """Property fuzz over random shard layouts: for ANY token-count
+    sequence, (1) per-doc spans reconstruct the doc contiguously,
+    (2) every non-final pack is exactly full, (3) pack offsets are
+    in-range, (4) total span mass equals total tokens."""
+    from hypothesis import given, settings, strategies as st
+
+    from pg2kafka_spark.operators.assembly import strict_pack_spans
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.integers(min_value=0, max_value=40),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        st.integers(min_value=1, max_value=16),
+    )
+    def check(items, budget):
+        rows = [
+            (src, i, n) for i, (src, n) in enumerate(items)
+        ]
+        df = spark.createDataFrame(rows, ["source", "doc_id", "n_tokens"])
+        out = strict_pack_spans(
+            df, token_col="n_tokens", order_col="doc_id",
+            partition_cols=["source"], budget=budget,
+        ).collect()
+        total = sum(n for _, _, n in rows)
+        assert sum(r["span_tokens"] for r in out) == total
+        by_doc = {}
+        by_pack = {}
+        for r in out:
+            assert r["span_tokens"] >= 1
+            assert 0 <= r["pack_tok_start"] < budget
+            assert r["pack_tok_start"] + r["span_tokens"] <= budget
+            by_doc.setdefault(r["doc_id"], []).append(r)
+            key = (r["source"], r["pack_id"])
+            by_pack[key] = by_pack.get(key, 0) + r["span_tokens"]
+        for doc_id, spans in by_doc.items():
+            spans.sort(key=lambda r: r["pack_id"])
+            n = dict((i, t) for _, i, t in rows)[doc_id]
+            assert sum(s["span_tokens"] for s in spans) == n
+            assert spans[0]["doc_tok_start"] == 0
+            for a, b in zip(spans, spans[1:]):
+                assert a["doc_tok_start"] + a["span_tokens"] == b["doc_tok_start"]
+                assert b["pack_id"] == a["pack_id"] + 1
+        for src in {s for s, _ in by_pack}:
+            packs = sorted(p for s, p in by_pack if s == src)
+            for p in packs[:-1]:
+                assert by_pack[(src, p)] == budget
+
+    check()
