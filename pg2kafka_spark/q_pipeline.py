@@ -2369,3 +2369,69 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape."""
     docs = load_table(spark, "documents", sf_dir)
     return X.bigram_surprisal(docs)
+
+
+@query(
+    "embedding_topk_filtered",
+    oracle=_COSINE_ORACLE
+    + """
+    , lbl AS (SELECT vec_id, label FROM embeddings)
+    , q AS (
+      SELECT d.vec_id AS query_id, d.e AS qe, l.label AS qlabel
+      FROM d JOIN lbl l USING (vec_id) WHERE d.vec_id < 5
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.query_id, c.vec_id,
+             round(list_inner_product(q.qe, c.e)
+               / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.e, c.e)),
+               6) AS cos_sim,
+             row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_inner_product(q.qe, c.e)
+                 / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.e, c.e)),
+                 6) DESC, c.vec_id ASC) AS rank
+      FROM q JOIN d c ON c.vec_id <> q.query_id
+      JOIN lbl cl ON cl.vec_id = c.vec_id AND cl.label = q.qlabel
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) vector search — the metadata-predicate + ANN
+    pattern every vector store exposes: top-3 cosine restricted to
+    corpus vectors sharing the query's ``label``. The filter joins
+    BEFORE scoring, so the scan prunes to the eligible stripe instead
+    of post-filtering a larger top-k (pre- vs post-filtering is the
+    correctness difference: post-filtering can return < k rows).
+    Plan: queries (with labels) broadcast; the label equi-condition
+    rides the broadcast join; WindowGroupLimit bounds the heap."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        S.as_double(F.col("embedding")).alias("__qv"),
+    )
+    c = emb.select(
+        "vec_id", "label", S.as_double(F.col("embedding")).alias("__cv")
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(S.cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "vec_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
