@@ -1214,6 +1214,7 @@ def incremental_near_dup(
     k: int = 8,
     band_rows: int = 2,
     n: int = 3,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup discovery: find incoming-batch documents
     that are near-duplicates of the already-ingested corpus — the
@@ -1229,6 +1230,17 @@ def incremental_near_dup(
     candidate pairs → exact Jaccard verification restricted to the
     candidates (the quadratic step pays only for LSH survivors).
 
+    ``max_bucket_size`` is the hot-band guard on the STORE side (the
+    same boilerplate failure mode as ``minhash_lsh_pairs``: a
+    B-copy template cluster in the store turns every matching batch
+    doc into B candidates — a corpus-age-dependent blowup the daily
+    job must bound). Store band keys held by more than the cap are
+    dropped BEFORE the join; those clusters are exact-dup families
+    the (cheaper) fingerprint store already catches. Deterministic
+    and SQL-expressible (a HAVING over exact counts), so capped runs
+    remain oracle-checkable — unlike the xxhash path's cap, nothing
+    here depends on non-portable seeds.
+
     Built on the PORTABLE hash family end to end, so the whole
     discovery+verification composition — including LSH recall
     behavior — is reproducible in SQL and hash-checked, not just
@@ -1237,6 +1249,14 @@ def incremental_near_dup(
     bs = portable_band_keys(store, text_col, id_col, k, band_rows).select(
         F.col(id_col).alias("store_id"), "band", "bkey"
     )
+    if max_bucket_size is not None:
+        hot = (
+            bs.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .filter(F.col("__nb") > F.lit(int(max_bucket_size)))
+            .select("band", "bkey")
+        )
+        bs = bs.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
     bb = portable_band_keys(batch, text_col, id_col, k, band_rows).select(
         F.col(id_col).alias("batch_id"), "band", "bkey"
     )

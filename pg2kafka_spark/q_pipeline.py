@@ -1950,7 +1950,8 @@ def doc_pack_spans_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incr_near_dup_oracle(
-    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5
+    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5,
+    cap: int = 64,
 ) -> str:
     from pg2kafka_spark.operators.dedup import (
         PORTABLE_MINHASH_MOD as MOD,
@@ -1990,9 +1991,14 @@ def _incr_near_dup_oracle(
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bkey
       FROM mh GROUP BY 1, 2
     ),
+    bcap AS (
+      SELECT band, bkey FROM bands WHERE doc_id < {split}
+      GROUP BY band, bkey HAVING count(*) <= {cap}
+    ),
     cand AS (
       SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id
       FROM bands b JOIN bands s ON b.band = s.band AND b.bkey = s.bkey
+      JOIN bcap c ON c.band = s.band AND c.bkey = s.bkey
       WHERE b.doc_id >= {split} AND s.doc_id < {split}
     ),
     t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2113,7 +2119,8 @@ def embedding_ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _daily_ingest_oracle(
-    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5
+    split: int = 250, k: int = 8, band_rows: int = 2, threshold: float = 0.5,
+    cap: int = 64,
 ) -> str:
     from pg2kafka_spark.operators.dedup import (
         PORTABLE_MINHASH_MOD as MOD,
@@ -2177,9 +2184,14 @@ def _daily_ingest_oracle(
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bkey
       FROM mh GROUP BY 1, 2
     ),
+    bcap AS (
+      SELECT band, bkey FROM bands WHERE doc_id < {split}
+      GROUP BY band, bkey HAVING count(*) <= {cap}
+    ),
     cand AS (
       SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id
       FROM bands b JOIN bands s ON b.band = s.band AND b.bkey = s.bkey
+      JOIN bcap c ON c.band = s.band AND c.bkey = s.bkey
       WHERE b.doc_id IN (SELECT doc_id FROM fresh) AND s.doc_id < {split}
     ),
     t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

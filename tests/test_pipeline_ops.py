@@ -1034,3 +1034,31 @@ def test_bigram_surprisal_hand_corpus(spark):
     expect_ba = round(math.log((8 + 2) / (4 + 1), 2) * 1e6)
     want_mean = (4 * expect_ab + 3 * expect_ba) // 7
     assert abs(out[1]["mean_surprisal_microbits"] - want_mean) <= 1
+
+
+def test_incremental_near_dup_hot_band_cap_bounds_store_blowup(spark):
+    """A 100-copy template cluster in the store would turn one
+    matching batch doc into 100 candidate pairs; the store-side band
+    cap drops those bands (the fingerprint store owns exact-dup
+    families), while genuine near-dups in healthy bands survive."""
+    from pg2kafka_spark.operators.dedup import incremental_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "subscribe now for updates terms of service privacy policy contact"
+    store = spark.createDataFrame(
+        [(i, boiler) for i in range(100)] + [(500, base)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(1000, boiler), (1001, base.replace("kappa", "lambda"))],
+        ["doc_id", "text"],
+    )
+    capped = incremental_near_dup(
+        store, batch, threshold=0.3, max_bucket_size=16
+    ).collect()
+    got = {(r["batch_id"], r["store_id"]) for r in capped}
+    assert got == {(1001, 500)}, got  # boiler cluster suppressed
+    uncapped = incremental_near_dup(
+        store, batch, threshold=0.3, max_bucket_size=None
+    ).collect()
+    assert len({(r["batch_id"], r["store_id"]) for r in uncapped}) == 101
