@@ -391,3 +391,92 @@ def bigram_surprisal(
         mean.alias("mean_surprisal_microbits"),
         mean.between(F.lit(keep_lo), F.lit(keep_hi)).alias("kept"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169: select pretraining data by importance
+    resampling toward a target domain): each document's weight is its
+    mean per-token log-likelihood RATIO between an add-one-smoothed
+    unigram model of the ``target`` slice and one of the full corpus
+    — positive means "looks more like the target than like the
+    corpus average". Carried in the fixed-point micro-bit discipline
+    of :func:`unigram_surprisal`: one float log per joined row on
+    ratios of exact integers, rounded to BIGINT micro-bits BEFORE the
+    order-independent sum, so the weights are engine-portable.
+
+    ``log2 p_t(w) − log2 p_c(w) = log2((c_t+1)/(T_t+V)) −
+    log2((c_c+1)/(T_c+V))`` with a SHARED vocabulary V (the union
+    vocab — tokens absent from the target get smoothed mass, which is
+    the whole point: unseen-in-target tokens get negative weight).
+
+    Downstream, keep via hash-thresholding against the weight band
+    (same retry-safe pattern as ``stratified_hash_sample``) — the
+    resampling step is a filter, not new machinery.
+
+    Scale shape: two unigram count shuffles (target is typically a
+    small quality slice — its count table broadcasts), one 1-row
+    totals broadcast, one per-doc re-aggregation on the uniform id
+    key. The tf-idf plan with a second count table.
+    """
+    import math
+
+    tok_all = docs.select(
+        F.col(id_col),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+    )
+    tok_t = target.select(
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("term")
+    )
+    cc = tok_all.groupBy("term").agg(F.count(F.lit(1)).alias("__cc"))
+    ct = tok_t.groupBy("term").agg(F.count(F.lit(1)).alias("__ct"))
+    counts = cc.join(ct, "term", "left").select(
+        "term", "__cc", F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct")
+    )
+    tots = (
+        counts.agg(
+            F.sum("__cc").alias("__tc"),
+            F.sum("__ct").alias("__tt"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    lr_bits = F.round(
+        (
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.col("__tt") + F.col("__v"))
+            )
+            - F.log(
+                (F.col("__cc") + 1).cast("double")
+                / (F.col("__tc") + F.col("__v"))
+            )
+        )
+        / math.log(2.0)
+        * 1e6
+    ).cast("bigint")
+    per_doc = (
+        tok_all.join(counts, "term")
+        .crossJoin(F.broadcast(tots))
+        .select(F.col(id_col), lr_bits.alias("__lr"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__lr").alias("__s"))
+    )
+    # FLOOR division, explicitly: likelihood-ratio sums are routinely
+    # NEGATIVE, where trunc and floor differ by one — and BOTH Spark's
+    # `div` AND DuckDB's `//` truncate toward zero (measured), so the
+    # surprisal queries' `div` idiom would work here only by accident
+    # of sign. floor(double-div) is exact for |sum| < 2^53 (micro-bit
+    # sums are ~5e6 per token — fine to ~10^9-token documents) and the
+    # oracle spells the identical floor.
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor(F.col("__s") / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("mean_lr_microbits"),
+    )

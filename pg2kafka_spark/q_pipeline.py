@@ -2447,3 +2447,49 @@ def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks,
+             source
+      FROM documents
+    ),
+    u AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+    cc AS (SELECT term, count(*) AS cc FROM u GROUP BY 1),
+    ct AS (SELECT term, count(*) AS ct FROM u WHERE source = 'src0' GROUP BY 1),
+    counts AS (
+      SELECT cc.term, cc.cc, coalesce(ct.ct, 0) AS ct
+      FROM cc LEFT JOIN ct ON ct.term = cc.term
+    ),
+    tots AS (
+      SELECT CAST(sum(cc) AS BIGINT) AS tc, CAST(sum(ct) AS BIGINT) AS tt,
+             count(*) AS v
+      FROM counts
+    ),
+    sc AS (
+      SELECT u.doc_id,
+             CAST(round((ln((c.ct + 1) * 1.0 / (tots.tt + tots.v))
+                       - ln((c.cc + 1) * 1.0 / (tots.tc + tots.v)))
+                       / ln(2) * 1e6) AS BIGINT) AS lr
+      FROM u JOIN counts c ON c.term = u.term CROSS JOIN tots
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(floor(CAST(sum(lr) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+             AS mean_lr_microbits
+    FROM sc GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-doc mean log2-likelihood ratio between
+    a unigram model of the target slice (source='src0' stands in for
+    the quality domain) and the corpus model, in order-independent
+    micro-bits — positive = target-like. See
+    ``operators/text.dsir_importance_weights``."""
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return X.dsir_importance_weights(docs, target)

@@ -1062,3 +1062,26 @@ def test_incremental_near_dup_hot_band_cap_bounds_store_blowup(spark):
         store, batch, threshold=0.3, max_bucket_size=None
     ).collect()
     assert len({(r["batch_id"], r["store_id"]) for r in uncapped}) == 101
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pg2kafka_spark.operators.text import dsir_importance_weights
+
+    target_style = "finance market stock bond yield equity trading risk"
+    other_style = "garden flower soil seed water sunlight bloom petal"
+    docs = spark.createDataFrame(
+        [
+            (1, target_style),                      # pure target-style
+            (2, other_style),                       # pure off-target
+            (3, "finance market garden flower stock soil yield seed"),  # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    w = {
+        r["doc_id"]: r["mean_lr_microbits"]
+        for r in dsir_importance_weights(docs, target).collect()
+    }
+    # monotone in target-likeness; off-target strictly negative
+    assert w[1] > w[3] > w[2]
+    assert w[2] < 0
