@@ -419,7 +419,8 @@ def quantized_topk(
 
 
 def assign_cells(
-    prepared: DataFrame, cents: DataFrame, id_col: str = "vec_id"
+    prepared: DataFrame, cents: DataFrame, id_col: str = "vec_id",
+    keep_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment for a ``(id, __cv)`` frame against a
     ``(cid, __ce)`` centroid table: one map-only pass over the corpus
@@ -439,7 +440,10 @@ def assign_cells(
         )
         .withColumn("__arn", F.row_number().over(asg_w))
         .filter(F.col("__arn") == 1)
-        .select(id_col, "__cv", "cid")
+        .select(
+            id_col, "__cv", "cid",
+            *(["cell_sim"] if keep_sim else []),
+        )
     )
 
 
@@ -1054,4 +1058,61 @@ def pq_topk(
         )
         .withColumn("rank", F.row_number().over(rank_w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def prototypicality_prune(
+    corpus: DataFrame,
+    drop_frac_ppm: int = 250_000,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws", arXiv:2206.14486): rank every vector by its
+    cosine to its cluster centroid and DROP the most prototypical
+    ``drop_frac_ppm`` fraction per cluster — the easy, redundant core
+    that contributes least to training, keeping the informative
+    boundary examples. The complement of SemDeDup (which drops
+    near-duplicate pairs); together they are the published two-step
+    embedding-pruning recipe.
+
+    Fully deterministic and oracle-checkable: clustering is the
+    portable k-means, prototypicality is the 6-dp-rounded assignment
+    cosine itself (no second scoring pass), the per-cluster rank
+    breaks ties on id, and the integer cutoff is
+    ``n_dropped = cluster_size * ppm div 1e6`` — pure integer math.
+
+    Returns ``(id, cid, proto_sim, proto_rank, kept)`` for every row.
+
+    Scale shape: the IVF assignment plan (broadcast centroids,
+    map-only scoring) plus ONE window rank per cluster. Cluster
+    counts come from a broadcast side-aggregate, so the window is the
+    only cluster-keyed shuffle; with n_centroids sized for the corpus
+    (10⁴–10⁵ at 100 TB) cluster partitions stay bounded.
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, iters, dim, id_col, vec_col
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col, keep_sim=True)
+    w = Window.partitionBy("cid").orderBy(
+        F.col("cell_sim").desc(), F.col(id_col).asc()
+    )
+    sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        cells.withColumn("proto_rank", F.row_number().over(w))
+        .join(F.broadcast(sizes), "cid")
+        .withColumn(
+            "__cut", F.expr(f"(__n * {int(drop_frac_ppm)}) div 1000000")
+        )
+    )
+    return ranked.select(
+        F.col(id_col),
+        "cid",
+        F.col("cell_sim").alias("proto_sim"),
+        F.col("proto_rank").cast("long").alias("proto_rank"),
+        (F.col("proto_rank") > F.col("__cut")).alias("kept"),
     )

@@ -2493,3 +2493,48 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     target = docs.filter(F.col("source") == "src0")
     return X.dsir_importance_weights(docs, target)
+
+
+@query(
+    "embedding_prototype_prune",
+    oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes()
+    + """
+    ,
+    asg AS (
+      SELECT vec_id, cid, cs AS proto_sim FROM (
+        SELECT d.vec_id, c.cid,
+               round(list_inner_product(d.e, c.ce)
+                 / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) AS cs,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, cid, proto_sim,
+             row_number() OVER (PARTITION BY cid
+               ORDER BY proto_sim DESC, vec_id ASC) AS proto_rank,
+             count(*) OVER (PARTITION BY cid) AS n
+      FROM asg
+    )
+    SELECT vec_id, cid, proto_sim, proto_rank,
+           proto_rank > (n * 250000) // 1000000 AS kept
+    FROM ranked
+    """,
+)
+def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022): drop the 25%
+    most-prototypical vectors per k-means cluster (nearest the
+    centroid — the redundant easy core), keep the informative
+    boundary. The complement of SemDeDup; same portable-k-means
+    training under the oracle. See
+    ``operators/similarity.prototypicality_prune``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.prototypicality_prune(emb, drop_frac_ppm=250_000).select(
+        "vec_id", "cid", "proto_sim", "proto_rank", "kept"
+    )

@@ -1085,3 +1085,24 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     # monotone in target-likeness; off-target strictly negative
     assert w[1] > w[3] > w[2]
     assert w[2] < 0
+
+
+def test_prototype_prune_drops_exactly_the_cluster_core(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.prototypicality_prune(emb, drop_frac_ppm=250_000).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    assert len(out) == emb.count()  # every vector gets a verdict
+    for cid, rows in by_cid.items():
+        n = len(rows)
+        dropped = [r for r in rows if not r["kept"]]
+        assert len(dropped) == n * 250_000 // 1_000_000, (cid, n)
+        # the dropped set is exactly the top-ranked (most prototypical)
+        max_dropped_rank = max((r["proto_rank"] for r in dropped), default=0)
+        min_kept_rank = min(r["proto_rank"] for r in rows if r["kept"])
+        assert max_dropped_rank < min_kept_rank
+        # and ranks order by similarity
+        rows.sort(key=lambda r: r["proto_rank"])
+        sims = [r["proto_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
