@@ -2538,3 +2538,80 @@ def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.prototypicality_prune(emb, drop_frac_ppm=250_000).select(
         "vec_id", "cid", "proto_sim", "proto_rank", "kept"
     )
+
+
+def _logit_oracle(iters: int = 2, lr: float = 4.0) -> str:
+    from pg2kafka_spark.operators.text import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+    def z(w: str) -> str:
+        return f"(({w}.w0 + {w}.w1*x1) + {w}.w2*x2)"
+
+    def p(w: str) -> str:
+        return f"round(1.0/(1.0+exp(-{z(w)})), 6)"
+
+    parts = [
+        f"""f AS (
+      SELECT doc_id,
+             round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS x1,
+             round(len(list_filter(toks, t -> list_contains([{sw}], t)))
+                   * 1.0 / len(toks), 6) AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents)
+    )""",
+        "it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for i in range(iters):
+        r = f"({p('w')} - y)"
+        parts.append(
+            f"""g{i} AS (
+      SELECT count(*) AS n,
+             sum(CAST({r} AS DECIMAL(27,15))) AS s0,
+             sum(CAST(x1*{r} AS DECIMAL(27,15))) AS s1,
+             sum(CAST(x2*{r} AS DECIMAL(27,15))) AS s2
+      FROM f CROSS JOIN it{i} w
+    )"""
+        )
+        parts.append(
+            f"""it{i + 1} AS (
+      SELECT round(w.w0 - {lr}*(CAST(g.s0 AS DOUBLE)/g.n), 6) AS w0,
+             round(w.w1 - {lr}*(CAST(g.s1 AS DOUBLE)/g.n), 6) AS w1,
+             round(w.w2 - {lr}*(CAST(g.s2 AS DOUBLE)/g.n), 6) AS w2
+      FROM g{i} g CROSS JOIN it{i} w
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, x1, x2, y, {p('w')} AS p,
+           {p('w')} >= 0.5 AS pred
+    FROM f CROSS JOIN it{iters} w
+    """
+    )
+
+
+@query("doc_quality_classifier", oracle=_logit_oracle())
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED quality classifier in pure DataFrame algebra: batch
+    gradient descent on logistic regression over (ttr,
+    stopword-ratio) with lang='en' as the supervision signal — the
+    cheap supervised filter modern pipelines run after the heuristic
+    gates (GPT-3/PaLM-style quality classifiers). Two unrolled
+    iterations; weights, per-doc probabilities, and predictions all
+    hash-match the SQL twin (6-dp rounding + DECIMAL gradient sums —
+    the k-means discipline applied to SGD). See ``operators/ml``."""
+    from pg2kafka_spark.operators import ml
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    feats = docs.select(
+        "doc_id",
+        F.round(X.unique_token_count(t) * 1.0 / X.token_count(t), 6).alias("x1"),
+        F.round(X.stopword_ratio(t), 6).alias("x2"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = ml.logistic_train(feats, ["x1", "x2"], "y", iters=2, lr=4.0)
+    return ml.logistic_score(feats, w, ["x1", "x2"])

@@ -1106,3 +1106,26 @@ def test_prototype_prune_drops_exactly_the_cluster_core(spark, sf_dir):
         rows.sort(key=lambda r: r["proto_rank"])
         sims = [r["proto_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_logistic_train_learns_separable_labels(spark):
+    from pg2kafka_spark.operators import ml
+
+    # x1 perfectly separates the classes at 0.5
+    rows = [(i, 0.9, 1.0) for i in range(20)] + [
+        (100 + i, 0.1, 0.0) for i in range(20)
+    ]
+    feats = spark.createDataFrame(rows, ["doc_id", "x1", "y"])
+    w = ml.logistic_train(feats, ["x1"], "y", iters=8, lr=4.0)
+    (wrow,) = w.collect()
+    scored = ml.logistic_score(feats, w, ["x1"]).collect()
+    # positive slope on the separating feature, and majority of
+    # examples on the right side after 8 steps
+    assert wrow["w1"] > 0
+    acc = sum(1 for r in scored if (r["p"] >= 0.5) == (r["y"] == 1.0)) / len(
+        scored
+    )
+    assert acc == 1.0, (wrow, acc)
+    # determinism: retraining yields identical weights
+    (wrow2,) = ml.logistic_train(feats, ["x1"], "y", iters=8, lr=4.0).collect()
+    assert wrow == wrow2
