@@ -196,3 +196,56 @@ def gap_filled_rollup(
             for name in aggs
         ],
     )
+
+
+def locf_and_interpolate(
+    filled: DataFrame,
+    bucket_col: str,
+    dim_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """TimescaleDB ``locf()``/``interpolate()`` over a gap-filled
+    rollup: given a dense spine where gap buckets carry NULL in
+    ``value_col``, append
+
+    * ``<value>_locf`` — last observation carried forward, and
+    * ``<value>_interp`` — linear interpolation between the
+      neighboring observed buckets (leading edge backfills from the
+      next observation; trailing edge carries forward) —
+
+    the two standard continuous-aggregate fill modes. Two windows per
+    dimension group (IGNORE NULLS last/first), no extra shuffle beyond
+    the spine's own partitioning. The interpolation weight uses only
+    epoch DIFFERENCES, so it is timezone-convention-independent and
+    engine-portable; the blend is one multiply-add on already-rounded
+    aggregates, rounded to 6 decimals.
+    """
+    v = F.col(value_col)
+    wp = (
+        Window.partitionBy(*dim_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy(*dim_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp(F.col(bucket_col))
+    mt = F.when(v.isNotNull(), t)
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(mt, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(mt, ignorenulls=True).over(wn)
+    frac = (t - pt) * F.lit(1.0) / (nt - pt)
+    interp = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pt.isNull(), nv.cast("double"))
+        .when(nt.isNull(), pv.cast("double"))
+        .otherwise(F.round(pv + (nv - pv) * frac, 6))
+    )
+    return filled.select(
+        *filled.columns,
+        pv.alias(f"{value_col}_locf"),
+        interp.alias(f"{value_col}_interp"),
+    )

@@ -1176,3 +1176,93 @@ def user_event_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         F.round("avg_value", 6).cast("double").alias("avg_value"),
     )
+
+
+@query(
+    "events_hourly_interpolate",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,
+             date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b
+    ),
+    filled AS (
+      SELECT s.event_type, s.bucket, a.sum_value
+      FROM spine s
+      LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+    ),
+    fx AS (
+      SELECT event_type, bucket, sum_value,
+             CAST(epoch(bucket) AS BIGINT) AS t,
+             last_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN sum_value IS NOT NULL
+                             THEN CAST(epoch(bucket) AS BIGINT) END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN sum_value IS NOT NULL
+                              THEN CAST(epoch(bucket) AS BIGINT) END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM filled
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:00:00') AS hour,
+           pv AS sum_value_locf,
+           CASE WHEN sum_value IS NOT NULL THEN CAST(sum_value AS DOUBLE)
+                WHEN pt IS NULL THEN CAST(nv AS DOUBLE)
+                WHEN nt IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE round(pv + (nv - pv) * ((t - pt) * 1.0 / (nt - pt)), 6)
+           END AS sum_value_interp
+    FROM fx
+    """,
+)
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate fill modes (TimescaleDB ``locf()`` /
+    ``interpolate()``): the gap-filled hourly rollup with NULL gaps,
+    then last-observation-carried-forward and linear interpolation
+    between neighboring observed buckets — what a feature pipeline
+    feeds a model when a sensor/topic goes quiet. See
+    ``operators/temporal.locf_and_interpolate`` (two IGNORE NULLS
+    windows; the blend weight uses epoch differences only, so it's
+    timezone-convention-independent)."""
+    from pg2kafka_spark.operators.temporal import (
+        gap_filled_rollup,
+        locf_and_interpolate,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    filled = gap_filled_rollup(
+        ev,
+        ts_col="ts",
+        dim_cols=["event_type"],
+        unit="hour",
+        aggs={"sum_value": F.round(F.sum("value"), 2)},
+        fills={"sum_value": F.lit(None).cast("double")},
+    )
+    out = locf_and_interpolate(
+        filled, bucket_col="bucket", dim_cols=["event_type"],
+        value_col="sum_value",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.col("sum_value_locf"),
+        F.col("sum_value_interp"),
+    )

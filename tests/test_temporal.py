@@ -245,3 +245,40 @@ def test_asof_and_interval_join_fuzz_vs_python_oracle(spark):
         if rk == k and rt <= t < rt + width
     }
     assert pairs == want_pairs
+
+
+def test_locf_and_interpolate_hand_series(spark):
+    """Crafted series with an interior 2-bucket gap, a leading gap,
+    and a trailing gap: locf carries forward, interp blends linearly
+    by bucket distance, edges backfill/carry."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.temporal import locf_and_interpolate
+
+    h = lambda i: dt.datetime(2024, 1, 1, i)
+    rows = [
+        ("a", h(0), None),    # leading gap -> backfill from 10.0
+        ("a", h(1), 10.0),
+        ("a", h(2), None),    # interior gap: 1/3 of the way 10 -> 40
+        ("a", h(3), None),    # 2/3 of the way
+        ("a", h(4), 40.0),
+        ("a", h(5), None),    # trailing gap -> carry 40.0
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "bucket", "sum_value"])
+    out = {
+        r["bucket"].hour: r
+        for r in locf_and_interpolate(
+            df, "bucket", ["event_type"], "sum_value"
+        ).collect()
+    }
+    assert out[0]["sum_value_locf"] is None
+    assert out[0]["sum_value_interp"] == 10.0
+    assert out[1]["sum_value_interp"] == 10.0
+    assert out[2]["sum_value_locf"] == 10.0
+    assert out[2]["sum_value_interp"] == 20.0
+    assert out[3]["sum_value_interp"] == 30.0
+    assert out[4]["sum_value_interp"] == 40.0
+    assert out[5]["sum_value_locf"] == 40.0
+    assert out[5]["sum_value_interp"] == 40.0
