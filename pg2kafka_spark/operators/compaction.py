@@ -104,3 +104,36 @@ def apply_change_feed(
     return state.filter(
         F.col("__last").isNull() | (F.col("__last") != delete_statement)
     ).select(*key_cols, *[F.col(f"__s_{c}.v").alias(c) for c in columns])
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Materialize the change feed as a slowly-changing-dimension
+    type-2 history table: one row per key VERSION with its validity
+    interval — ``valid_from`` = the change's timestamp, ``valid_to`` =
+    the next change's (NULL while current), plus ``version`` (1-based
+    per key) and ``is_current``. This is the standard warehouse
+    consumption of a CDC feed when consumers need AS-OF queries over
+    arbitrary history (``state_asof`` answers one point; the SCD2
+    table answers all of them with a plain range predicate — and
+    z-order it on (key, valid_from) for the 2-D prune).
+
+    One window per key ordered by (ts, tiebreak): per-key state is a
+    single row of lookahead (``lead``), keys are uniform (user ids),
+    so the shuffle is the partition-by-key exchange and nothing else —
+    the same shape as sessionization, scale-safe wherever that is.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    return df.select(
+        *key_cols,
+        *value_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

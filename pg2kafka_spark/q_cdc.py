@@ -510,3 +510,44 @@ def replayed_state_from_diffs(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_col="payload",
         columns=cols,
     )
+
+
+@query(
+    "scd2_user_history",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           epoch_us(ts) AS valid_from,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS valid_to,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS BIGINT) AS version,
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) IS NULL AS is_current
+    FROM events
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 materialization of the change feed: per-user
+    version rows with [valid_from, valid_to) micro-second intervals,
+    1-based version numbers, and an is_current flag — the warehouse
+    table that answers EVERY as-of question with a range predicate
+    (``state_asof`` is its single-point specialization). See
+    ``operators/compaction.scd2_history``."""
+    from pg2kafka_spark.operators.compaction import scd2_history
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        tiebreak_col="event_id",
+        value_cols=["event_id", "event_type", "value"],
+    ).select(
+        "user_id", "event_id", "event_type", "value",
+        "valid_from", "valid_to", "version", "is_current",
+    )

@@ -323,3 +323,34 @@ def test_apply_change_feed_never_set_column_stays_null(spark):
     )
     row = apply_change_feed(feed, ["k"], "version", "payload", ["a", "b"]).collect()[0]
     assert (row["a"], row["b"]) == ("2", None)
+
+
+def test_scd2_intervals_tile_each_key_history(spark, sf_dir):
+    """Per key: version numbers are 1..n, intervals are adjacent
+    (valid_to == next valid_from), exactly one open current row, and
+    the open row is the max-timestamp version — the invariants that
+    make the table answer any as-of query."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.compaction import scd2_history
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    rows = scd2_history(
+        ev, key_cols=["user_id"], ts_col="ts_us",
+        tiebreak_col="event_id", value_cols=["event_id"],
+    ).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["user_id"], []).append(r)
+    assert len(rows) == ev.count()
+    for uid, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        currents = [r for r in vs if r["is_current"]]
+        assert len(currents) == 1 and currents[0] is vs[-1]
+        assert vs[-1]["valid_to"] is None
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
