@@ -288,6 +288,20 @@ COMMENTARY = {
         "query batches in production; the codebook table (64 rows) "
         "broadcasts everywhere."
     ),
+    "doc_quality_classifier": (
+        "Trained logistic classifier: each gradient-descent iteration "
+        "is one map-only scoring pass against the broadcast 1-row "
+        "weight table plus one global aggregate with DECIMAL partials "
+        "— training state never exceeds (k+1) numbers and never "
+        "touches the driver. Scoring is the same broadcast pattern, "
+        "so inference composes into any scan stage."
+    ),
+    "scd2_user_history": (
+        "SCD2 materialization: one lead() window per uniform user "
+        "key — the sessionization exchange, one row of lookahead "
+        "state. The output's (key, valid_from) pair is the natural "
+        "z-order candidate for the 2-D as-of prune."
+    ),
     "daily_ingest_keep_list": (
         "The daily incremental job end to end. Each stage keeps its "
         "standalone shape: map-only gates in the scan, one uniform "
