@@ -169,3 +169,135 @@ def zorder_bucket_stats(
         dfrac.alias("day_extent_frac"),
         kfrac.alias("key_extent_frac"),
     )
+
+
+def with_hilbert_value(
+    df: DataFrame, qx: Column, qy: Column, bits: int, out_col: str = "__h"
+) -> DataFrame:
+    """Hilbert-curve index of two ``bits``-bit quantized coordinates —
+    the better-locality space-filling curve (no long diagonal jumps,
+    unlike Morton; what Databricks liquid clustering / Iceberg
+    ``sort-order hilbert`` use): every curve-contiguous run is a
+    tighter rectangle than the z-order equivalent on average.
+
+    The standard xy→d algorithm is a LOOP carrying (x, y, d) through
+    one rotate/flip step per bit. Naively composing those steps as
+    nested expressions doubles-to-quadruples the tree per level
+    (x_{i+1} references x_i and y_i several times — ~4^bits nodes);
+    instead each step is its OWN projection, so x/y/d are attribute
+    reads and the plan grows LINEARLY in ``bits`` (the HOF-CSE
+    staging discipline from the dedup kernels, applied to iteration).
+    All arithmetic (floor-div by power of two via shiftright, parity,
+    multiply-add) — portable, and generated identically as SQL by
+    :func:`hilbert_sql_ctes`.
+    """
+    staged = df.select("*", qx.alias("__hx"), qy.alias("__hy"),
+                       F.lit(0).cast("long").alias("__hd"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col("__hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), i).bitwiseAND(F.lit(1))
+        d2 = F.col("__hd") + F.lit(s * s) * (
+            F.lit(3) * rx + ry - F.lit(2) * rx * ry
+        )
+        # rotate the frame: ry==1 keeps (x,y); ry==0 flips (iff rx==1)
+        # then swaps
+        fx = F.when(rx == 1, F.lit(s - 1) - F.col("__hx")).otherwise(
+            F.col("__hx")
+        )
+        fy = F.when(rx == 1, F.lit(s - 1) - F.col("__hy")).otherwise(
+            F.col("__hy")
+        )
+        x2 = F.when(ry == 1, F.col("__hx")).otherwise(fy)
+        y2 = F.when(ry == 1, F.col("__hy")).otherwise(fx)
+        keep = [c for c in staged.columns if c not in ("__hx", "__hy", "__hd")]
+        staged = staged.select(
+            *keep, x2.alias("__hx"), y2.alias("__hy"), d2.alias("__hd")
+        )
+    return staged.withColumnRenamed("__hd", out_col).drop("__hx", "__hy")
+
+
+def hilbert_sql_ctes(
+    src: str, qx: str, qy: str, bits: int, keep: str
+) -> str:
+    """DuckDB spelling of :func:`with_hilbert_value`: one chained CTE
+    per bit (same staging, same arithmetic), starting from ``src``
+    (which must provide ``{qx}``/``{qy}`` and the ``keep`` columns).
+    Ends with a CTE named ``hil`` exposing ``keep`` + ``hd``."""
+    parts = [
+        f"h{bits} AS (SELECT {keep}, CAST({qx} AS BIGINT) AS hx, "
+        f"CAST({qy} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((hx >> {i}) & 1)"
+        ry = f"((hy >> {i}) & 1)"
+        d2 = f"hd + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        fx = f"CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END"
+        fy = f"CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END"
+        x2 = f"CASE WHEN {ry} = 1 THEN hx ELSE ({fy}) END"
+        y2 = f"CASE WHEN {ry} = 1 THEN hy ELSE ({fx}) END"
+        parts.append(
+            f"h{i} AS (SELECT {keep}, ({x2}) AS hx, ({y2}) AS hy, "
+            f"({d2}) AS hd FROM h{i + 1})"
+        )
+    parts.append(f"hil AS (SELECT {keep}, hd FROM h0)")
+    return ",\n    ".join(parts)
+
+
+def hilbert_bucket_stats(
+    df: DataFrame,
+    day: Column,
+    key: Column,
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Hilbert analog of :func:`zorder_bucket_stats`: same global
+    min/max quantization and fixed-width bucketing, but over the
+    Hilbert index — per-bucket envelopes and extent fractions for a
+    direct curve-quality comparison. Same plan: two pruned scans, a
+    1-row broadcast, the staged curve steps (all map-only), one
+    bucket-keyed exchange."""
+    stats = df.agg(
+        F.min(day).cast("long").alias("__dlo"),
+        F.max(day).cast("long").alias("__dhi"),
+        F.min(key).cast("long").alias("__klo"),
+        F.max(key).cast("long").alias("__khi"),
+    )
+    j = df.select(
+        day.cast("long").alias("__d"), key.cast("long").alias("__k")
+    ).crossJoin(F.broadcast(stats))
+    qd = quantize(F.col("__d"), F.col("__dlo"), F.col("__dhi"), bits)
+    qk = quantize(F.col("__k"), F.col("__klo"), F.col("__khi"), bits)
+    cur = with_hilbert_value(j, qd, qk, bits, out_col="__curve")
+    bucket = F.shiftright(F.col("__curve"), 2 * bits - bucket_bits).cast(
+        "long"
+    )
+    per = (
+        cur.select(
+            bucket.alias("bucket"), "__d", "__k",
+            "__dlo", "__dhi", "__klo", "__khi",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__d").alias("day_lo"),
+            F.max("__d").alias("day_hi"),
+            F.min("__k").alias("key_lo"),
+            F.max("__k").alias("key_hi"),
+            F.min("__dlo").alias("__gdlo"),
+            F.min("__dhi").alias("__gdhi"),
+            F.min("__klo").alias("__gklo"),
+            F.min("__khi").alias("__gkhi"),
+        )
+    )
+    dfrac = (F.col("day_hi") - F.col("day_lo") + 1) / (
+        F.col("__gdhi") - F.col("__gdlo") + 1
+    )
+    kfrac = (F.col("key_hi") - F.col("key_lo") + 1) / (
+        F.col("__gkhi") - F.col("__gklo") + 1
+    )
+    return per.select(
+        "bucket", "n_rows", "day_lo", "day_hi", "key_lo", "key_hi",
+        dfrac.alias("day_extent_frac"), kfrac.alias("key_extent_frac"),
+    )

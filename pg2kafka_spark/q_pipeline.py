@@ -2615,3 +2615,61 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = ml.logistic_train(feats, ["x1", "x2"], "y", iters=2, lr=4.0)
     return ml.logistic_score(feats, w, ["x1", "x2"])
+
+
+def _hilbert_oracle(bits: int = 8, bucket_bits: int = 6) -> str:
+    from pg2kafka_spark.operators.layout import hilbert_sql_ctes, quantize_sql
+
+    qd = quantize_sql("day", "dlo", "dhi", bits)
+    qk = quantize_sql("k", "klo", "khi", bits)
+    keep = "day, k, dlo, dhi, klo, khi"
+    shift = 2 * bits - bucket_bits
+    return f"""
+    WITH base AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT)
+               AS day,
+             CAST(l_partkey AS BIGINT) AS k
+      FROM lineitem
+    ),
+    s AS (
+      SELECT min(day) AS dlo, max(day) AS dhi,
+             min(k) AS klo, max(k) AS khi
+      FROM base
+    ),
+    q AS (
+      SELECT day, k, dlo, dhi, klo, khi,
+             {qd} AS qd, {qk} AS qk
+      FROM base, s
+    ),
+    {hilbert_sql_ctes("q", "qd", "qk", bits, keep)}
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(day) AS day_lo, max(day) AS day_hi,
+           min(k) AS key_lo, max(k) AS key_hi,
+           (max(day) - min(day) + 1) / (min(dhi) - min(dlo) + 1)
+             AS day_extent_frac,
+           (max(k) - min(k) + 1) / (min(khi) - min(klo) + 1)
+             AS key_extent_frac
+    FROM (SELECT (hd >> {shift}) AS bucket, day, k, dlo, dhi, klo, khi
+          FROM hil)
+    GROUP BY 1
+    """
+
+
+@query("hilbert_layout_stats", oracle=_hilbert_oracle())
+def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout quality over the same (ship-day, partkey)
+    plane as ``zorder_layout_stats`` — the better-locality curve
+    (Databricks liquid clustering's choice): same quantization, same
+    64 fixed-width buckets, directly comparable envelopes. The
+    per-bit rotate/flip steps are STAGED projections (linear plan
+    growth; a nested-expression spelling is ~4^bits nodes) and the
+    oracle chains one generated CTE per bit from the same
+    arithmetic. See ``operators/layout.with_hilbert_value``."""
+    from pg2kafka_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir)
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    return L.hilbert_bucket_stats(
+        li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
+    )

@@ -220,3 +220,57 @@ def test_zorder_write_produces_tight_file_envelopes(spark, sf_dir, tmp_path):
     # the sampled range boundaries; unsorted layout gives ~1.0)
     assert mean_d < 0.5, (mean_d, fracs)
     assert mean_k < 0.5, (mean_k, fracs)
+
+
+def test_hilbert_value_matches_reference_algorithm(spark):
+    from pg2kafka_spark.operators import layout as L
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(0, 256, 37) for y in range(0, 256, 41)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out = L.with_hilbert_value(
+        df, F.col("x").cast("long"), F.col("y").cast("long"), 8, "hd"
+    ).collect()
+    for r in out:
+        assert r["hd"] == xy2d(256, r["x"], r["y"]), (r["x"], r["y"])
+    # a Hilbert index is a bijection onto [0, 4^bits)
+    small = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    hs = [
+        r["hd"]
+        for r in L.with_hilbert_value(
+            small, F.col("x").cast("long"), F.col("y").cast("long"), 3, "hd"
+        ).collect()
+    ]
+    assert sorted(hs) == list(range(64))
+
+
+def test_hilbert_buckets_cover_small_rectangles(spark, sf_dir):
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import layout as L
+
+    li = load_table(spark, "lineitem", sf_dir)
+    day = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    stats = L.hilbert_bucket_stats(
+        li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
+    ).collect()
+    assert len(stats) > 8
+    assert sum(r["n_rows"] for r in stats) == li.count()
+    for r in stats:
+        assert r["day_extent_frac"] <= 0.2, r
+        assert r["key_extent_frac"] <= 0.2, r
