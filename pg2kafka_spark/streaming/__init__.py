@@ -19,6 +19,7 @@ from pg2kafka_spark.streaming.relay import (
     start_relay,
 )
 from pg2kafka_spark.streaming.windows import (
+    change_stats_stream,
     dedup_events_by_uuid,
     events_per_session_window,
     events_per_window,
@@ -31,6 +32,7 @@ __all__ = [
     "drain_backlog",
     "read_event_stream",
     "start_relay",
+    "change_stats_stream",
     "dedup_events_by_uuid",
     "events_per_session_window",
     "events_per_window",

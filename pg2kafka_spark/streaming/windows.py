@@ -199,3 +199,73 @@ def join_streams_within(
     out = [F.col(f"l.{c}").alias(c) for c in left.columns]
     out += [F.col(f"r.{c}").alias(f"{right_prefix}{c}") for c in right.columns]
     return joined.select(*out)
+
+
+def _build_change_stats_processor():
+    """Build the StatefulProcessor for :func:`change_stats_stream`
+    lazily — subclassing the pyspark 4 class at module import would
+    break older runtimes; deferring keeps the module importable
+    everywhere."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ChangeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "stats", "n_changes BIGINT, last_us BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                prev = self._st.get()
+                n, last = int(prev[0]), int(prev[1])
+            else:
+                n, last = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                last = max(last, int(pdf["ts_us"].max()))
+            self._st.update((n, last))
+            yield pd.DataFrame(
+                {
+                    "external_id": [key[0]],
+                    "n_changes": [n],
+                    "last_us": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ChangeStats()
+
+
+def change_stats_stream(events: DataFrame) -> DataFrame:
+    """Per-key change statistics on the relay stream via
+    ``transformWithStateInPandas`` — the Spark 4 arbitrary-state API
+    (successor to ``applyInPandasWithState``): named state variables
+    with their own schemas, explicit ``exists()/get()/update()``, and
+    room for timers/TTL — the API surface a production relay's
+    per-key bookkeeping (counts, last-seen, compaction hints) grows
+    into. Maintains one (n_changes, last_us) ValueState per
+    external_id, folded across micro-batches; emits the key's running
+    totals each batch in update mode.
+
+    Same scale contract as ``latest_state_stream``: state is O(live
+    keys), hash-partitioned by key.
+
+    Runtime dependency: the TWS state server speaks protobuf
+    (``google.protobuf``) between the JVM and the Python driver
+    worker — absent from this container, so the e2e test import-skips
+    (the operator itself is plain pyspark and runs wherever Spark 4's
+    streaming extras are installed).
+    """
+    ev = events.withColumn("ts_us", F.unix_micros(F.col("created_at")))
+    return ev.groupBy("external_id").transformWithStateInPandas(
+        statefulProcessor=_build_change_stats_processor(),
+        outputStructType="external_id string, n_changes bigint, last_us bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

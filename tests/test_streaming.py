@@ -542,3 +542,66 @@ def test_streaming_ingest_dedups_against_static_store(spark, tmp_path):
     # group membership, not representative identity, is the contract)
     assert got_fps == want_fps
     assert len(got_fps) > 0
+
+
+def test_transform_with_state_change_stats_folds_across_batches(
+    spark, outbox, tmp_path
+):
+    """Spark 4 transformWithStateInPandas: the per-key ValueState must
+    fold across micro-batches (page_files=1 forces one file per
+    batch) and the final emitted totals must equal the batch
+    aggregate. The TWS runtime speaks protobuf to its state server —
+    absent from this container, so the e2e skips where the wire
+    dependency is missing (same honesty rule as the multimodal
+    codecs); the operator itself is plain pyspark."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState state server requires protobuf",
+    )
+    from pg2kafka_spark.streaming import change_stats_stream
+
+    rows_a = [
+        _event(1, "users", "INSERT", "{}", key="a", ts=T0),
+        _event(2, "users", "UPDATE", "{}", key="a", ts=T0 + timedelta(minutes=1)),
+        _event(3, "users", "UPDATE", "{}", key="b", ts=T0 + timedelta(minutes=2)),
+    ]
+    rows_b = [
+        _event(4, "users", "UPDATE", "{}", key="a", ts=T0 + timedelta(minutes=9)),
+        _event(5, "users", "DELETE", "{}", key="b", ts=T0 + timedelta(minutes=5)),
+    ]
+    _write_events(spark, rows_a, outbox)
+    _write_events(spark, rows_b, outbox, n_files=2)
+
+    events = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(outbox)
+    )
+    q = (
+        change_stats_stream(events)
+        .writeStream.queryName("tws_stats")
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "tws_ckpt")
+        )
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select * from tws_stats"
+    ).collect()
+    # update mode re-emits per batch; the LAST emission per key is the
+    # folded total
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["external_id"])
+        if cur is None or r["n_changes"] > cur["n_changes"]:
+            latest[r["external_id"]] = r
+    assert latest["a"]["n_changes"] == 3
+    assert latest["b"]["n_changes"] == 2
+    import calendar
+
+    want_last_a = int((T0 + timedelta(minutes=9)).timestamp() * 1_000_000)
+    assert latest["a"]["last_us"] == want_last_a
