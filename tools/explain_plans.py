@@ -288,6 +288,14 @@ COMMENTARY = {
         "query batches in production; the codebook table (64 rows) "
         "broadcasts everywhere."
     ),
+    "hilbert_layout_stats": (
+        "Hilbert layout quality: identical skeleton to the z-order "
+        "plan (two pruned scans, 1-row broadcast, one 64-key "
+        "exchange), but the curve is 8 STAGED rotate/flip projections "
+        "— the staging keeps plan growth linear in bits where a "
+        "nested spelling is ~4^bits nodes. All map-only between the "
+        "broadcast and the bucket agg."
+    ),
     "doc_quality_classifier": (
         "Trained logistic classifier: each gradient-descent iteration "
         "is one map-only scoring pass against the broadcast 1-row "
