@@ -1266,3 +1266,98 @@ def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_locf"),
         F.col("sum_value_interp"),
     )
+
+
+@query(
+    "mktsegment_rollup_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(27,12))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def mktsegment_rollup_salted_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue per market segment through the SALTED join
+    (operators/skew.salted_join): the big side carries a
+    deterministic salt, the small side replicates salt×, so one hot
+    customer key spreads over 16 shuffle partitions instead of one
+    straggler task. Semantically identical to the plain equi-join —
+    the oracle IS the plain join — and the sum runs in DECIMAL so the
+    extra partitioning cannot flip a bit (the salted-agg
+    discipline)."""
+    from pg2kafka_spark.operators.skew import salted_join
+
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    j = salted_join(orders, cust.select("custkey", "c_mktsegment"), on="custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(27,12)")).cast("double"),
+            2,
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "brand_share_by_year",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN p.p_type = 'ECONOMY'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(27,12))
+                     ELSE CAST(0 AS DECIMAL(27,12)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(27,12))) AS DOUBLE), 6)
+             AS economy_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): per order year, the
+    ECONOMY-type share of discounted revenue — the
+    conditional-sum-over-sum aggregation pattern. ``part`` is a true
+    dimension and broadcasts; ``orders`` is a FACT (¼ of lineitem's
+    rows at any scale), so that join is deliberately left to the
+    planner — at 100 TB it's the classic co-partitioned fact-fact
+    join (bucket both by orderkey and it needs no shuffle at all;
+    unbucketed, AQE picks SMJ/shuffle-hash), while at test scale AQE
+    broadcasts it. Both sums run in DECIMAL (the revenue expression
+    is a per-row double product cast BEFORE summing, so partial order
+    can't flip bits) with ONE final double division rounded to 6."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(27,12)"
+    )
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast("decimal(27,12)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(econ).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("economy_share")
+        )
+    )

@@ -263,3 +263,11 @@ def test_strict_packing_no_global_sort(spark, sf_dir):
     # exchange feeds the window partitioning
     assert p.count(" Exchange (") == 1
     assert "Generate" in p  # the bounded pack explode
+
+
+def test_salted_join_replicates_small_side_and_keys_on_salt(spark, sf_dir):
+    p = plan_of(spark, "mktsegment_rollup_salted_join", sf_dir)
+    # the small side's 16-way salt replication is an explode
+    assert "Generate" in p and "explode" in p
+    # the join condition carries the salt key alongside the equi-key
+    assert "__salt" in p
