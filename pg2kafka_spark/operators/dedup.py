@@ -1113,6 +1113,7 @@ def duplicated_segment_scrub(
     text_col: str = "text",
     seg_words: int = 8,
     min_docs: int = 2,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Corpus-level duplicated-segment removal — the unstructured-text
     analog of RefinedWeb/CCNet line-level dedup (there a "line" is a
@@ -1127,6 +1128,11 @@ def duplicated_segment_scrub(
     document-level gate), this op rewrites the corpus: the output is
     one row per input document with the scrubbed text fingerprint and
     kept/removed counts — the shape a downstream tokenizer consumes.
+    Pass ``emit_text=True`` to get the REWRITTEN text column itself
+    (the actual corpus-rewrite output) instead of its md5; the
+    registered query keeps the fingerprint form so the full rewrite
+    stays hash-checkable without shipping megabytes through the
+    comparator.
 
     Plan (2 uniform-key shuffles + 1 join, scale-safe at 100 TB):
 
@@ -1197,12 +1203,15 @@ def duplicated_segment_scrub(
         ),
         " ",
     )
-    return marked.groupBy(id_col).agg(
+    out = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
-        F.md5(kept_text).alias("scrubbed_fp"),
+        (kept_text if emit_text else F.md5(kept_text)).alias(
+            "text" if emit_text else "scrubbed_fp"
+        ),
         F.length(kept_text).cast("long").alias("n_chars_kept"),
     )
+    return out
 
 
 def incremental_near_dup(

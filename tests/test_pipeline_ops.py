@@ -1129,3 +1129,24 @@ def test_logistic_train_learns_separable_labels(spark):
     # determinism: retraining yields identical weights
     (wrow2,) = ml.logistic_train(feats, ["x1"], "y", iters=8, lr=4.0).collect()
     assert wrow == wrow2
+
+
+def test_segment_scrub_emit_text_returns_rewritten_corpus(spark):
+    from pg2kafka_spark.operators.dedup import duplicated_segment_scrub
+
+    boiler = "click here to subscribe now"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta eps"),
+            (2, boiler + " zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in duplicated_segment_scrub(
+            df, seg_words=5, min_docs=2, emit_text=True
+        ).collect()
+    }
+    assert out[1] == "alpha beta gamma delta eps"
+    assert out[2] == "zeta eta theta iota kappa"
