@@ -37,6 +37,10 @@ HEADLINE = {
     "incremental_near_dup_batch": "documents",
     "zorder_layout_stats": "lineitem",
     "doc_pack_spans_strict": "documents",
+    "hilbert_layout_stats": "lineitem",
+    "daily_ingest_keep_list": "documents",
+    "doc_bigram_surprisal": "documents",
+    "scd2_user_history": "events",
 }
 
 
