@@ -63,6 +63,20 @@ def main() -> None:
         "simhash_near_pairs r=4 capped (full recall h<4)",
         D.simhash_near_pairs(corpus, rotations=4),
     )
+    timed(
+        "doc_segment_scrub (55k docs, 5k-copy boilerplate)",
+        D.duplicated_segment_scrub(corpus),
+    )
+    # store = variants 0-4 of every doc; batch = variants 5-9 + the
+    # boilerplate cluster — every batch variant near-dups 5 store
+    # variants of its base doc, and the 5k-copy cluster exercises the
+    # store-side band cap from the batch direction
+    store = corpus.filter(F.col("doc_id") < 5_000_000)
+    batch = corpus.filter(F.col("doc_id") >= 5_000_000)
+    timed(
+        "incremental_near_dup CAPPED (25k store / 30k batch)",
+        D.incremental_near_dup(store, batch),
+    )
 
     emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
     embx = (
