@@ -2673,3 +2673,63 @@ def hilbert_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.hilbert_bucket_stats(
         li, day=day, key=F.col("l_partkey"), bits=8, bucket_bits=6
     )
+
+
+@query(
+    "corpus_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             string_split(text, ' ') AS toks,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, lang, source, fp,
+             len(toks) AS n_tok,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr
+      FROM t
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           count(DISTINCT fp) AS n_unique_docs,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(count(*) FILTER (WHERE n_tok >= 30 AND ttr >= 0.3)
+                AS BIGINT) AS n_pass_gates,
+           round(min(ttr), 6) AS min_ttr,
+           round(max(ttr), 6) AS max_ttr
+    FROM per
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — the health summary a pipeline
+    operator reads before launching a run: doc/token totals,
+    exact-dup level (distinct fingerprints vs docs), language/source
+    coverage, and how much survives the standard quality gates. One
+    aggregate pass over a map-only feature projection (two-level
+    distinct counts on uniform keys); at 100 TB swap the exact
+    distincts for the portable HLL sketches (operators/sketch) —
+    identical query shape."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    ttr = X.unique_token_count(t) * 1.0 / n_tok
+    per = docs.select(
+        "doc_id", "lang", "source",
+        X.fingerprint(t).alias("fp"),
+        n_tok.alias("n_tok"),
+        ttr.alias("ttr"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            ((F.col("n_tok") >= 30) & (F.col("ttr") >= 0.3)).cast("long")
+        ).alias("n_pass_gates"),
+        F.round(F.min("ttr"), 6).alias("min_ttr"),
+        F.round(F.max("ttr"), 6).alias("max_ttr"),
+    )

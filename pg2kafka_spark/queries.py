@@ -20,7 +20,10 @@ from pg2kafka_spark.qreg import ORACLES, QUERIES, QueryFn, query
 # q_cdc + q_relational back to the front so the 28 queries that fell
 # outside the r5 window regain fresh driver rows. Whatever falls
 # outside the window is always covered by the committed full-surface
-# CORRECTNESS_LOCAL artifact regenerated every round.
+# CORRECTNESS_LOCAL artifact regenerated every round. r7 NOTE: rotate
+# q_pipeline first again so the ~60 pipeline queries past the r6
+# window (incl. the new scrub/PQ/classifier/DSIR family) regain
+# driver rows, then keep alternating.
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
