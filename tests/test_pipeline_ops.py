@@ -1150,3 +1150,73 @@ def test_segment_scrub_emit_text_returns_rewritten_corpus(spark):
     }
     assert out[1] == "alpha beta gamma delta eps"
     assert out[2] == "zeta eta theta iota kappa"
+
+
+def test_segment_scrub_fuzz_vs_python_reference(spark):
+    """Property fuzz: on random small corpora the Spark rewrite must
+    equal an independently-written Python reference (segmentation,
+    corpus-wide dup threshold, order-preserving reassembly)."""
+    import hashlib
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from pg2kafka_spark.operators.dedup import duplicated_segment_scrub
+
+    VOCAB = ["aa", "bb", "cc", "dd"]
+
+    def ref_scrub(texts, w, min_docs):
+        def norm(t):
+            return re.sub(r"\s+", " ", t.lower()).strip()
+
+        segs_by_doc = {}
+        for i, t in texts.items():
+            toks = norm(t).split(" ")
+            segs_by_doc[i] = [
+                " ".join(toks[j : j + w]) for j in range(0, len(toks), w)
+            ]
+        owners = {}
+        for i, segs in segs_by_doc.items():
+            for s in set(segs):
+                owners.setdefault(s, set()).add(i)
+        dup = {s for s, o in owners.items() if len(o) >= min_docs}
+        out = {}
+        for i, segs in segs_by_doc.items():
+            kept = [s for s in segs if s not in dup]
+            text = " ".join(kept)
+            out[i] = (
+                len(segs),
+                sum(1 for s in segs if s in dup),
+                hashlib.md5(text.encode()).hexdigest(),
+                len(text),
+            )
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=1, max_size=12),
+            min_size=2,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    def check(docs_tokens, w):
+        texts = {i: " ".join(toks) for i, toks in enumerate(docs_tokens)}
+        df = spark.createDataFrame(
+            list(texts.items()), ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_segments"],
+                r["n_removed"],
+                r["scrubbed_fp"],
+                r["n_chars_kept"],
+            )
+            for r in duplicated_segment_scrub(
+                df, seg_words=w, min_docs=2
+            ).collect()
+        }
+        assert got == ref_scrub(texts, w, 2)
+
+    check()

@@ -282,3 +282,75 @@ def test_locf_and_interpolate_hand_series(spark):
     assert out[4]["sum_value_interp"] == 40.0
     assert out[5]["sum_value_locf"] == 40.0
     assert out[5]["sum_value_interp"] == 40.0
+
+
+def test_locf_interpolate_fuzz_vs_python_reference(spark):
+    """Property fuzz: arbitrary gap patterns against an independent
+    Python reference for both fill modes."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.temporal import locf_and_interpolate
+
+    def ref(vals):
+        n = len(vals)
+        obs = [(i, v) for i, v in enumerate(vals) if v is not None]
+        locf, interp = [], []
+        for i, v in enumerate(vals):
+            prev = next(((j, x) for j, x in reversed(obs) if j <= i), None)
+            nxt = next(((j, x) for j, x in obs if j >= i), None)
+            locf.append(prev[1] if prev else None)
+            if v is not None:
+                interp.append(float(v))
+            elif prev is None:
+                interp.append(float(nxt[1]) if nxt else None)
+            elif nxt is None:
+                interp.append(float(prev[1]))
+            else:
+                (pj, pv), (nj, nv) = prev, nxt
+                frac = (i - pj) * 3600 * 1.0 / ((nj - pj) * 3600)
+                interp.append(round(pv + (nv - pv) * frac, 6))
+        return locf, interp
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-100, max_value=100,
+                    allow_nan=False, allow_infinity=False,
+                ).map(lambda x: round(x, 2)),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(vals):
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            ("k", base + dt.timedelta(hours=i), v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, bucket timestamp, sum_value double"
+        )
+        out = sorted(
+            locf_and_interpolate(
+                df, "bucket", ["event_type"], "sum_value"
+            ).collect(),
+            key=lambda r: r["bucket"],
+        )
+        want_locf, want_interp = ref(vals)
+        got_locf = [r["sum_value_locf"] for r in out]
+        got_interp = [r["sum_value_interp"] for r in out]
+        assert got_locf == want_locf, (vals, got_locf, want_locf)
+        for g, w in zip(got_interp, want_interp):
+            if w is None:
+                assert g is None
+            else:
+                assert abs(g - w) < 1e-9, (vals, got_interp, want_interp)
+
+    check()
