@@ -34,20 +34,35 @@ def quantize(v: Column, lo: Column, hi: Column, bits: int) -> Column:
     quotient is computed in DECIMAL(38) — exact for any 64-bit
     input — then floored; DuckDB's ``//`` on BIGINTs is the same
     floor-division for the non-negative operands here."""
-    span = (hi - lo + F.lit(1)).cast("decimal(38,0)")
-    q = (v - lo).cast("decimal(38,0)") * F.lit(1 << bits)
+    # every subtraction happens IN decimal: `hi - lo + 1` as longs
+    # overflows (ANSI throws) the moment the span covers most of the
+    # 64-bit range — caught by the 2^62-extremes test
+    vd = v.cast("decimal(38,0)")
+    lod = lo.cast("decimal(38,0)")
+    hid = hi.cast("decimal(38,0)")
+    span = hid - lod + F.lit(1)
+    q = (vd - lod) * F.lit(1 << bits)
+    # floor(q/span) via the exact-multiple trick: Spark's decimal
+    # division ROUNDS to the result scale before any floor (a true
+    # quotient of 127.999999999...97 rounds to 128.000000 — caught by
+    # the 2^62-extremes test). `q - q%span` is an exact multiple, so
+    # its division is an integer the rounding cannot move.
+    exact_multiple = q - (q % span)
     return F.least(
         F.lit((1 << bits) - 1).cast("long"),
-        F.floor(q / span).cast("long"),
+        (exact_multiple / span).cast("long"),
     )
 
 
 def quantize_sql(v: str, lo: str, hi: str, bits: int) -> str:
     """DuckDB spelling of :func:`quantize` — generated from the same
-    constants so the sides cannot drift."""
+    constants so the sides cannot drift. HUGEINT (int128) carries the
+    wide arithmetic, mirroring the Spark side's DECIMAL: a BIGINT
+    `hi - lo + 1` overflows on near-full-range spans."""
     return (
-        f"least({(1 << bits) - 1}, "
-        f"(CAST({v} AS BIGINT) - {lo}) * {1 << bits} // ({hi} - {lo} + 1))"
+        f"CAST(least({(1 << bits) - 1}, "
+        f"(CAST({v} AS HUGEINT) - {lo}) * {1 << bits}"
+        f" // (CAST({hi} AS HUGEINT) - {lo} + 1)) AS BIGINT)"
     )
 
 

@@ -274,3 +274,75 @@ def test_hilbert_buckets_cover_small_rectangles(spark, sf_dir):
     for r in stats:
         assert r["day_extent_frac"] <= 0.2, r
         assert r["key_extent_frac"] <= 0.2, r
+
+
+def test_quantize_exact_at_64bit_extremes(spark):
+    """The DECIMAL(38) quantizer claims exactness for ANY 64-bit
+    input — double math would silently misbucket past 2^53. Check
+    against Python big-int floor division at the extremes."""
+    from pg2kafka_spark.operators import layout as L
+
+    lo, hi = -(1 << 62), (1 << 62) - 1
+    span = hi - lo + 1
+    vals = [
+        lo, hi, 0, 1, -1,
+        (1 << 53) + 1, -(1 << 53) - 1,
+        (1 << 61) + 12345, -(1 << 61) - 54321,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {
+        r["v"]: r["q"]
+        for r in df.select(
+            "v",
+            L.quantize(
+                F.col("v"), F.lit(lo).cast("long"),
+                F.lit(hi).cast("long"), 8,
+            ).alias("q"),
+        ).collect()
+    }
+    for v in vals:
+        want = min(255, ((v - lo) * 256) // span)
+        assert out[v] == want, (v, out[v], want)
+
+
+def test_per_key_cap_fuzz_matches_naive_window(spark):
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window
+
+    from pg2kafka_spark.operators.assembly import per_key_cap
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(rows, cap, n_salts):
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = {
+            (r["doc_id"], r["key_rank"])
+            for r in per_key_cap(
+                df, key_col="source", id_col="doc_id",
+                cap=cap, n_salts=n_salts,
+            ).collect()
+        }
+        h = portable_int_hash(F.col("doc_id"))
+        w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+        want = {
+            (r["doc_id"], r["key_rank"])
+            for r in df.withColumn("key_rank", F.row_number().over(w))
+            .filter(F.col("key_rank") <= cap)
+            .collect()
+        }
+        assert got == want, (rows, cap, n_salts)
+
+    check()
