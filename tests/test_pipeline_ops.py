@@ -1220,3 +1220,59 @@ def test_segment_scrub_fuzz_vs_python_reference(spark):
         assert got == ref_scrub(texts, w, 2)
 
     check()
+
+
+def test_bigram_surprisal_fuzz_vs_python_reference(spark):
+    import math
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from pg2kafka_spark.operators.text import bigram_surprisal
+
+    VOCAB = ["x", "yy", "zzz"]
+
+    def ref(texts):
+        def norm(t):
+            return re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+
+        c1, c2 = {}, {}
+        for t in texts.values():
+            toks = norm(t)
+            for w in toks:
+                c1[w] = c1.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+        v = len(c1)
+        out = {}
+        for i, t in texts.items():
+            toks = norm(t)
+            if len(toks) < 2:
+                continue
+            bits = [
+                round(
+                    math.log((c1[a] + v) / (c2[(a, b)] + 1)) / math.log(2) * 1e6
+                )
+                for a, b in zip(toks, toks[1:])
+            ]
+            out[i] = (len(bits), sum(bits) // len(bits))
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(docs_tokens):
+        texts = {i: " ".join(t) for i, t in enumerate(docs_tokens)}
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_surprisal_microbits"])
+            for r in bigram_surprisal(df).collect()
+        }
+        assert got == ref(texts), (texts, got, ref(texts))
+
+    check()
