@@ -1340,7 +1340,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT count(*) AS t FROM tok),
     per_doc AS (
       SELECT doc_id, count(*) AS n_tokens,
-             sum(CAST(round(ln(CAST(t AS DOUBLE) / c) / ln(2) * 1000000) AS BIGINT))
+             CAST(sum(CAST(round(ln(CAST(t AS DOUBLE) / c) / ln(2) * 1000000)
+                           AS BIGINT)) AS BIGINT)
                AS s
       FROM tok JOIN cnt USING (term) CROSS JOIN tot
       GROUP BY doc_id

@@ -745,12 +745,14 @@ def _bloom_oracle() -> str:
       FROM lineitem l CROSS JOIN __bloom
     )
     SELECT count(*) AS n_probe,
-           sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_pass,
-           sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
-           sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
-             AS n_false_pos,
-           sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END)
-             AS n_false_neg
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(sum(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN is_match AND NOT bloom_pass THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_neg
     FROM flagged
     """
 

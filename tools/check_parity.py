@@ -80,20 +80,23 @@ def main() -> None:
             dtypes_differ = rows and schema and not all(
                 sdf[c].dtype == odf[c].dtype for c in sdf.columns
             )
-            if rows and schema:
-                try:
-                    odf2 = odf.astype(sdf.dtypes.to_dict())
-                except (TypeError, ValueError):
-                    odf2 = odf
-                hmatch = value_hash(sdf) == value_hash(odf2)
-            else:
-                hmatch = False
+            # Hash WITHOUT dtype coercion: the driver hashes exact bit
+            # patterns, so an int64-vs-float64 divergence with equal
+            # values IS a driver failure (r6 `bloom_semijoin_prune`
+            # lesson — the old coercion here masked it locally).
+            hmatch = rows and schema and value_hash(sdf) == value_hash(odf)
             rec.update(
                 rows_match=rows, schema_match=schema, hash_match=hmatch,
                 spark_rows=len(sdf), oracle_rows=len(odf),
             )
+            if dtypes_differ:
+                rec["dtype_mismatch"] = {
+                    c: f"{sdf[c].dtype}!={odf[c].dtype}"
+                    for c in sdf.columns
+                    if sdf[c].dtype != odf[c].dtype
+                }
             flag = "OK " if (rows and schema and hmatch) else "FAIL"
-            note = " (dtype-coerced)" if dtypes_differ else ""
+            note = " (DTYPE MISMATCH)" if dtypes_differ else ""
             if flag == "FAIL":
                 failures.append(name)
             print(
