@@ -82,7 +82,7 @@ def brute_force_topk(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -174,7 +174,9 @@ def lsh_bucket_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 #: Knuth multiplicative constants for the portable pseudo-random
@@ -251,17 +253,30 @@ def kmeans_centroids(
             .withColumn("__arn", F.row_number().over(asg_w))
             .filter(F.col("__arn") == 1)
         )
-        # Per-component means via EXACT decimal sums, not avg(double):
-        # a double partial-sum order depends on partition layout, so a
-        # sum near a 5e-7 rounding boundary could flip the 6th decimal
-        # across core counts or vs the oracle (the same discipline as
-        # the salted-agg DECIMAL caveat). decimal(27,15) keeps 15 dp of
-        # each component exactly; the sum is order-independent; ONE
-        # double division + round(6) at the end is deterministic.
+        # Per-component means via EXACT fixed-point bigint sums, not
+        # avg(double): a double partial-sum order depends on partition
+        # layout, so a sum near a 5e-7 rounding boundary could flip
+        # the 6th decimal across core counts or vs the oracle (the
+        # same discipline as the salted-agg DECIMAL caveat). Each
+        # component is rounded once to 1e-9 (3 decades below the 6-dp
+        # output rounding) and summed as a LONG — order-independent,
+        # and ~25% cheaper per training pass than the decimal(27,15)
+        # formulation this replaces (the r6→r5 `embedding_ann_ivf`
+        # regression, A/B'd in BASELINE.md: decimal sums pay a
+        # BigDecimal conversion per component per row; long sums stay
+        # in whole-stage codegen primitives). Overflow bound:
+        # Σ|x_i|·1e9 per cell < 2⁶³ ⇒ safe while
+        # cell_rows · max|component| < 9.2e9 — embeddings are
+        # unit-scale, and at real corpus size training runs on
+        # ``train_sample`` rows anyway (pass it; the bound then holds
+        # by construction). ONE double division + round(6) at the end
+        # is deterministic IEEE on any engine.
         sums = asg.groupBy("cid").agg(
             F.count(F.lit(1)).alias("__n"),
             *[
-                F.sum(F.col("__cv").getItem(i).cast("decimal(27,15)")).alias(f"__s{i}")
+                F.sum(
+                    F.round(F.col("__cv").getItem(i) * F.lit(1.0e9)).cast("bigint")
+                ).alias(f"__s{i}")
                 for i in range(dim)
             ],
         )
@@ -269,7 +284,11 @@ def kmeans_centroids(
             "cid",
             F.array(
                 *[
-                    F.round(F.col(f"__s{i}").cast("double") / F.col("__n"), 6)
+                    F.round(
+                        F.col(f"__s{i}").cast("double")
+                        / (F.col("__n").cast("double") * F.lit(1.0e9)),
+                        6,
+                    )
                     for i in range(dim)
                 ]
             ).alias("__me"),
@@ -379,27 +398,37 @@ def quantized_topk(
     Cost note: encode/dequant/stats are UNROLLED 64-wide expressions
     on purpose — unrolled arrays run inside whole-stage codegen while
     ``zip_with``/``transform`` lambdas are interpreted-only, so per
-    ROW the unrolled form is ~10× cheaper. The price is one-time
-    analysis/Janino compilation of the ~1500-node trees (~2 s), which
-    dominates the small-SF bench row but amortizes to nothing on a
-    real corpus — the fixed cost is per PLAN, the saving per row.
+    ROW the unrolled form is ~10× cheaper. BUT the encode and scoring
+    stages must stay SEPARATE codegen units: collapsing
+    quantize∘dequantize∘cosine into one fused projection generates a
+    ``processNext()`` past the JVM's 64 KB method limit — Janino then
+    fails on EVERY execution (no negative cache), wasting ~1 s per
+    run before the interpreted fallback (root-caused in round 7,
+    BASELINE.md "64 KB" section). Persisting the coded table severs
+    the composition — which is also the honest index semantics: the
+    int8 codes ARE the stored index; scoring reads codes, not the
+    raw corpus.
     """
-    stats = quantization_stats(corpus, dim, vec_col)
-    c = (
+    from pg2kafka_spark.operators.dedup import _persist
+
+    stats = _persist(quantization_stats(corpus, dim, vec_col))
+    coded = _persist(
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
         .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), _quantize_expr("__cv", dim).alias("__q"), "mns", "steps")
-        .select(F.col(id_col), _dequantize_expr("__q", dim).alias("__cv"))
+        .select(F.col(id_col), _quantize_expr("__cv", dim).alias("__q"))
     )
-    q = (
+    c = coded.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), _dequantize_expr("__q", dim).alias("__cv")
+    )
+    qcoded = _persist(
         queries.select(
             F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
         )
         .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(query_id_col), _quantize_expr("__qv", dim).alias("__q"), "mns", "steps"
-        )
-        .select(F.col(query_id_col), _dequantize_expr("__q", dim).alias("__qv"))
+        .select(F.col(query_id_col), _quantize_expr("__qv", dim).alias("__q"))
+    )
+    q = qcoded.crossJoin(F.broadcast(stats)).select(
+        F.col(query_id_col), _dequantize_expr("__q", dim).alias("__qv")
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -413,7 +442,7 @@ def quantized_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("qcos_sim").desc(), F.col(id_col).asc()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
 
@@ -593,7 +622,7 @@ def ivf_topk(
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
         )
-        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -706,6 +735,91 @@ def embedding_near_dup_pairs(
 
     return rep.groupBy("blo", "bhi").applyInPandas(
         kernel, "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+def rademacher_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """±1 hyperplanes from a seeded PRNG — the PORTABLE sibling of
+    :func:`_hyperplanes`. With ±1 coefficients the projection
+    ``dot(v, plane)`` is a sequential fold of ``±v_i`` — exact IEEE
+    additions in a fixed order, which DuckDB's ``list_inner_product``
+    reproduces bit-for-bit (the same property the cosine oracles rely
+    on) — so the SIGN of the projection, hence the bucket id, is
+    engine-portable with no tolerance. Gaussian planes don't have
+    this: their BLAS matmul can flip a sign within summation-order
+    noise of zero. Sign quality: Rademacher projections are a
+    standard sparse replacement for Gaussian ones (Achlioptas'01) —
+    per-bit collision probability is still monotone in the angle."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(num_planes)
+    ]
+
+
+def portable_lsh_signature(
+    vec: Column, num_planes: int, dim: int, seed: int = 42
+) -> Column:
+    """m-bit Rademacher-hyperplane signature as a BIGINT bucket id,
+    computed JVM-side as ``num_planes`` sequential zip_with/aggregate
+    folds — interpreted HOFs, so this is the ORACLE-CHECKABLE twin of
+    the BLAS :func:`hyperplane_signature`, not its replacement on the
+    discovery hot path (m folds × dim per row vs one matmul)."""
+    v = as_double(vec)
+    bucket = F.lit(0).cast("bigint")
+    for j, plane in enumerate(rademacher_planes(num_planes, dim, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(
+            dot(v, p) >= 0, F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def embedding_near_dup_lsh_portable(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Single-table hyperplane-LSH near-dup discovery under the
+    portable-signature contract: bucket on the Rademacher signature
+    (one uniform-key shuffle), expand pairs only within a bucket,
+    verify with exact 6-dp cosine ≥ ``threshold``. Emits
+    ``(id_a, id_b, bucket, cos_sim)`` — bucket included so the oracle
+    hash-checks the SIGNATURE math, not just the surviving pairs.
+
+    This is the hash-checkable twin of the production
+    :func:`embedding_near_dup_lsh` (multi-table, BLAS signatures,
+    capped buckets): same plan shape — signature projection, equality
+    self-join on the bucket key, verify-on-candidates — with every
+    stage SQL-expressible. Single-table recall is 1−θ/π per bit; the
+    production path stacks tables for recall, this one exists to pin
+    the per-table semantics."""
+    thr = float(threshold)
+    sig = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        as_double(F.col(vec_col)).alias("e"),
+        portable_lsh_signature(F.col(vec_col), num_planes, dim, seed).alias(
+            "bucket"
+        ),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cosine(F.col("a.e"), F.col("b.e")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= thr)
     )
 
 
@@ -888,19 +1002,26 @@ def ivf_sq8_topk(
     cid exchange as :func:`ivf_topk`, plus zero extra shuffles for
     the quantization.
     """
+    from pg2kafka_spark.operators.dedup import _persist
+
     cents = kmeans_centroids(
         corpus, n_centroids, train_iters, dim, id_col, vec_col
     )
-    stats = quantization_stats(corpus, dim, vec_col)
+    stats = _persist(quantization_stats(corpus, dim, vec_col))
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     cells = assign_cells(c, cents, id_col)
-    coded = (
-        cells.crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col), "cid", _quantize_expr("__cv", dim).alias("__q"),
-            "mns", "steps",
+    # The persisted (id, cid, codes) table IS the IVF+SQ8 index (1
+    # byte/dim + a cell id per vector); materializing it also keeps
+    # the encode and dequantize+score stages separate codegen units —
+    # fused, the projection overflows Janino's 64 KB method limit and
+    # every execution pays a failed compile (see quantized_topk).
+    coded = _persist(
+        cells.crossJoin(F.broadcast(stats)).select(
+            F.col(id_col), "cid", _quantize_expr("__cv", dim).alias("__q")
         )
-        .select(F.col(id_col), "cid", _dequantize_expr("__q", dim).alias("__de"))
+    )
+    coded = coded.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), "cid", _dequantize_expr("__q", dim).alias("__de")
     )
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
@@ -931,7 +1052,7 @@ def ivf_sq8_topk(
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("adc_sim"),
         )
-        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -948,7 +1069,7 @@ def pq_codebooks(
     """Product-quantization codebooks: the vector space is split into
     ``m`` contiguous ``sub_dim``-dim subspaces and each gets its own
     :func:`kmeans_centroids` codebook (portable spherical k-means —
-    same seeding, rounding, and DECIMAL-mean discipline, so the
+    same seeding, rounding, and fixed-point-mean discipline, so the
     training is oracle-checkable per subspace). Returns
     ``(m, cid, __ce)`` — ``m * n_codes`` rows, broadcastable at any
     corpus size (the whole point of PQ: the index stores
@@ -1056,7 +1177,7 @@ def pq_topk(
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("pq_sim"),
         )
-        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

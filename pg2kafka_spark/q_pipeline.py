@@ -669,6 +669,57 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_portable_oracle(
+    num_planes: int = 8, dim: int = 64, seed: int = 42, thr: float = 0.4
+) -> str:
+    """Oracle generator for the portable Rademacher-LSH discovery:
+    the ±1 plane literals come from the SAME
+    ``similarity.rademacher_planes`` call the Spark operator uses, so
+    the engines cannot drift; with ±1 coefficients the projection is
+    a sequential fold DuckDB's ``list_inner_product`` reproduces
+    bit-for-bit, making the bucket id (sign pattern) exact."""
+    planes = S.rademacher_planes(num_planes, dim, seed)
+
+    def lst(p: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+
+    bit_terms = " + ".join(
+        f"CASE WHEN list_inner_product(e, {lst(p)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id AS id, e, CAST(({bit_terms}) AS BIGINT) AS bucket FROM d
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM (
+      SELECT a.id AS id_a, b.id AS id_b, a.bucket AS bucket,
+             round(list_inner_product(a.e, b.e)
+                   / sqrt(list_inner_product(a.e, a.e)
+                          * list_inner_product(b.e, b.e)), 6) AS cos_sim
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+    ) WHERE cos_sim >= {thr}
+    """
+
+
+@query(
+    "embedding_near_dup_lsh_portable",
+    oracle=_lsh_portable_oracle(num_planes=6, thr=0.3),
+)
+def embedding_near_dup_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH discovery under an EXACT oracle: Rademacher
+    (±1) plane signatures — sequential-fold projections whose SIGNS
+    are bit-identical between Spark's zip_with/aggregate folds and
+    DuckDB's ``list_inner_product`` — bucket self-join, exact-cosine
+    verify. Hash-checks the whole per-table LSH pipeline (signature
+    bits INCLUDED — ``bucket`` is an output column), the previously
+    rows-only part of ``embedding_near_dup_lsh_pairs``; the
+    multi-table BLAS path keeps its recall/subset property tests."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.embedding_near_dup_lsh_portable(emb, threshold=0.3, num_planes=6)
+
+
 @query("embedding_near_dup_lsh_pairs")  # rows-only: hyperplane seeds not portable SQL
 def embedding_near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via multi-table hyperplane-LSH
@@ -751,11 +802,11 @@ def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> s
     for it in range(iters):
         prev = f"cents{it}"
         nxt = "cents" if it == iters - 1 else f"cents{it + 1}"
-        # exact decimal sums / one double division — order-independent,
-        # mirrors kmeans_centroids' DECIMAL discipline
+        # exact fixed-point bigint sums / one double division —
+        # order-independent, mirrors kmeans_centroids' LONG discipline
         avg_terms = ", ".join(
-            f"round(CAST(sum(CAST(e[{i + 1}] AS DECIMAL(27,15))) AS DOUBLE)"
-            f" / count(*), 6)"
+            f"round(CAST(sum(CAST(round(e[{i + 1}] * 1000000000.0) AS BIGINT))"
+            f" AS DOUBLE) / (count(*) * 1000000000.0), 6)"
             for i in range(dim)
         )
         parts.append(
@@ -945,12 +996,71 @@ def near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_frame_sample")  # rows-only: mapInPandas stage, no SQL analog
+def _frame_cte(src: str) -> str:
+    """Fake-mode frame-sampling CTEs over a ``(doc_id, text)``
+    relation ``src`` — the SQL twin of ``multimodal.synth_media`` +
+    ``sample_frames(mode="fake")``. Exact because the stub payload IS
+    the UTF-8 text (all-ASCII fixture, so ``substr`` slices chars ==
+    bytes) and the per-frame fingerprint is ``md5`` of the strided
+    byte slice ``data[i*stride:(i+1)*stride]``, stride =
+    ``max(1, len//n)`` with n = 1 frame for images, 4 for audio/video
+    (media_type round-robins on doc_id % 3). Ends with a CTE named
+    ``fr(media_id, media_type, frame_idx, offset_ms, frame_fp)``."""
+    return f"""
+    m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             text,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 4 END AS n
+      FROM {src}
+    ),
+    fr AS (
+      SELECT media_id, media_type,
+             CAST(i.i AS INTEGER) AS frame_idx,
+             CAST(i.i * 1000 AS BIGINT) AS offset_ms,
+             md5(substr(text,
+                        CAST(i.i * greatest(1, length(text) // n) + 1 AS BIGINT),
+                        greatest(1, length(text) // n))) AS frame_fp
+      FROM m CROSS JOIN range(4) i(i)
+      WHERE i.i < n
+    )"""
+
+
+@query(
+    "media_frame_fingerprints",
+    oracle=f"""
+    WITH {_frame_cte("documents")}
+    SELECT media_id, media_type, frame_idx, offset_ms, frame_fp FROM fr
+    """,
+)
+def media_frame_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling mapInPandas stage under an EXACT oracle
+    (decode-parity style): every emitted row — fingerprints included
+    — re-derived analytically in SQL from the text payload the stub
+    encodes, so a hash-match proves the Arrow kernel's striding,
+    fan-out bound (1 image / 4 audio-video frames), offsets, and md5
+    framing are exactly as specified. Hash-checkable twin of the
+    previously rows-only ``media_frame_sample`` rollup."""
+    docs = load_table(spark, "documents", sf_dir)
+    return M.sample_frames(M.synth_media(docs))
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH {_frame_cte("documents")}
+    SELECT media_type, frame_idx, CAST(count(*) AS BIGINT) AS n_frames
+    FROM fr GROUP BY media_type, frame_idx
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/segment sampling over binary media: bounded fan-out
     (4 samples per video/audio item, 1 per image) with per-frame
     fingerprints — the stage between raw blobs and frame-level
-    dedup/embedding in a multimodal pipeline."""
+    dedup/embedding in a multimodal pipeline. Oracle-backed since
+    round 7 via the shared ``_frame_cte`` SQL twin."""
     docs = load_table(spark, "documents", sf_dir)
     media = M.synth_media(docs)
     frames = M.sample_frames(media)
@@ -961,7 +1071,25 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_near_dup_by_frames")  # rows-only: mapInPandas frame stage
+_MEDIA_WITH_COPIES = """(
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents
+    )"""
+
+
+@query(
+    "media_near_dup_by_frames",
+    oracle=f"""
+    WITH {_frame_cte(_MEDIA_WITH_COPIES)},
+    f AS (SELECT DISTINCT media_id, frame_fp FROM fr)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(count(*) AS BIGINT) AS common_frames
+    FROM f a JOIN f b ON a.frame_fp = b.frame_fp AND a.media_id < b.media_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
 def media_near_dup_by_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video/audio near-dup via sampled-frame fingerprint overlap
     (≥ 2 shared frames) — frame sampling feeds straight into the
@@ -2275,8 +2403,8 @@ def _pq_oracle(
     for mi in range(m):
         lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
         avg_terms = ", ".join(
-            f"round(CAST(sum(CAST(e[{i + 1}] AS DECIMAL(27,15))) AS DOUBLE)"
-            f" / count(*), 6)"
+            f"round(CAST(sum(CAST(round(e[{i + 1}] * 1000000000.0) AS BIGINT))"
+            f" AS DOUBLE) / (count(*) * 1000000000.0), 6)"
             for i in range(sub_dim)
         )
         parts += [

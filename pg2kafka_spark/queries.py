@@ -37,7 +37,15 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # queries (hash evidence), then (c) rows-only queries (which would
 # burn window slots on a weaker check). Pure reordering of the same
 # dict — no query gains/loses an oracle here.
-_FRONT = ["bloom_semijoin_prune"]
+_FRONT = [
+    # r6's only red row, oracle dtype now fixed — needs a green r7 row
+    "bloom_semijoin_prune",
+    # round-7 oracle conversions/additions — no driver row exists yet
+    "embedding_near_dup_lsh_portable",
+    "media_frame_fingerprints",
+    "media_frame_sample",
+    "media_near_dup_by_frames",
+]
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(
     QUERIES,
