@@ -170,11 +170,24 @@ def incremental_exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    normalize: bool = False,
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document. ``normalize=True``
+    tokenizes the canonical form (lowercase, whitespace-collapsed) —
+    pass it when the shingles must agree with the normalized-text
+    minhash family (``portable_band_keys``), so LSH recall and
+    Jaccard verification share one token contract."""
+    from pg2kafka_spark.operators.text import normalized_text
+
+    t = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
     return _spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("shingle"),
+        F.explode(F.array_distinct(shingles(tokens(t), n))).alias("shingle"),
     )
 
 
@@ -1273,10 +1286,14 @@ def incremental_near_dup(
         bb.join(bs, ["band", "bkey"]).select("batch_id", "store_id").distinct()
     )
 
-    shb = shingle_sets(batch, text_col, id_col, n).select(
+    # Verification shingles over NORMALIZED text — the same token
+    # contract as the band keys (round-7 advice fix: raw-text shingles
+    # under-scored pairs that are near-dups only after case/whitespace
+    # normalization, which is exactly what the LSH stage recalls on).
+    shb = shingle_sets(batch, text_col, id_col, n, normalize=True).select(
         F.col(id_col).alias("batch_id"), "shingle"
     )
-    shs = shingle_sets(store, text_col, id_col, n).select(
+    shs = shingle_sets(store, text_col, id_col, n, normalize=True).select(
         F.col(id_col).alias("store_id"), "shingle"
     )
     sizes_b = shb.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_batch"))

@@ -435,8 +435,15 @@ def dsir_importance_weights(
     )
     cc = tok_all.groupBy("term").agg(F.count(F.lit(1)).alias("__cc"))
     ct = tok_t.groupBy("term").agg(F.count(F.lit(1)).alias("__ct"))
-    counts = cc.join(ct, "term", "left").select(
-        "term", "__cc", F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct")
+    # FULL outer: V must be the true union vocabulary — a LEFT join
+    # dropped target-only tokens from both V and T_t, silently wrong
+    # for a disjoint target corpus (round-7 advice fix; identical
+    # results when target ⊆ docs, as in the registered query, since
+    # the right-only side is then empty).
+    counts = cc.join(ct, "term", "full").select(
+        "term",
+        F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+        F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct"),
     )
     tots = (
         counts.agg(

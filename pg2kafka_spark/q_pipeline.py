@@ -1110,26 +1110,86 @@ def media_near_dup_by_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_overlap_pairs(frames, min_common=2)
 
 
-@query("multimodal_features")  # rows-only: mapInPandas stage, no SQL analog
+def _md5_word_be(c: int) -> str:
+    """DuckDB expression: BIG-endian uint16 word ``c`` of
+    ``md5(text)`` — mirrors ``int.from_bytes(digest[2c:2c+2], "big")``
+    in ``multimodal._fake_decode`` (the little-endian twin is
+    :func:`_md5_word_le`)."""
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+    hi, lo = 2 * c, 2 * c + 1  # byte indices (0-based), big-endian
+    return (
+        f"(256*(16*{nib(2 * hi + 1)} + {nib(2 * hi + 2)})"
+        f" + (16*{nib(2 * lo + 1)} + {nib(2 * lo + 2)}))"
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             {_md5_word_be(0)} AS w0, {_md5_word_be(1)} AS w1,
+             {_md5_word_be(2)} AS w2
+      FROM (SELECT doc_id, text, md5(text) AS h FROM documents)
+    )
+    SELECT media_type, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           avg(CASE WHEN media_type = 'image'
+                    THEN 16 + (w0 % 1024) END) AS avg_width,
+           avg(CASE WHEN media_type <> 'image'
+                    THEN 1000 + (w2 % 600000) END) AS avg_duration_ms
+    FROM w GROUP BY media_type
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched decode/feature-extract
     (deterministic stub) → typed-metadata rollup by media type. The
     Spark plumbing (schema, partition-preserving mapInPandas, pruned
     metadata consumers) is the real 100 TB path; only the codec call
-    is faked."""
+    is faked — and since the fake derives width/duration from
+    md5(content) words, the oracle re-derives them ANALYTICALLY from
+    md5(text) without ever seeing the kernel (decode-parity pattern,
+    r7 conversion). The avg aggregates are exact on both engines:
+    integer-valued terms < 2¹⁰ summed over < 2⁵³/2¹⁰ rows have no
+    float rounding, so no round() slack is needed."""
     docs = load_table(spark, "documents", sf_dir)
     media = M.synth_media(docs)
     features = M.decode_media(media, mode="fake")
     return M.media_stats(features).orderBy("media_type")
 
 
-@query("multimodal_features_real")  # rows-only: real-codec mapInPandas stage
+@query(
+    "multimodal_features_real",
+    oracle="""
+    SELECT 'audio' AS media_type, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(*) * 4044 AS BIGINT) AS total_bytes,
+           CAST(NULL AS DOUBLE) AS avg_width,
+           CAST(250.0 AS DOUBLE) AS avg_duration_ms
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 'image', CAST(count(*) AS BIGINT),
+           CAST(count(*) * 822 AS BIGINT),
+           CAST(16.0 AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
 def multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline with ACTUAL encoded bytes and an actual decode:
     documents are encoded into WAV PCM-16 / BMP-24 containers
     (operators/multimodal.py synth_real_media), then parsed back
     bytes→samples/pixels with the pure-numpy codecs and featured from
-    the decoded signal. No stub anywhere on this path."""
+    the decoded signal. No stub anywhere on this path. The r7 oracle
+    pins the rollup's container invariants (a 2000-sample 8 kHz
+    PCM-16 RIFF container is exactly 4044 bytes / 250 ms; a 16×16
+    BMP-24 is 822 bytes / width 16) — any header-math or chunk-walk
+    drift in encode OR decode breaks the hash; the decoded SIGNAL
+    functionals are pinned separately by ``multimodal_decode_parity``."""
     docs = load_table(spark, "documents", sf_dir)
     media = M.synth_real_media(docs)
     features = M.decode_media(media, mode="real")
@@ -1610,6 +1670,32 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
     comps = G.connected_components(pairs, node_col="doc_id")
+    return G.components_with_isolates(
+        comps, docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@query(
+    "near_dup_components_star",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_EDGES
+    + """
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME component labelling as ``near_dup_components`` —
+    identical oracle — computed by the diameter-robust
+    large-star/small-star algorithm (Kiveris et al. SoCC'14,
+    operators/graph.connected_components_star): O(log² n) rounds on
+    ANY graph shape vs min-label propagation's O(diameter). The
+    round-6 verdict named this the scale escape hatch for
+    pathological chains; hash-matching both variants against one
+    recursive-CTE closure pins their equivalence."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    comps = G.connected_components_star(pairs, node_col="doc_id")
     return G.components_with_isolates(
         comps, docs.select("doc_id"), node_col="doc_id"
     )
@@ -2130,12 +2216,11 @@ def _incr_near_dup_oracle(
       JOIN bcap c ON c.band = s.band AND c.bkey = s.bkey
       WHERE b.doc_id >= {split} AND s.doc_id < {split}
     ),
-    t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     shd AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, length(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-      FROM t2
+      FROM t
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
     com AS (
@@ -2323,12 +2408,11 @@ def _daily_ingest_oracle(
       JOIN bcap c ON c.band = s.band AND c.bkey = s.bkey
       WHERE b.doc_id IN (SELECT doc_id FROM fresh) AND s.doc_id < {split}
     ),
-    t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     shd AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(range(1, length(toks) - 1),
                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-      FROM t2
+      FROM t
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
     com AS (
@@ -2592,8 +2676,11 @@ def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc AS (SELECT term, count(*) AS cc FROM u GROUP BY 1),
     ct AS (SELECT term, count(*) AS ct FROM u WHERE source = 'src0' GROUP BY 1),
     counts AS (
-      SELECT cc.term, cc.cc, coalesce(ct.ct, 0) AS ct
-      FROM cc LEFT JOIN ct ON ct.term = cc.term
+      -- FULL outer: V is the true union vocabulary (mirrors the
+      -- operator's round-7 fix; identical here since target ⊆ docs)
+      SELECT coalesce(cc.term, ct.term) AS term,
+             coalesce(cc.cc, 0) AS cc, coalesce(ct.ct, 0) AS ct
+      FROM cc FULL OUTER JOIN ct ON ct.term = cc.term
     ),
     tots AS (
       SELECT CAST(sum(cc) AS BIGINT) AS tc, CAST(sum(ct) AS BIGINT) AS tt,

@@ -45,6 +45,9 @@ _FRONT = [
     "media_frame_fingerprints",
     "media_frame_sample",
     "media_near_dup_by_frames",
+    "near_dup_components_star",
+    "multimodal_features",
+    "multimodal_features_real",
 ]
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(

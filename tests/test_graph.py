@@ -113,3 +113,42 @@ def test_storage_bounded_to_one_label_table_and_releasable(spark):
     assert len(sc._jsc.sc().getRDDStorageInfo()) <= base + 1
     G.release_graph_state()
     assert len(sc._jsc.sc().getRDDStorageInfo()) == base
+
+
+def test_star_matches_propagation_on_mixed_graph(spark):
+    """large-star/small-star and min-label propagation must agree
+    exactly: chain + clique + isolate pair, one call each."""
+    pairs = (
+        [(1, 2), (2, 3), (3, 4)]            # chain -> comp 1
+        + [(10, 11), (11, 12), (10, 12)]    # clique -> comp 10
+        + [(20, 21)]                        # pair  -> comp 20
+    )
+    prop = _labels(G.connected_components(_edges(spark, pairs)))
+    star = _labels(G.connected_components_star(_edges(spark, pairs)))
+    assert star == prop
+    assert star[4] == 1 and star[12] == 10 and star[21] == 20
+
+
+def test_star_handles_chain_past_propagation_bound(spark):
+    """The diameter-robust claim, measured: a 60-node path has
+    diameter 59 > the propagation loop's default 25-round bound (it
+    raises), while the star variant converges in O(log^2 n) rounds
+    and labels every node with the path minimum."""
+    pairs = [(i, i + 1) for i in range(1, 60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(_edges(spark, pairs))
+    got = _labels(G.connected_components_star(_edges(spark, pairs)))
+    assert got == {i: 1 for i in range(1, 61)}
+
+
+def test_star_empty_and_shuffled_ids(spark):
+    """Empty edges yield empty labels; min-id roots hold regardless
+    of insertion order or id magnitude (ANSI-range ids)."""
+    assert _labels(G.connected_components_star(_edges(spark, []))) == {}
+    big = 2**62
+    got = _labels(
+        G.connected_components_star(
+            _edges(spark, [(big, 7), (7, big - 1), (big - 1, big)])
+        )
+    )
+    assert got == {7: 7, big - 1: 7, big: 7}

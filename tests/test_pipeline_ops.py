@@ -905,6 +905,27 @@ def test_incremental_near_dup_finds_planted_neighbor_only(spark):
     assert all(r["batch_id"] >= 10 and r["store_id"] < 10 for r in got)
 
 
+def test_incremental_near_dup_scores_case_whitespace_variants_fully(spark):
+    """Discovery AND verification share the normalized-token contract
+    (round-7 advice fix): a batch doc that differs from a store doc
+    only by case and whitespace runs must score jaccard 1.0 — before
+    the fix, LSH recalled it (band keys normalize) but the raw-text
+    verification shingles under-scored it."""
+    from pg2kafka_spark.operators.dedup import incremental_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    store = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "  ALPHA  Beta GAMMA   delta Epsilon zeta ETA theta Iota  kappa ")],
+        ["doc_id", "text"],
+    )
+    got = incremental_near_dup(store, batch, threshold=0.9).collect()
+    assert [(r["batch_id"], r["store_id"]) for r in got] == [(10, 1)]
+    (row,) = got
+    assert row["common"] == row["n_batch"] == row["n_store"] == 8
+    assert row["jaccard"] == 1.0
+
+
 def test_ivf_sq8_tracks_raw_ivf_ranking(spark, sf_dir):
     """Same routing as raw IVF; scores differ only by int8
     quantization error, so the top-3 per query should be nearly
@@ -1085,6 +1106,51 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     # monotone in target-likeness; off-target strictly negative
     assert w[1] > w[3] > w[2]
     assert w[2] < 0
+
+
+def test_dsir_union_vocab_with_disjoint_target(spark):
+    """V must be the UNION vocabulary: a DISJOINT target corpus
+    (tokens the docs never contain) must still contribute its vocab
+    to V and its tokens to T_t — the round-7 advice fix; the old
+    LEFT join silently dropped target-only terms from both. Checked
+    against an independent Python reference."""
+    import math
+
+    from pg2kafka_spark.operators.text import dsir_importance_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma gamma alpha")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(9, "delta epsilon delta alpha")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_lr_microbits"])
+        for r in dsir_importance_weights(docs, target).collect()
+    }
+
+    corpus_toks = ["alpha", "beta", "beta", "gamma", "gamma", "alpha"]
+    target_toks = ["delta", "epsilon", "delta", "alpha"]
+    cc: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for t in corpus_toks:
+        cc[t] = cc.get(t, 0) + 1
+    for t in target_toks:
+        ct[t] = ct.get(t, 0) + 1
+    vocab = set(cc) | set(ct)  # the union — delta/epsilon INCLUDED
+    v, tc, tt = len(vocab), len(corpus_toks), len(target_toks)
+
+    def lr(term: str) -> int:
+        p_t = (ct.get(term, 0) + 1) / (tt + v)
+        p_c = (cc.get(term, 0) + 1) / (tc + v)
+        return round((math.log(p_t) - math.log(p_c)) / math.log(2.0) * 1e6)
+
+    for doc_id, toks in [(1, ["alpha", "beta", "beta"]),
+                         (2, ["gamma", "gamma", "alpha"])]:
+        s = sum(lr(t) for t in toks)
+        expect = math.floor(s / len(toks))
+        assert got[doc_id] == (len(toks), expect), (doc_id, got[doc_id])
 
 
 def test_prototype_prune_drops_exactly_the_cluster_core(spark, sf_dir):

@@ -1,13 +1,21 @@
-"""10× stress measurements for BASELINE.md: dup-heavy 55k-doc corpus
-(10 mutated variants of every sf0.1 document PLUS a 5 000-copy
-boilerplate cluster — the input that makes uncapped LSH quadratic)
-and a 20k-vector embedding set. Prints one line per measurement.
+"""Stress measurements for BASELINE.md: dup-heavy corpus
+(STRESS_SCALE mutated variants of every sf0.1 document PLUS a
+500×STRESS_SCALE-copy boilerplate cluster — the input that makes
+uncapped LSH quadratic) and a 2k×STRESS_SCALE-vector embedding set.
+Prints one line per measurement.
 
-Usage: PYTHONPATH=. python tools/stress_bench.py
+STRESS_SCALE=10 (default) reproduces the round-6 10× table
+(55k docs / 20k vectors); STRESS_SCALE=100 is the round-7 100× axis
+(550k docs / 200k vectors). The all-pairs block matmul is skipped
+above 10× — it is quadratic BY CONSTRUCTION (the LSH path exists
+precisely to replace it there).
+
+Usage: [STRESS_SCALE=100] PYTHONPATH=. python tools/stress_bench.py
 """
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -33,9 +41,10 @@ def timed(label, df):
 
 
 def main() -> None:
+    scale = int(os.environ.get("STRESS_SCALE", "10"))
     spark = get_spark("stress-bench")
     docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
-    variants = spark.range(10).select(F.col("id").alias("__v"))
+    variants = spark.range(scale).select(F.col("id").alias("__v"))
     corpus = (
         docs.crossJoin(F.broadcast(variants))
         .select(
@@ -47,36 +56,64 @@ def main() -> None:
             .alias("text"),
         )
     )
-    boiler = spark.range(5000).select(
-        (F.col("id") + 50_000_000).alias("doc_id"), F.lit(BOILER).alias("text")
+    boiler = spark.range(500 * scale).select(
+        (F.col("id") + 500_000_000).alias("doc_id"), F.lit(BOILER).alias("text")
     )
     corpus = corpus.unionByName(boiler)
+    # materialize the synthetic fixture once: at real scale the corpus
+    # is a stored table — without this every operator pays the
+    # variant-generation lineage on every scan and the table measures
+    # fixture recomputation, not the operator
+    corpus = corpus.persist()
     print(f"corpus rows: {corpus.count()}", flush=True)
 
-    timed("exact_dedup (55k docs)", D.exact_dedup(corpus))
+    timed(f"exact_dedup ({scale}x corpus)", D.exact_dedup(corpus))
     timed(
-        "minhash_lsh_pairs CAPPED (5k-copy cluster dropped)",
+        f"minhash_lsh_pairs CAPPED ({scale}x, copy cluster dropped)",
         D.minhash_lsh_pairs(corpus),
     )
-    timed("simhash_near_pairs r=1 capped", D.simhash_near_pairs(corpus))
+    timed(f"simhash_near_pairs r=1 capped ({scale}x)", D.simhash_near_pairs(corpus))
     timed(
-        "simhash_near_pairs r=4 capped (full recall h<4)",
+        f"simhash_near_pairs r=4 capped ({scale}x, full recall h<4)",
         D.simhash_near_pairs(corpus, rotations=4),
     )
     timed(
-        "doc_segment_scrub (55k docs, 5k-copy boilerplate)",
+        f"doc_segment_scrub ({scale}x, copy-cluster boilerplate)",
         D.duplicated_segment_scrub(corpus),
     )
-    # store = variants 0-4 of every doc; batch = variants 5-9 + the
-    # boilerplate cluster — every batch variant near-dups 5 store
-    # variants of its base doc, and the 5k-copy cluster exercises the
-    # store-side band cap from the batch direction
-    store = corpus.filter(F.col("doc_id") < 5_000_000)
-    batch = corpus.filter(F.col("doc_id") >= 5_000_000)
+    # store = the first half of the variants of every doc; batch = the
+    # second half + the boilerplate cluster — every batch variant
+    # near-dups scale/2 store variants of its base doc, and the copy
+    # cluster exercises the store-side band cap from the batch
+    # direction
+    half = (scale // 2) * 1_000_000
+    store = corpus.filter(F.col("doc_id") < half)
+    batch = corpus.filter(F.col("doc_id") >= half)
     timed(
-        "incremental_near_dup CAPPED (25k store / 30k batch)",
+        f"incremental_near_dup CAPPED ({scale}x split store/batch)",
         D.incremental_near_dup(store, batch),
     )
+
+    # daily-ingest composition at stress scale (the q_pipeline
+    # daily_ingest_keep_list stages on the stress corpus): quality
+    # gates -> within-batch exact dedup -> fingerprint-store anti-join
+    # -> near-dup verify vs store -> keep list
+    from pg2kafka_spark.operators import text as X
+
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    gated = batch.filter(
+        (n_tok >= 10) & (X.unique_token_count(t) * 1.0 / n_tok >= 0.3)
+    )
+    store_fps = store.select(X.fingerprint(t).alias("fp")).distinct()
+    fresh = D.incremental_exact_dedup(gated, store_fps)
+    near = (
+        D.incremental_near_dup(store, fresh, threshold=0.5)
+        .select(F.col("batch_id").alias("doc_id"))
+        .distinct()
+    )
+    keep = fresh.join(near, "doc_id", "left_anti").select("doc_id")
+    timed(f"daily_ingest composition ({scale}x corpus)", keep)
 
     emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
     embx = (
@@ -88,19 +125,24 @@ def main() -> None:
             ).alias("embedding"),
         )
     )
+    embx = embx.persist()
     print(f"embedding rows: {embx.count()}", flush=True)
+    if scale <= 10:
+        timed(
+            "embedding_near_dup block matmul (quadratic baseline)",
+            S.embedding_near_dup_pairs(embx, threshold=0.95),
+        )
     timed(
-        "embedding_near_dup block matmul (20k vecs, 400M pairs)",
-        S.embedding_near_dup_pairs(embx, threshold=0.95),
-    )
-    timed(
-        "embedding_near_dup LSH discovery (20k vecs)",
+        f"embedding_near_dup LSH discovery ({scale}x vecs)",
         S.embedding_near_dup_lsh(embx, threshold=0.95),
     )
     queries = embx.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timed("ivf_topk k-means trained (20k vecs)", S.ivf_topk(embx, queries))
+    timed(
+        f"ivf_topk k-means trained ({scale}x vecs)",
+        S.ivf_topk(embx, queries, train_sample=20_000 if scale > 10 else None),
+    )
     spark.stop()
 
 
