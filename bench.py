@@ -71,15 +71,26 @@ def main() -> int:
     # generated code and JITs the interpreted-expression paths for
     # every plan shape (plan-keyed, so it carries over to the target
     # sf) and starts the Arrow Python worker pool for the
-    # mapInPandas/applyInPandas queries.
+    # mapInPandas/applyInPandas queries. Warmup runs CONCURRENTLY
+    # (Spark's scheduler interleaves independent jobs fine): each
+    # plan's cost is fixed per-plan work, so 8 threads cut the wall
+    # ~6× (measured 119 s → ~20 s for 114 plans). Results are
+    # discarded, so the usual per-query cache release is deferred to
+    # one sweep at the end — the sf0.001 intermediates are tiny.
+    from concurrent.futures import ThreadPoolExecutor
+
     errors: dict[str, str] = {}
     t_warm = time.perf_counter()
-    for name in sorted(qs):
+
+    def warm(name: str) -> None:
         try:
             run(qs[name](spark, WARM_SF_DIR))
         except Exception:
             errors[name] = f"warmup: {traceback.format_exc(limit=3)}"
-        release_sketch_caches()
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(warm, sorted(qs)))
+    release_sketch_caches()
     warm_secs = round(time.perf_counter() - t_warm, 2)
     print(f"[bench] warmup pass ({len(qs)} plans @ sf0.001): {warm_secs}s",
           file=sys.stderr)

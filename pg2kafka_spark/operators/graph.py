@@ -40,11 +40,20 @@ surface (SURVEY.md §7).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Checkpoint RDD ids still holding executor storage, as (SparkContext,
 #: rdd id) pairs — see ``release_graph_state``.
 _TRACKED: list[tuple[object, int]] = []
+
+#: Serializes the before/checkpoint/after id-diff in ``_checkpoint``:
+#: two THREADS checkpointing concurrently (e.g. bench warmup running
+#: queries in a pool) would otherwise each see the other's fresh RDD
+#: ids in their diff and later unpersist them — observed as
+#: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mid-query.
+_CKPT_LOCK = threading.Lock()
 
 
 def _persistent_ids(sc) -> set[int]:
@@ -65,10 +74,11 @@ def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     RDD ids it created, so superseded rounds can be dropped eagerly and
     suite runners can release the final state between queries."""
     sc = df.sparkSession.sparkContext
-    before = _persistent_ids(sc)
-    out = df.localCheckpoint()
-    new = _persistent_ids(sc) - before
-    _TRACKED.extend((sc, rid) for rid in new)
+    with _CKPT_LOCK:
+        before = _persistent_ids(sc)
+        out = df.localCheckpoint()
+        new = _persistent_ids(sc) - before
+        _TRACKED.extend((sc, rid) for rid in new)
     return out, new
 
 

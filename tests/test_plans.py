@@ -271,3 +271,37 @@ def test_salted_join_replicates_small_side_and_keys_on_salt(spark, sf_dir):
     assert "Generate" in p and "explode" in p
     # the join condition carries the salt key alongside the equi-key
     assert "__salt" in p
+
+
+def test_quantized_topk_materializes_code_index(spark, sf_dir):
+    """The int8 code table must stay a SEPARATE materialization
+    (InMemoryTableScan in the scoring plan): collapsing encode into
+    the scoring projection regenerates the >64 KB fused method whose
+    Janino compile fails on every execution (r7 root cause,
+    BASELINE.md)."""
+    p = plan_of(spark, "embedding_topk_quantized", sf_dir)
+    assert "InMemoryTableScan" in p
+
+
+def test_ivf_sq8_materializes_code_index(spark, sf_dir):
+    p = plan_of(spark, "embedding_ann_ivf_sq8", sf_dir)
+    assert "InMemoryTableScan" in p
+    assert "SortMergeJoin" not in p  # probes broadcast onto cid
+
+
+def test_lsh_portable_pairs_is_one_bucket_shuffle(spark, sf_dir):
+    """Portable LSH discovery: pair expansion must come from an
+    EQUALITY join on the bucket id — never a cartesian/BNLJ (the
+    all-pairs shape it exists to avoid)."""
+    p = plan_of(spark, "embedding_near_dup_lsh_portable", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_frame_fingerprints_is_map_only(spark, sf_dir):
+    """Frame sampling is a partition-preserving mapInPandas with
+    bounded fan-out: no exchange anywhere — a 100 TB media table fans
+    out to frames without a shuffle."""
+    p = plan_of(spark, "media_frame_fingerprints", sf_dir)
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

@@ -219,10 +219,14 @@ COMMENTARY = {
     "embedding_topk_quantized": (
         "SQ8 quantized search: per-dimension stats are ONE aggregate "
         "row (128 min/max partials, map-side) broadcast to encode both "
-        "sides; encode/dequantize/cosine all run in the scan stage "
-        "(`WholeStageCodegen`), queries broadcast, and the top-k is the "
-        "`WindowGroupLimit` bounded-heap — the brute-force plan, minus "
-        "4× of the bytes a real index would scan."
+        "sides; the int8 code table materializes as the stored index "
+        "(`InMemoryTableScan`), and scoring dequantizes from codes in "
+        "its own codegen stage — kept SEPARATE from the encode stage "
+        "on purpose: fused, the generated method passes the JVM 64 KB "
+        "limit and Janino fails per-execution (r7 root cause, "
+        "BASELINE.md). Queries broadcast; top-k is the "
+        "`WindowGroupLimit` bounded-heap — the brute-force plan over "
+        "4× fewer index bytes."
     ),
     "doc_unigram_surprisal": (
         "Unigram-LM scoring: two uniform-key exchanges (term counts, "
@@ -273,11 +277,12 @@ COMMENTARY = {
     ),
     "embedding_ann_ivf_sq8": (
         "The composed production index (IVF8,SQ8): centroid table and "
-        "1-row quant stats both broadcast, encode+assignment fused "
-        "into one map-only corpus pass, probe join on cid. Same "
-        "single-exchange skeleton as raw IVF — the quantization adds "
-        "ZERO shuffles, it only shrinks what a real deployment stores "
-        "per list to 1 byte/dim."
+        "1-row quant stats both broadcast; the (id, cid, codes) table "
+        "materializes as the stored index (1 byte/dim + a cell id per "
+        "vector) and the dequantize+ADC scoring stage reads it — the "
+        "same encode/score codegen split as `embedding_topk_quantized` "
+        "(64 KB limit, r7). Probe join on cid; the quantization adds "
+        "ZERO shuffles to the IVF skeleton."
     ),
     "embedding_ann_pq": (
         "Product quantization: 8 per-subspace training chains (each "
@@ -309,6 +314,31 @@ COMMENTARY = {
         "key — the sessionization exchange, one row of lookahead "
         "state. The output's (key, valid_from) pair is the natural "
         "z-order candidate for the 2-D as-of prune."
+    ),
+    "embedding_near_dup_lsh_portable": (
+        "Hash-checkable LSH twin: Rademacher ±1 signatures are "
+        "sequential folds (sign-exact on any engine), the self-join is "
+        "an equality join on the bucket id — one uniform shuffle of "
+        "the signature projection, pair expansion only within buckets, "
+        "inline exact-cosine verify. The BLAS multi-table path keeps "
+        "the discovery hot seat; this plan pins the per-table shape "
+        "the oracle can see."
+    ),
+    "media_frame_fingerprints": (
+        "Frame sampling as a partition-preserving `mapInPandas` with "
+        "bounded fan-out (≤4 rows per item): no exchange anywhere — "
+        "the stage inherits the scan's partitioning, so a 100 TB media "
+        "table fans out to frames without a shuffle. The md5 "
+        "fingerprints land under an EXACT oracle (every emitted byte "
+        "re-derived in SQL)."
+    ),
+    "near_dup_components_star": (
+        "Large-star/small-star components: each round is one "
+        "groupBy-min over the adjacency plus one equality join — the "
+        "same shapes as the propagation loop — but O(log² n) rounds on "
+        "ANY graph, so a pathological near-dup chain cannot stall the "
+        "job. Per-round `localCheckpoint` keeps the plan O(1) deep and "
+        "exactly one edge table in executor storage."
     ),
     "daily_ingest_keep_list": (
         "The daily incremental job end to end. Each stage keeps its "

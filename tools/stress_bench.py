@@ -60,11 +60,10 @@ def main() -> None:
         (F.col("id") + 500_000_000).alias("doc_id"), F.lit(BOILER).alias("text")
     )
     corpus = corpus.unionByName(boiler)
-    # materialize the synthetic fixture once: at real scale the corpus
-    # is a stored table — without this every operator pays the
-    # variant-generation lineage on every scan and the table measures
-    # fixture recomputation, not the operator
-    corpus = corpus.persist()
+    # fixture lineage (crossJoin + string concat) is recomputed inside
+    # every measured operator — measured: persisting it instead costs
+    # MORE (cache write + deserialized-row reads beat cheap string
+    # regeneration), so the numbers below include it deliberately
     print(f"corpus rows: {corpus.count()}", flush=True)
 
     timed(f"exact_dedup ({scale}x corpus)", D.exact_dedup(corpus))
@@ -125,7 +124,6 @@ def main() -> None:
             ).alias("embedding"),
         )
     )
-    embx = embx.persist()
     print(f"embedding rows: {embx.count()}", flush=True)
     if scale <= 10:
         timed(
