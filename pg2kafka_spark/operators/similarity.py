@@ -1057,6 +1057,91 @@ def ivf_sq8_topk(
     )
 
 
+def kmeans_centroids_keyed(
+    keyed: DataFrame,
+    key_col: str,
+    n_centroids: int = 8,
+    iters: int = 1,
+    dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "__sv",
+) -> DataFrame:
+    """Grouped portable spherical k-means: one plan trains an
+    INDEPENDENT codebook per ``key_col`` group over ``(key, id,
+    vector)`` rows — identical math to :func:`kmeans_centroids` run
+    per group (same seeded sample order via a per-key window instead
+    of a global TakeOrdered, same 6-dp assignment cosine, same
+    fixed-point LONG means), so consumers and oracles see the exact
+    same centroid values. Exists because PQ's first formulation
+    trained its ``m`` subspace codebooks as ``m`` SEQUENTIAL
+    kmeans_centroids chains — m× the stages, m× the fixed per-plan
+    cost, zero cross-subspace parallelism; here every per-round step
+    is ONE shuffle keyed by (key, …) and the m trainings ride the
+    same exchanges. Returns ``(key, cid, __ce)``."""
+    c = keyed.select(
+        F.col(key_col).alias("__k"),
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("__cv"),
+    )
+    seed_w = Window.partitionBy("__k").orderBy("__h", id_col)
+    cents = (
+        c.withColumn(
+            "__h",
+            F.pmod(
+                F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+                * F.lit(PORTABLE_SAMPLE_SALT),
+                F.lit(PORTABLE_SAMPLE_MOD),
+            ),
+        )
+        .withColumn("__srn", F.row_number().over(seed_w))
+        .filter(F.col("__srn") <= n_centroids)
+        .select("__k", F.col(id_col).alias("cid"), F.col("__cv").alias("__ce"))
+    )
+    for _ in range(iters):
+        asg_w = Window.partitionBy("__k", id_col).orderBy(
+            F.col("cell_sim").desc(), F.col("cid").asc()
+        )
+        asg = (
+            c.join(F.broadcast(cents), "__k")
+            .select(
+                "__k",
+                id_col,
+                "__cv",
+                "cid",
+                F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
+            )
+            .withColumn("__arn", F.row_number().over(asg_w))
+            .filter(F.col("__arn") == 1)
+        )
+        sums = asg.groupBy("__k", "cid").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.round(F.col("__cv").getItem(i) * F.lit(1.0e9)).cast("bigint")
+                ).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        means = sums.select(
+            "__k",
+            "cid",
+            F.array(
+                *[
+                    F.round(
+                        F.col(f"__s{i}").cast("double")
+                        / (F.col("__n").cast("double") * F.lit(1.0e9)),
+                        6,
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("__me"),
+        )
+        cents = cents.join(F.broadcast(means), ["__k", "cid"], "left").select(
+            "__k", "cid", F.coalesce(F.col("__me"), F.col("__ce")).alias("__ce")
+        )
+    return cents.withColumnRenamed("__k", key_col)
+
+
 def pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -1075,21 +1160,85 @@ def pq_codebooks(
     corpus size (the whole point of PQ: the index stores
     ``m * log2(n_codes)`` bits per vector).
     """
-    all_cents = None
-    for mi in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(
-                as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
-            ).alias("__sv"),
-        )
-        cents = kmeans_centroids(
-            sub, n_codes, iters, sub_dim, id_col, "__sv"
-        ).select(F.lit(mi).alias("m"), "cid", "__ce")
-        all_cents = cents if all_cents is None else all_cents.unionByName(cents)
+    # ONE posexplode pass emits every (subspace, id, slice) row, and
+    # ONE keyed training plan fits all m codebooks together — the
+    # r7 rewrite of m sequential kmeans_centroids chains (identical
+    # values; see kmeans_centroids_keyed).
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("m", "__sv"),
+    )
+    cents = kmeans_centroids_keyed(
+        subs, "m", n_codes, iters, sub_dim, id_col, "__sv"
+    ).select(F.col("m").cast("int"), "cid", "__ce")
     from pg2kafka_spark.operators.dedup import _persist
 
-    return _persist(all_cents)
+    return _persist(cents)
+
+
+def pq_reconstruct(
+    corpus: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ coding + reconstruction: every vector's ``m`` subspace
+    slices argmax-coded against the broadcast codebooks, then the
+    per-subspace centroids concatenated back — ``(id, __de)``, what
+    the compressed index can know about each vector. Coding is ONE
+    posexplode + window keyed by the unique (id, subspace) pair
+    (uniform — never m separate id-joins); reconstruction is one
+    groupBy on the unique id. Shared by :func:`pq_topk` and
+    :func:`ivf_pq_topk`."""
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("m", "__sv"),
+    ).select(F.col(id_col), F.col("m").cast("int"), "__sv")
+    asg_w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("code_sim").desc(), F.col("cid").asc()
+    )
+    coded = (
+        subs.join(F.broadcast(cents), "m")
+        .select(
+            id_col,
+            "m",
+            "cid",
+            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
+            "__ce",
+        )
+        .withColumn("__arn", F.row_number().over(asg_w))
+        .filter(F.col("__arn") == 1)
+    )
+    return coded.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("__ce")))
+                ),
+                lambda x: x["__ce"],
+            )
+        ).alias("__de")
+    )
 
 
 def pq_topk(
@@ -1128,41 +1277,7 @@ def pq_topk(
     cents = pq_codebooks(
         corpus, m, sub_dim, n_codes, iters, id_col, vec_col
     )
-    subs = None
-    for mi in range(m):
-        s = corpus.select(
-            F.col(id_col),
-            F.lit(mi).alias("m"),
-            F.slice(
-                as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
-            ).alias("__sv"),
-        )
-        subs = s if subs is None else subs.unionByName(s)
-    asg_w = Window.partitionBy(id_col, "m").orderBy(
-        F.col("code_sim").desc(), F.col("cid").asc()
-    )
-    coded = (
-        subs.join(F.broadcast(cents), "m")
-        .select(
-            id_col,
-            "m",
-            "cid",
-            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
-            "__ce",
-        )
-        .withColumn("__arn", F.row_number().over(asg_w))
-        .filter(F.col("__arn") == 1)
-    )
-    recon = coded.groupBy(id_col).agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("m"), F.col("__ce")))
-                ),
-                lambda x: x["__ce"],
-            )
-        ).alias("__de")
-    )
+    recon = pq_reconstruct(corpus, cents, m, sub_dim, id_col, vec_col)
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
@@ -1171,6 +1286,88 @@ def pq_topk(
     )
     return (
         recon.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("pq_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    train_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF + PQ — the composed billion-vector index (FAISS
+    ``IVFx,PQy`` routing shape): the coarse quantizer (portable
+    k-means over the full vectors) routes each query to ``n_probe``
+    inverted lists, and within the probed lists the corpus is scored
+    by asymmetric ADC against its PQ reconstruction — the index
+    stores ``m·log2(n_codes)`` bits + a cell id per vector. (PQ codes
+    the raw vectors, not coarse residuals — both are standard; raw
+    keeps every stage the already-hash-checked formulation, so the
+    COMPOSED index stays fully oracle-checkable with no seeds.)
+
+    Completes the family matrix: quantized_topk (SQ8 flat),
+    ivf_sq8_topk (routed SQ8), pq_topk (PQ flat), and now routed PQ.
+
+    Scale shape: coarse centroids AND codebooks broadcast (tiny);
+    coding is the pq_reconstruct posexplode window; routing is the
+    ivf probe join on cid — one cid-keyed exchange, zero extra
+    shuffles over flat PQ.
+    """
+    from pg2kafka_spark.operators.dedup import _persist
+
+    coarse = kmeans_centroids(
+        corpus, n_centroids, train_iters, dim, id_col, vec_col
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
+    cents = pq_codebooks(corpus, m, sub_dim, n_codes, iters, id_col, vec_col)
+    # (id, cid, reconstruction) — the materialized IVF-PQ index
+    indexed = _persist(
+        pq_reconstruct(corpus, cents, m, sub_dim, id_col, vec_col).join(
+            cells, id_col
+        )
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("probe_sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            query_id_col,
+            "__qv",
+            "cid",
+            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
+        )
+        .withColumn("__prn", F.row_number().over(probe_w))
+        .filter(F.col("__prn") <= n_probe)
+        .select(query_id_col, "__qv", "cid")
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        indexed.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

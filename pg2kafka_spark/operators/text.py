@@ -487,3 +487,120 @@ def dsir_importance_weights(
         .cast("bigint")
         .alias("mean_lr_microbits"),
     )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    base_rate: int = 50,
+    microbits_per_point: int = 20_000,
+) -> DataFrame:
+    """The resampling step DSIR exists for (Xie et al. 2023 §3:
+    sample the pretraining corpus with probability increasing in the
+    importance weight): documents are kept by hash-thresholding
+    against a weight-derived rate — ``rate = clamp(base_rate +
+    weight // microbits_per_point, 0, 100)`` percent, so a doc 1 bit
+    more target-like than corpus-average (+1e6 micro-bits) gains
+    ``1e6 / microbits_per_point`` points of keep probability.
+
+    Deterministic and engine-portable end to end: the weight is the
+    fixed-point :func:`dsir_importance_weights` integer, the rate is
+    integer arithmetic (floor division toward −∞ on a possibly
+    NEGATIVE weight — ``F.floor`` of the exact double quotient, the
+    same discipline as the weight's own mean), and the coin is the
+    portable multiplicative id-hash used by every sampler here —
+    reruns and engines agree on the EXACT kept set, which is what
+    makes the step auditable (the whole point of hash-thresholding
+    over RNG sampling in a retried pipeline).
+
+    Scale shape: the weight join is the DSIR plan; the keep decision
+    adds one map-only projection. Emits every doc with its
+    ``(mean_lr_microbits, keep_rate, kept)`` verdict.
+    """
+    from pg2kafka_spark.operators.similarity import (
+        PORTABLE_SAMPLE_MOD,
+        PORTABLE_SAMPLE_SALT,
+    )
+
+    w = dsir_importance_weights(docs, target, id_col, text_col)
+    rate = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(100),
+            F.lit(base_rate)
+            + F.floor(
+                F.col("mean_lr_microbits")
+                / F.lit(float(microbits_per_point))
+            ).cast("bigint"),
+        ),
+    )
+    coin = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+        * F.lit(PORTABLE_SAMPLE_SALT),
+        F.lit(100),
+    )
+    return w.select(
+        F.col(id_col),
+        "mean_lr_microbits",
+        rate.alias("keep_rate"),
+        (coin < rate).alias("kept"),
+    )
+
+
+def surprisal_band_fit(
+    docs: DataFrame,
+    lo_q_pct: int = 25,
+    hi_q_pct: int = 75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Percentile-FIT surprisal gate: instead of the fixture-tuned
+    fixed band of :func:`unigram_surprisal`, the keep band is the
+    corpus's own [P25, P75] of mean surprisal — the actual CCNet
+    recipe (Wenzek et al. 2020 keep the middle perplexity tertiles of
+    the corpus distribution, re-fit per corpus).
+
+    The cuts are DISCRETE order statistics, not interpolated
+    quantiles: value at 0-indexed rank ``(n-1) * q // 100`` under the
+    deterministic ``(score, id)`` order. Interpolating engines differ
+    in tie/lerp rules; the order statistic is exact on both. And it
+    needs no global sort: each cut is ``max(score)`` over an
+    ``ORDER BY ... LIMIT k+1`` prefix — a bounded per-partition heap
+    (TakeOrderedAndProject), the same scan shape at any corpus size.
+
+    Emits every doc with its score and the fitted band
+    ``(band_lo, band_hi, kept)`` — downstream is one map-only filter.
+    """
+    scored = unigram_surprisal(docs, id_col, text_col).select(
+        id_col, "n_tokens", "mean_surprisal_microbits"
+    )
+    from pg2kafka_spark.operators.dedup import _persist
+
+    scored = _persist(scored)
+    n = scored.count()
+
+    def cut(q_pct: int) -> DataFrame:
+        k = (n - 1) * q_pct // 100
+        return (
+            scored.orderBy(
+                F.col("mean_surprisal_microbits").asc(), F.col(id_col).asc()
+            )
+            .limit(k + 1)
+            .agg(F.max("mean_surprisal_microbits").alias(f"band_q{q_pct}"))
+        )
+
+    lo = cut(lo_q_pct).withColumnRenamed(f"band_q{lo_q_pct}", "band_lo")
+    hi = cut(hi_q_pct).withColumnRenamed(f"band_q{hi_q_pct}", "band_hi")
+    band = lo.crossJoin(hi)
+    return scored.crossJoin(F.broadcast(band)).select(
+        id_col,
+        "mean_surprisal_microbits",
+        "band_lo",
+        "band_hi",
+        (
+            (F.col("mean_surprisal_microbits") >= F.col("band_lo"))
+            & (F.col("mean_surprisal_microbits") <= F.col("band_hi"))
+        ).alias("kept"),
+    )

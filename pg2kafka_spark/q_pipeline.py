@@ -2468,21 +2468,20 @@ def daily_ingest_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(
-    m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3
-) -> str:
-    """PQ oracle generator: per-subspace seeded k-means (1 unrolled
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"round(list_inner_product({a}, {b}) / sqrt(list_inner_product({a}, {a})"
+        f" * list_inner_product({b}, {b})), 6)"
+    )
+
+
+def _pq_recon_parts(m: int, sub_dim: int, n_codes: int) -> list[str]:
+    """Shared CTE builder: per-subspace seeded k-means (1 unrolled
     Lloyd iteration, the same CTE shapes as ``_kmeans_cents_ctes``),
-    per-subspace argmax coding, concat reconstruction, asymmetric-ADC
-    scoring — all from the shared constants so the engines cannot
-    drift."""
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"round(list_inner_product({a}, {b}) / sqrt(list_inner_product({a}, {a})"
-            f" * list_inner_product({b}, {b})), 6)"
-        )
-
+    per-subspace argmax coding, concat reconstruction — ends with a
+    CTE named ``recon(vec_id, de)``. Used by the flat-PQ and IVF+PQ
+    oracles."""
+    cos = _sql_cos
     parts = []
     for mi in range(m):
         lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
@@ -2516,7 +2515,17 @@ def _pq_oracle(
     parts.append(
         f"recon AS (SELECT vec_id, {concat} AS de FROM asg0 a0 {joins})"
     )
-    adc = cos("q.qe", "r.de")
+    return parts
+
+
+def _pq_oracle(
+    m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3
+) -> str:
+    """Flat-PQ oracle: recon CTEs + brute-force asymmetric-ADC
+    scoring over every reconstruction — all generated from the shared
+    constants so the engines cannot drift."""
+    parts = _pq_recon_parts(m, sub_dim, n_codes)
+    adc = _sql_cos("q.qe", "r.de")
     return (
         "    , " + ",\n    ".join(parts) + f""",
     q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5)
@@ -2525,6 +2534,45 @@ def _pq_oracle(
              row_number() OVER (PARTITION BY q.query_id
                                 ORDER BY {adc} DESC, r.vec_id ASC) AS rank
       FROM q CROSS JOIN recon r WHERE r.vec_id <> q.query_id
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+def _ivf_pq_oracle(
+    n_centroids: int = 8, n_probe: int = 2,
+    m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3,
+) -> str:
+    """IVF+PQ oracle: coarse k-means CTEs (``cents``) route every
+    query to its ``n_probe`` cells; scoring is asymmetric ADC against
+    the PQ reconstruction, restricted to vectors assigned to the
+    probed cells — the exact composition the Spark operator runs."""
+    cos = _sql_cos
+    parts = _pq_recon_parts(m, sub_dim, n_codes)
+    adc = cos("p.qe", "r.de")
+    return (
+        "    , "
+        + _kmeans_cents_ctes(n_centroids, 2, 64)
+        + ",\n    "
+        + ",\n    ".join(parts)
+        + f""",
+    cells AS (SELECT vec_id, cid FROM (
+      SELECT d.vec_id, c.cid, row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn
+      FROM d CROSS JOIN cents c) WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5),
+    probes AS (SELECT query_id, qe, cid FROM (
+      SELECT q.query_id, q.qe, c.cid, row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos('q.qe', 'c.ce')} DESC, c.cid ASC) AS prn
+      FROM q CROSS JOIN cents c) WHERE prn <= {n_probe})
+    SELECT query_id, vec_id, pq_sim, rank FROM (
+      SELECT p.query_id, r.vec_id, {adc} AS pq_sim,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {adc} DESC, r.vec_id ASC) AS rank
+      FROM probes p JOIN cells cl ON cl.cid = p.cid
+      JOIN recon r ON r.vec_id = cl.vec_id
+      WHERE r.vec_id <> p.query_id
     ) WHERE rank <= {k}
     """
     )
@@ -2545,6 +2593,25 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.pq_topk(emb, queries, k=3).select(
         "query_id", "vec_id", "pq_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query("embedding_ann_ivf_pq", oracle=_COSINE_ORACLE + _ivf_pq_oracle())
+def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the composed billion-vector index (FAISS
+    ``IVF8,PQ8`` routing shape): coarse portable-k-means routing to
+    2 probed lists, asymmetric-ADC scoring against the per-subspace
+    PQ reconstruction within them. Every stage is the already
+    hash-checked formulation, so the full composition — coarse
+    training, 8 codebook trainings, coding, routing, ADC — is
+    seedless and oracle-exact. See
+    ``operators/similarity.ivf_pq_topk``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_pq_topk(emb, queries, k=3).select(
+        "query_id", "vec_id", "pq_sim", "rank"
     )
 
 
@@ -2662,10 +2729,8 @@ def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dsir_importance_weights",
-    oracle="""
-    WITH t AS (
+_DSIR_CTES = """
+    t AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                           ' ') AS toks,
@@ -2693,11 +2758,20 @@ def embedding_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - ln((c.cc + 1) * 1.0 / (tots.tc + tots.v)))
                        / ln(2) * 1e6) AS BIGINT) AS lr
       FROM u JOIN counts c ON c.term = u.term CROSS JOIN tots
-    )
-    SELECT doc_id, count(*) AS n_tokens,
-           CAST(floor(CAST(sum(lr) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
-             AS mean_lr_microbits
-    FROM sc GROUP BY doc_id
+    ),
+    dsir_w AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(floor(CAST(sum(lr) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+               AS mean_lr_microbits
+      FROM sc GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_tokens, mean_lr_microbits FROM dsir_w
     """,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2709,6 +2783,91 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     target = docs.filter(F.col("source") == "src0")
     return X.dsir_importance_weights(docs, target)
+
+
+@query(
+    "dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    verdict AS (
+      SELECT doc_id, mean_lr_microbits,
+             greatest(CAST(0 AS BIGINT), least(CAST(100 AS BIGINT),
+               50 + CAST(floor(mean_lr_microbits / 20000.0) AS BIGINT)))
+               AS keep_rate,
+             ((doc_id % 2147483647) * 2654435761) % 100 AS coin
+      FROM dsir_w
+    )
+    SELECT doc_id, mean_lr_microbits, keep_rate,
+           coin < keep_rate AS kept
+    FROM verdict
+    """,
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step itself (Xie et al. 2023 §3): keep
+    probability increases with the importance weight —
+    ``rate = clamp(50 + weight // 20k µbits, 0, 100)`` percent — and
+    the coin is the portable multiplicative id-hash, so the EXACT
+    kept set is reproducible across engines/retries
+    (operators/text.dsir_resample). Closes the loop the weights query
+    promises: weights → auditable keep decision, one map-only
+    projection past the DSIR plan."""
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return X.dsir_resample(docs, target)
+
+
+_SURPRISAL_SCORE_CTES = r"""
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS t FROM tok),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CAST(round(ln(CAST(t AS DOUBLE) / c) / ln(2) * 1000000)
+                           AS BIGINT)) AS BIGINT)
+               AS s
+      FROM tok JOIN cnt USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    scores AS (SELECT doc_id, s // n_tokens AS ms FROM per_doc)"""
+
+
+@query(
+    "doc_surprisal_band_fit",
+    oracle=f"""
+    WITH {_SURPRISAL_SCORE_CTES},
+    ranked AS (
+      SELECT doc_id, ms,
+             row_number() OVER (ORDER BY ms, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM scores
+    ),
+    cuts AS (
+      SELECT max(CASE WHEN rn <= ((n - 1) * 25) // 100 + 1 THEN ms END)
+               AS band_lo,
+             max(CASE WHEN rn <= ((n - 1) * 75) // 100 + 1 THEN ms END)
+               AS band_hi
+      FROM ranked
+    )
+    SELECT doc_id, ms AS mean_surprisal_microbits, band_lo, band_hi,
+           ms BETWEEN band_lo AND band_hi AS kept
+    FROM scores CROSS JOIN cuts
+    """,
+)
+def doc_surprisal_band_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-FIT surprisal gate — the actual CCNet recipe
+    (re-fit the keep band to the corpus's own [P25, P75] instead of
+    the fixture-tuned constants of ``doc_unigram_surprisal``). Cuts
+    are discrete order statistics under the deterministic (score, id)
+    order, computed as max-over-TakeOrdered-prefix — no global sort,
+    no interpolated-quantile engine drift
+    (operators/text.surprisal_band_fit)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.surprisal_band_fit(docs)
 
 
 @query(

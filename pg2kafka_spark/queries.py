@@ -48,6 +48,9 @@ _FRONT = [
     "near_dup_components_star",
     "multimodal_features",
     "multimodal_features_real",
+    "dsir_resample",
+    "doc_surprisal_band_fit",
+    "embedding_ann_ivf_pq",
 ]
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(

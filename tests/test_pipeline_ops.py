@@ -1342,3 +1342,66 @@ def test_bigram_surprisal_fuzz_vs_python_reference(spark):
         assert got == ref(texts), (texts, got, ref(texts))
 
     check()
+
+
+def test_dsir_resample_rate_monotone_and_clamped(spark):
+    """Keep-rate must be monotone in the weight, floor-divided toward
+    -inf for negative weights, and clamped to [0, 100]."""
+    from pg2kafka_spark.operators.text import dsir_resample
+
+    target_style = "finance market stock bond yield equity trading risk"
+    docs = spark.createDataFrame(
+        [(1, target_style), (2, "garden flower soil seed water sunlight")],
+        ["doc_id", "text"],
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    rows = {r["doc_id"]: r for r in dsir_resample(docs, target).collect()}
+    assert rows[1]["keep_rate"] > rows[2]["keep_rate"]
+    for r in rows.values():
+        assert 0 <= r["keep_rate"] <= 100
+        expect = max(0, min(100, 50 + r["mean_lr_microbits"] // 20_000))
+        assert r["keep_rate"] == expect, r
+
+
+def test_surprisal_band_fit_covers_interquartile(spark, sf_dir):
+    """The fitted band must keep exactly the docs between the P25 and
+    P75 order statistics: roughly half the corpus, never the extreme
+    ranks."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.text import surprisal_band_fit
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = surprisal_band_fit(docs).collect()
+    n = len(out)
+    kept = [r for r in out if r["kept"]]
+    assert 0.4 * n <= len(kept) <= 0.65 * n, (len(kept), n)
+    scores = sorted(r["mean_surprisal_microbits"] for r in out)
+    (band_lo, band_hi) = (out[0]["band_lo"], out[0]["band_hi"])
+    assert band_lo == scores[(n - 1) * 25 // 100]
+    assert band_hi == scores[(n - 1) * 75 // 100]
+    assert min(scores) < band_lo <= band_hi < max(scores)
+
+
+def test_ivf_pq_results_are_pq_scores_within_probed_cells(spark, sf_dir):
+    """Routed PQ must return, per query, the top-k of the FLAT PQ
+    scoring restricted to probed cells: every emitted (query, vec)
+    must carry the same pq_sim as flat PQ computes, and ranks must be
+    contiguous from 1."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    routed = S.ivf_pq_topk(emb, queries, k=3).collect()
+    flat = {
+        (r["query_id"], r["vec_id"]): r["pq_sim"]
+        for r in S.pq_topk(emb, queries, k=500).collect()
+    }
+    assert len(routed) == 15
+    by_q = {}
+    for r in routed:
+        key = (r["query_id"], r["vec_id"])
+        if key in flat:  # flat list is top-500; routed survivor must agree
+            assert r["pq_sim"] == flat[key], key
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == [1, 2, 3], (q, ranks)

@@ -40,6 +40,7 @@ def main() -> None:
         "sq8": lambda: S.quantized_topk(emb, queries, k=K),
         "ivf_sq8": lambda: S.ivf_sq8_topk(emb, queries, k=K),
         "pq_8x8": lambda: S.pq_topk(emb, queries, k=K),
+        "ivf_pq": lambda: S.ivf_pq_topk(emb, queries, k=K),
     }
     print("| index | recall@3 vs exact | bytes/vector (64-dim) |")
     print("|---|---|---|")
@@ -49,6 +50,7 @@ def main() -> None:
         "sq8": "64 (int8)",
         "ivf_sq8": "64 (int8) + 8 cell id",
         "pq_8x8": "8 codes (3 bit each here; 8 in prod)",
+        "ivf_pq": "8 codes + 8 cell id",
     }
     for name, fn in variants.items():
         got = topsets(fn())
