@@ -1297,6 +1297,76 @@ def pq_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Cell-restricted k-NN GRAPH over the whole corpus — every
+    vector's top-``k`` cosine neighbours within its k-means cell:
+    the primitive SemDeDup-style pruning, kNN-graph clustering, and
+    diversity sampling all build on. Per-vector queries through
+    :func:`brute_force_topk` would broadcast the entire corpus; the
+    cell restriction bounds the quadratic to one cluster at a time
+    (the same tractability argument as :func:`semantic_dedup`, and
+    the same documented recall loss at cluster borders).
+
+    Emits ``(vec_id, nbr_id, cos_sim, rank)``; vectors alone in their
+    cell emit nothing. Deterministic and oracle-checkable: portable
+    k-means cells, 6-dp-rounded cosine, ``(cos desc, nbr_id asc)``
+    rank order — the grouped Arrow BLAS kernel hash-matches the SQL
+    self-join twin exactly (the semantic_dedup precedent).
+
+    Scale shape: one grouped-map task per cell, O(m²·dim) BLAS in
+    cluster size m — size ``n_centroids ≈ N / target_cluster_size``
+    and pass ``train_sample`` at real N.
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, iters, dim, id_col, vec_col, train_sample
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col)
+    kk = int(k)
+
+    def kernel(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "nbr_id": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        n = np.einsum("ij,ij->i", V, V)
+        cos = np.round((V @ V.T) / np.sqrt(np.outer(n, n)), 6)
+        np.fill_diagonal(cos, -np.inf)
+        rows = []
+        top = min(kk, m - 1)
+        for i in range(m):
+            # deterministic (cos desc, nbr_id asc): lexsort on
+            # (-cos, id) — ties on the rounded cosine break by id
+            order = np.lexsort((ids, -cos[i]))[:top]
+            for r, j in enumerate(order, start=1):
+                rows.append((ids[i], ids[j], cos[i, j], r))
+        return pd.DataFrame(
+            rows, columns=["vec_id", "nbr_id", "cos_sim", "rank"]
+        )
+
+    return cells.groupBy("cid").applyInPandas(
+        kernel, "vec_id bigint, nbr_id bigint, cos_sim double, rank bigint"
+    )
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -781,12 +781,19 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_cents_ctes(
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    train_sample: int | None = None,
+) -> str:
     """Unrolled portable spherical k-means as chained CTEs — the SQL
     twin of operators/similarity.kmeans_centroids (same seeded sample
     ordering, 6-dp-rounded assignment cosine and centroid means,
-    empty cells keep their previous centroid). Ends with a CTE named
-    ``cents`` so the consumer SQL is unchanged."""
+    empty cells keep their previous centroid; ``train_sample`` limits
+    the TRAINING rows to the same smallest-hash prefix the operator
+    uses — the at-scale mode). Ends with a CTE named ``cents`` so the
+    consumer SQL is unchanged."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -794,11 +801,19 @@ def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> s
             f" * list_inner_product({b}, {b})), 6)"
         )
 
+    train_rel = "d"
     parts = [
         f"cents0 AS (SELECT vec_id AS cid, e AS ce FROM d "
         f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
         f"LIMIT {n_centroids})"
     ]
+    if train_sample is not None:
+        train_rel = "ktr"
+        parts.append(
+            f"ktr AS (SELECT vec_id, e FROM d "
+            f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
+            f"LIMIT {train_sample})"
+        )
     for it in range(iters):
         prev = f"cents{it}"
         nxt = "cents" if it == iters - 1 else f"cents{it + 1}"
@@ -813,7 +828,7 @@ def _kmeans_cents_ctes(n_centroids: int = 8, iters: int = 2, dim: int = 64) -> s
             f"kasg{it} AS (SELECT vec_id, e, cid FROM ("
             f"SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id "
             f"ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn "
-            f"FROM d CROSS JOIN {prev} c) WHERE arn = 1)"
+            f"FROM {train_rel} d CROSS JOIN {prev} c) WHERE arn = 1)"
         )
         parts.append(
             f"km{it} AS (SELECT cid, list_value({avg_terms}) AS me "
@@ -2596,6 +2611,67 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_ann_ivf_sampled",
+    oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes(train_sample=200)
+    + """    ,
+    asg AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT d.vec_id, d.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(q.qe, c.ce)
+                   / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS prn
+        FROM q CROSS JOIN cents c
+      ) WHERE prn <= 2
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qe, a.e)
+               / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_inner_product(p.qe, a.e)
+                 / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) DESC,
+                 a.vec_id ASC) AS rank
+      FROM probes p JOIN asg a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with SAMPLED training — the documented at-scale mode
+    finally exercised under the oracle: k-means trains on the 200
+    smallest-portable-hash vectors only (the fixed pseudo-random
+    sample both engines can name), while assignment and probing still
+    cover the full corpus. At 10⁹ vectors this is the difference
+    between `train_iters` full corpus passes and a constant-size
+    training set; hash-matching it proves the sampled trainer is the
+    same deterministic machine, not an approximation of one."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=3, train_sample=200).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
 @query("embedding_ann_ivf_pq", oracle=_COSINE_ORACLE + _ivf_pq_oracle())
 def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ — the composed billion-vector index (FAISS
@@ -2613,6 +2689,41 @@ def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(emb, queries, k=3).select(
         "query_id", "vec_id", "pq_sim", "rank"
     )
+
+
+def _knn_graph_oracle(n_centroids: int = 8, k: int = 3) -> str:
+    cos = _sql_cos
+    return (
+        "    , "
+        + _kmeans_cents_ctes(n_centroids, 2, 64)
+        + f""",
+    cellsv AS (SELECT vec_id, e, cid FROM (
+      SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id
+             ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn
+      FROM d CROSS JOIN cents c) WHERE arn = 1)
+    SELECT vec_id, nbr_id, cos_sim, rank FROM (
+      SELECT a.vec_id, b.vec_id AS nbr_id, {cos('a.e', 'b.e')} AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cos('a.e', 'b.e')} DESC,
+                                         b.vec_id ASC) AS rank
+      FROM cellsv a JOIN cellsv b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {k}
+    """
+    )
+
+
+@query("embedding_knn_graph", oracle=_COSINE_ORACLE + _knn_graph_oracle())
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN graph, cell-restricted: every vector's top-3
+    cosine neighbours within its portable-k-means cell — the
+    primitive SemDeDup pruning, kNN clustering, and diversity
+    sampling build on. Grouped Arrow BLAS kernel per cell,
+    hash-matched against the SQL self-join twin (the grouped-kernel
+    oracle precedent of ``semantic_dedup_embeddings``). See
+    ``operators/similarity.knn_graph``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.knn_graph(emb, k=3)
 
 
 @query(

@@ -51,6 +51,8 @@ _FRONT = [
     "dsir_resample",
     "doc_surprisal_band_fit",
     "embedding_ann_ivf_pq",
+    "embedding_knn_graph",
+    "embedding_ann_ivf_sampled",
 ]
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(

@@ -1405,3 +1405,51 @@ def test_ivf_pq_results_are_pq_scores_within_probed_cells(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == [1, 2, 3], (q, ranks)
+
+
+def test_knn_graph_matches_within_cell_brute_force(spark, sf_dir):
+    """Each vector's neighbours must be exactly the top-k by rounded
+    cosine among its OWN cell's members (the operator's contract),
+    with contiguous ranks and no self-edges."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = S.knn_graph(emb, k=3).collect()
+    assert out and all(r["vec_id"] != r["nbr_id"] for r in out)
+    from pg2kafka_spark.operators.similarity import (
+        as_double,
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, 8, 2, 64)
+    cells = assign_cells(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("__cv")),
+        cents,
+    ).collect()
+    by_cell: dict[int, list] = {}
+    for r in cells:
+        by_cell.setdefault(r["cid"], []).append((r["vec_id"], np.array(r["__cv"])))
+    expect = {}
+    for members in by_cell.values():
+        for vid, v in members:
+            scored = sorted(
+                (
+                    (
+                        -round(
+                            float(
+                                v @ w / (np.linalg.norm(v) * np.linalg.norm(w))
+                            ),
+                            6,
+                        ),
+                        wid,
+                    )
+                    for wid, w in members
+                    if wid != vid
+                ),
+            )[:3]
+            for rank, (negc, wid) in enumerate(scored, start=1):
+                expect[(vid, rank)] = (wid, -negc)
+    for r in out:
+        wid, c = expect[(r["vec_id"], r["rank"])]
+        assert (r["nbr_id"], r["cos_sim"]) == (wid, c), r

@@ -305,3 +305,13 @@ def test_frame_fingerprints_is_map_only(spark, sf_dir):
     p = plan_of(spark, "media_frame_fingerprints", sf_dir)
     assert "Exchange" not in p
     assert "MapInPandas" in p
+
+
+def test_knn_graph_is_grouped_map_per_cell(spark, sf_dir):
+    """The corpus k-NN quadratic must stay bounded per cell: a
+    grouped-map Arrow kernel keyed by cid — never a corpus self-join
+    or cartesian."""
+    p = plan_of(spark, "embedding_knn_graph", sf_dir)
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

@@ -340,6 +340,34 @@ COMMENTARY = {
         "job. Per-round `localCheckpoint` keeps the plan O(1) deep and "
         "exactly one edge table in executor storage."
     ),
+    "embedding_ann_ivf_pq": (
+        "Routed PQ (IVF8,PQ8 shape): coarse centroids and all 8 "
+        "codebooks broadcast; coding is ONE posexplode + (id, "
+        "subspace)-keyed window (the r7 keyed trainer — one plan for "
+        "all subspaces, not 8 chains); the (id, cid, reconstruction) "
+        "table materializes as the stored index and the probe join "
+        "keys on cid. Zero extra shuffles over flat PQ."
+    ),
+    "embedding_knn_graph": (
+        "Corpus k-NN graph: one cid-keyed exchange, then a grouped "
+        "Arrow BLAS task per cell (FlatMapGroupsInPandas) — the "
+        "quadratic is bounded to one cluster at a time, the "
+        "semantic_dedup tractability argument, and the kernel "
+        "hash-matches the SQL self-join twin."
+    ),
+    "dsir_resample": (
+        "The DSIR keep step: the weight join is the DSIR plan "
+        "(broadcast vocab counts, per-doc re-aggregation on the "
+        "uniform id key); rate clamp and the portable-hash coin add "
+        "one MAP-ONLY projection — the decision stage costs nothing "
+        "at any corpus size."
+    ),
+    "doc_surprisal_band_fit": (
+        "Percentile-fit gate: each band cut is max-over-a-TakeOrdered "
+        "prefix (per-partition bounded heaps, no global sort), the "
+        "1-row band broadcasts, and the verdict is a map-only "
+        "projection over the persisted score table."
+    ),
     "daily_ingest_keep_list": (
         "The daily incremental job end to end. Each stage keeps its "
         "standalone shape: map-only gates in the scan, one uniform "
