@@ -275,3 +275,54 @@ def strict_pack_spans(
         (span_lo - p_lo).alias("pack_tok_start"),
         (span_hi - span_lo).alias("span_tokens"),
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: keep the
+    ``n`` rows with the smallest ``hash(id) // weight`` — the
+    integer-exact cousin of weighted reservoir sampling (Efraimidis &
+    Spirakis A-Res keys ``u^(1/w)``; with ``u = hash/M`` uniform, the
+    pairwise pick probability of ``hash/w`` ordering is
+    ``w_i / (w_i + w_j)`` — proportional selection), with the same
+    portable multiplicative hash every sampler here uses, so the
+    EXACT sample is a pure function of the data — reproducible
+    across engines, retries, and executors (no rand(), no float
+    keys: the sort key is a BIGINT floor quotient, and ``id`` breaks
+    ties).
+
+    The standard move for token-budget corpus assembly: pass
+    ``weight = n_tokens`` to sample documents proportional to their
+    token count so the EXPECTED token mass, not the doc count, hits
+    the budget.
+
+    Scale shape: the key is map-only; top-n is TakeOrderedAndProject
+    (per-partition bounded heaps — no global sort at any corpus
+    size). Zero-or-negative weights are excluded outright (a weight
+    of 0 must never be sampled; guarding here keeps the division
+    ANSI-safe too).
+    """
+    from pg2kafka_spark.operators.similarity import (
+        PORTABLE_SAMPLE_MOD,
+        PORTABLE_SAMPLE_SALT,
+    )
+
+    h = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+        * F.lit(PORTABLE_SAMPLE_SALT),
+        F.lit(PORTABLE_SAMPLE_MOD),
+    )
+    key = F.expr(f"__wsh div __wsw")
+    return (
+        df.withColumn("__wsw", weight.cast("bigint"))
+        .filter(F.col("__wsw") > 0)
+        .withColumn("__wsh", h)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__wsw", "__wsh")
+    )

@@ -2727,6 +2727,40 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           h // n_tokens AS sample_key
+    FROM w WHERE n_tokens > 0
+    ORDER BY h // n_tokens, doc_id LIMIT 100
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget weighted sampling: the 100 docs with the smallest
+    ``portable_hash(id) // n_tokens`` — deterministic
+    proportional-to-length selection (the integer-exact A-Res cousin,
+    operators/assembly.weighted_sample_topn), so longer documents are
+    proportionally likelier while the EXACT sample stays a pure
+    function of the data. TakeOrderedAndProject plan — bounded heaps,
+    no global sort."""
+    from pg2kafka_spark.operators.assembly import weighted_sample_topn
+
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample_topn(
+        docs, X.token_count(F.col("text")), n=100
+    ).select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "sample_key",
+    )
+
+
+@query(
     "doc_bigram_surprisal",
     oracle="""
     WITH t AS (

@@ -53,6 +53,7 @@ _FRONT = [
     "embedding_ann_ivf_pq",
     "embedding_knn_graph",
     "embedding_ann_ivf_sampled",
+    "doc_weighted_sample",
 ]
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(

@@ -246,3 +246,38 @@ def test_strict_pack_spans_invariants_fuzz(spark):
                 assert by_pack[(src, p)] == budget
 
     check()
+
+
+def test_weighted_sample_prefers_heavier_rows(spark):
+    """Proportional selection, measured: with ids 0..1999 and weight
+    10 for the first half vs 1 for the second, the 200-row sample
+    must be dominated by heavy rows (E[heavy] ≈ 0.9·200), and the
+    sample must be the exact deterministic top-n by (key, id)."""
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.assembly import weighted_sample_topn
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(10)).otherwise(F.lit(1)).alias("w"),
+    )
+    got = weighted_sample_topn(df, F.col("w"), n=200).collect()
+    assert len(got) == 200
+    heavy = sum(1 for r in got if r["doc_id"] < 1000)
+    assert heavy >= 150, heavy  # E≈180; far above the uniform 100
+    # determinism: rerun yields the identical sample
+    again = weighted_sample_topn(df, F.col("w"), n=200).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.assembly import weighted_sample_topn
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, F.lit(0)).otherwise(F.lit(3)).alias("w"),
+    )
+    got = {r["doc_id"] for r in weighted_sample_topn(df, F.col("w"), n=10).collect()}
+    assert got == set(range(5, 10))
