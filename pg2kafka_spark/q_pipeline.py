@@ -1,9 +1,14 @@
 """Training-data pipeline queries — dedup, similarity search, text
 analysis, multimodal (SURVEY.md §7 M5; BASELINE.json north-star
-extras). Oracle-backed where ANSI-SQL-expressible; MinHash/SimHash/
-LSH/multimodal are rows-only (hash seeds and Arrow UDFs aren't
-portable SQL) and are instead verified by unit tests against exact
-formulations.
+extras). Oracle-backed where ANSI-SQL-expressible — including the
+Arrow-kernel paths whose outputs are analytically re-derivable
+(grouped BLAS cosine, md5-framed frame sampling, decode functionals:
+the decode-parity pattern) and the portable twins of the seeded
+discovery paths (Rademacher LSH, portable MinHash/SimHash). The six
+remaining rows-only queries are exactly the xxhash/BLAS-seeded or
+binary-md5 discovery kernels whose seeds aren't portable SQL; each
+is verified by unit tests against exact formulations and, where one
+exists, shadowed by its hash-checked twin.
 
 Float determinism: cosine math uses double-cast arrays with
 sequential folds — bit-identical between Spark's ``aggregate`` and
