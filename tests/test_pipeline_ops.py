@@ -1453,3 +1453,64 @@ def test_knn_graph_matches_within_cell_brute_force(spark, sf_dir):
     for r in out:
         wid, c = expect[(r["vec_id"], r["rank"])]
         assert (r["nbr_id"], r["cos_sim"]) == (wid, c), r
+
+
+def test_fixed_point_mean_formula_fuzz_vs_python(spark):
+    """The r7 k-means mean formula — per-element round(x·1e9) summed
+    as LONG, one double division, round(6) — fuzzed against an
+    independent Python reference on adversarial values: exact
+    halfway points at the 1e-9 grid, denormal-ish tails, and values
+    near the 6-dp output boundary. Both engines must agree with the
+    reference EXACTLY (the formula's whole claim is
+    order-independence + engine-portability)."""
+    import duckdb
+
+    vals = [
+        0.0000000005,   # exactly representable? halfway at the grid
+        -0.0000000005,
+        0.1234567895,   # 6-dp boundary neighborhood
+        -0.9999999995,
+        1.0 / 3.0,
+        -2.0 / 3.0,
+        0.1 + 0.2,      # classic non-exact double
+        1e-12, -1e-12, 0.0, 1.0, -1.0,
+        0.49999999949999997,
+    ]
+    import math
+
+    def py_mean(xs: list[float]) -> float:
+        # round-half-away-from-zero on the scaled double, like both
+        # engines' round()
+        def r(v: float) -> int:
+            return int(math.floor(v + 0.5)) if v >= 0 else -int(
+                math.floor(-v + 0.5)
+            )
+
+        s = sum(r(x * 1.0e9) for x in xs)
+        q = s / (len(xs) * 1.0e9)
+        # 6-dp HALF_UP like F.round / duckdb round
+        scaled = q * 1e6
+        return r(scaled) / 1e6
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got_spark = (
+        df.agg(
+            F.round(
+                F.sum(F.round(F.col("x") * F.lit(1.0e9)).cast("bigint")).cast(
+                    "double"
+                )
+                / (F.count(F.lit(1)).cast("double") * F.lit(1.0e9)),
+                6,
+            ).alias("m")
+        ).first()["m"]
+    )
+    con = duckdb.connect()
+    got_duck = con.execute(
+        "SELECT round(CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / (count(*) * 1000000000.0), 6) FROM (SELECT unnest(?) AS x)",
+        [vals],
+    ).fetchone()[0]
+    expect = py_mean(vals)
+    assert got_spark == got_duck == expect, (got_spark, got_duck, expect)
