@@ -286,14 +286,18 @@ def weighted_sample_topn(
     """Deterministic weighted sampling without replacement: keep the
     ``n`` rows with the smallest ``hash(id) // weight`` — the
     integer-exact cousin of weighted reservoir sampling (Efraimidis &
-    Spirakis A-Res keys ``u^(1/w)``; with ``u = hash/M`` uniform, the
-    pairwise pick probability of ``hash/w`` ordering is
-    ``w_i / (w_i + w_j)`` — proportional selection), with the same
-    portable multiplicative hash every sampler here uses, so the
-    EXACT sample is a pure function of the data — reproducible
-    across engines, retries, and executors (no rand(), no float
-    keys: the sort key is a BIGINT floor quotient, and ``id`` breaks
-    ties).
+    Spirakis A-Res keys ``u^(1/w)``: with ``u = hash/M`` uniform the
+    ``hash/w`` key is NOT the A-Res key, so pairwise pick odds are
+    only approximately ``w_i/(w_i+w_j)``; in the small ``n/N``
+    sampling-fraction regime, inclusion probability ≈ ``t·w_i`` for
+    threshold ``t`` — weight-proportional where it matters, with
+    heavy items saturating early as the fraction grows), with the
+    same portable multiplicative hash every sampler here uses (plus
+    an additive pre-salt so ``id ≡ 0 (mod M)`` doesn't hash to the
+    always-sampled key 0), so the EXACT sample is a pure function of
+    the data — reproducible across engines, retries, and executors
+    (no rand(), no float keys: the sort key is a BIGINT floor
+    quotient, and ``id`` breaks ties).
 
     The standard move for token-budget corpus assembly: pass
     ``weight = n_tokens`` to sample documents proportional to their
@@ -308,11 +312,15 @@ def weighted_sample_topn(
     """
     from pg2kafka_spark.operators.similarity import (
         PORTABLE_SAMPLE_MOD,
+        PORTABLE_SAMPLE_OFFSET,
         PORTABLE_SAMPLE_SALT,
     )
 
     h = F.pmod(
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+        (
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+            + F.lit(PORTABLE_SAMPLE_OFFSET)
+        )
         * F.lit(PORTABLE_SAMPLE_SALT),
         F.lit(PORTABLE_SAMPLE_MOD),
     )

@@ -84,7 +84,15 @@ def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
 
 def _release(sc, ids: set[int]) -> None:
     _unpersist_ids(sc, ids)
-    _TRACKED[:] = [(c, rid) for (c, rid) in _TRACKED if rid not in ids]
+    # Rebuild under the checkpoint lock: a concurrent _checkpoint (the
+    # bench suite warms queries from multiple threads) can extend
+    # _TRACKED between the comprehension and the slice assignment,
+    # silently dropping its entries from tracking — an executor-storage
+    # leak until session end (r7 ADVICE).
+    with _CKPT_LOCK:
+        _TRACKED[:] = [
+            (c, rid) for (c, rid) in _TRACKED if rid not in ids
+        ]
 
 
 def release_graph_state() -> None:
@@ -95,8 +103,11 @@ def release_graph_state() -> None:
     materialize results before releasing. Suite runners (bench.py,
     check_parity) call this between queries via
     ``release_sketch_caches``."""
-    while _TRACKED:
-        sc, rid = _TRACKED.pop()
+    while True:
+        with _CKPT_LOCK:
+            if not _TRACKED:
+                return
+            sc, rid = _TRACKED.pop()
         _unpersist_ids(sc, {rid})
 
 

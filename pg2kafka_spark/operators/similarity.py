@@ -183,6 +183,12 @@ def lsh_bucket_topk(
 #: sample ordering (same family as the portable MinHash in dedup.py).
 PORTABLE_SAMPLE_SALT = 2654435761
 PORTABLE_SAMPLE_MOD = (1 << 31) - 1
+#: Additive pre-salt applied before the multiply where a fixed point
+#: at 0 would be semantically wrong (``id ≡ 0 (mod M)`` maps to hash 0
+#: — e.g. an always-sampled key in weighted sampling). Any nonzero
+#: constant breaks the fixed point; a prime keeps the map bijective
+#: on residues.
+PORTABLE_SAMPLE_OFFSET = 1_000_003
 
 
 def kmeans_centroids(
@@ -1065,6 +1071,7 @@ def kmeans_centroids_keyed(
     dim: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "__sv",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Grouped portable spherical k-means: one plan trains an
     INDEPENDENT codebook per ``key_col`` group over ``(key, id,
@@ -1347,19 +1354,26 @@ def knn_graph(
             return empty
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__cv"]])
+        # Sort rows/columns by id ascending once, so a STABLE row-wise
+        # argsort on -cos breaks rounded-cosine ties by nbr_id asc —
+        # the same (cos desc, id asc) order the old per-row lexsort
+        # produced, but as ONE vectorized argsort over the cell matrix
+        # instead of m Python-level lexsorts (r7 verdict nit).
+        ord0 = np.argsort(ids, kind="stable")
+        ids = ids[ord0]
+        V = V[ord0]
         n = np.einsum("ij,ij->i", V, V)
         cos = np.round((V @ V.T) / np.sqrt(np.outer(n, n)), 6)
         np.fill_diagonal(cos, -np.inf)
-        rows = []
         top = min(kk, m - 1)
-        for i in range(m):
-            # deterministic (cos desc, nbr_id asc): lexsort on
-            # (-cos, id) — ties on the rounded cosine break by id
-            order = np.lexsort((ids, -cos[i]))[:top]
-            for r, j in enumerate(order, start=1):
-                rows.append((ids[i], ids[j], cos[i, j], r))
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :top]
         return pd.DataFrame(
-            rows, columns=["vec_id", "nbr_id", "cos_sim", "rank"]
+            {
+                "vec_id": np.repeat(ids, top),
+                "nbr_id": ids[order].ravel(),
+                "cos_sim": np.take_along_axis(cos, order, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, top + 1, dtype=np.int64), m),
+            }
         )
 
     return cells.groupBy("cid").applyInPandas(

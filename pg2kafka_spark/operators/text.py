@@ -536,9 +536,17 @@ def dsir_resample(
             ).cast("bigint"),
         ),
     )
+    # Reduce mod M BEFORE mod 100: ``(id·SALT) mod 100`` collapses to
+    # a fixed permutation of the id's low decimal digits (SALT mod 100
+    # times id mod 100), so structured id spaces (all-even, strided)
+    # cover only a subset of residues; the inner mod-M reduction makes
+    # the coin actually mix (r7 ADVICE).
     coin = F.pmod(
-        F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
-        * F.lit(PORTABLE_SAMPLE_SALT),
+        F.pmod(
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+            * F.lit(PORTABLE_SAMPLE_SALT),
+            F.lit(PORTABLE_SAMPLE_MOD),
+        ),
         F.lit(100),
     )
     return w.select(

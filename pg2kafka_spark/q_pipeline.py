@@ -2736,7 +2736,8 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id, length(string_split(text, ' ')) AS n_tokens,
-             ((doc_id % 2147483647) * 2654435761) % 2147483647 AS h
+             (((doc_id % 2147483647) + 1000003) * 2654435761)
+               % 2147483647 AS h
       FROM documents
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2944,7 +2945,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              greatest(CAST(0 AS BIGINT), least(CAST(100 AS BIGINT),
                50 + CAST(floor(mean_lr_microbits / 20000.0) AS BIGINT)))
                AS keep_rate,
-             ((doc_id % 2147483647) * 2654435761) % 100 AS coin
+             (((doc_id % 2147483647) * 2654435761) % 2147483647)
+               % 100 AS coin
       FROM dsir_w
     )
     SELECT doc_id, mean_lr_microbits, keep_rate,

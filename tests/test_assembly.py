@@ -270,6 +270,40 @@ def test_weighted_sample_prefers_heavier_rows(spark):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
 
 
+def test_weighted_sample_id_zero_not_privileged(spark):
+    """r7 verdict edge: without the additive pre-salt, ``doc_id = 0``
+    (and any id ≡ 0 mod 2³¹−1) hashed to key 0 and was ALWAYS sampled
+    regardless of weight. With the salt, a weight-1 id-0 row must lose
+    to 999 weight-1000 rows (its key ≈ 1.46e9 vs their ≤ 2.1e6), and
+    the whole sample must equal an independent pure-Python replay of
+    the key formula."""
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.assembly import weighted_sample_topn
+    from pg2kafka_spark.operators.similarity import (
+        PORTABLE_SAMPLE_MOD,
+        PORTABLE_SAMPLE_OFFSET,
+        PORTABLE_SAMPLE_SALT,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.lit(1000)).alias("w"),
+    )
+    got = [r["doc_id"] for r in weighted_sample_topn(df, F.col("w"), n=100).collect()]
+    assert 0 not in got
+
+    def key(i, w):
+        h = (
+            (i % PORTABLE_SAMPLE_MOD + PORTABLE_SAMPLE_OFFSET)
+            * PORTABLE_SAMPLE_SALT
+        ) % PORTABLE_SAMPLE_MOD
+        return h // w
+
+    ref = sorted(range(1000), key=lambda i: (key(i, 1 if i == 0 else 1000), i))
+    assert got == ref[:100]
+
+
 def test_weighted_sample_excludes_nonpositive_weights(spark):
     from pyspark.sql import functions as F
 
