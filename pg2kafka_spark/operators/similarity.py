@@ -132,6 +132,7 @@ def lsh_bucket_topk(
     query_id_col: str = "query_id",
     multiprobe: bool = True,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, but only among corpus vectors
     whose hyperplane bucket matches the query's (or differs in one bit
@@ -141,16 +142,28 @@ def lsh_bucket_topk(
     join is an equality join on the bucket id, so at 100 TB the plan is
     one uniform shuffle of the small signature projection, never a
     cross join.
+
+    ``portable=True`` swaps the Gaussian BLAS signature for the
+    Rademacher ±1 sequential-fold signature
+    (:func:`portable_lsh_signature`) whose SIGNS are bit-exact
+    cross-engine — the oracle-checkable mode (the
+    ``embedding_near_dup_lsh_portable`` contract); the default BLAS
+    path stays the discovery hot path.
     """
+    sig = (
+        (lambda v: portable_lsh_signature(v, num_planes, dim, seed))
+        if portable
+        else (lambda v: hyperplane_signature(v, num_planes, dim, seed))
+    )
     c = corpus.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("__cv"),
-        hyperplane_signature(F.col(vec_col), num_planes, dim, seed).alias("bucket"),
+        sig(F.col(vec_col)).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         as_double(F.col(vec_col)).alias("__qv"),
-        hyperplane_signature(F.col(vec_col), num_planes, dim, seed).alias("qbucket"),
+        sig(F.col(vec_col)).alias("qbucket"),
     )
     if multiprobe:
         probes = F.array(
@@ -1091,25 +1104,36 @@ def kmeans_centroids_keyed(
         as_double(F.col(vec_col)).alias("__cv"),
     )
     seed_w = Window.partitionBy("__k").orderBy("__h", id_col)
-    cents = (
-        c.withColumn(
-            "__h",
-            F.pmod(
-                F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
-                * F.lit(PORTABLE_SAMPLE_SALT),
-                F.lit(PORTABLE_SAMPLE_MOD),
-            ),
+    ranked = c.withColumn(
+        "__h",
+        F.pmod(
+            F.pmod(F.col(id_col).cast("bigint"), F.lit(PORTABLE_SAMPLE_MOD))
+            * F.lit(PORTABLE_SAMPLE_SALT),
+            F.lit(PORTABLE_SAMPLE_MOD),
+        ),
+    ).withColumn("__srn", F.row_number().over(seed_w))
+    cents = ranked.filter(F.col("__srn") <= n_centroids).select(
+        "__k", F.col(id_col).alias("cid"), F.col("__cv").alias("__ce")
+    )
+    # Sampled training (the kmeans_centroids contract, per key): train
+    # on the smallest-hash ``train_sample`` rows of EACH key group —
+    # the seeds are a prefix of the same ordering, so seed ⊂ train by
+    # construction. At real corpus size this bounds every Lloyd pass
+    # (and the fixed-point LONG overflow argument) by a constant-size
+    # sample per subspace instead of full passes over 10⁹ vectors.
+    train = (
+        ranked.filter(F.col("__srn") <= int(train_sample)).select(
+            "__k", id_col, "__cv"
         )
-        .withColumn("__srn", F.row_number().over(seed_w))
-        .filter(F.col("__srn") <= n_centroids)
-        .select("__k", F.col(id_col).alias("cid"), F.col("__cv").alias("__ce"))
+        if train_sample is not None
+        else c
     )
     for _ in range(iters):
         asg_w = Window.partitionBy("__k", id_col).orderBy(
             F.col("cell_sim").desc(), F.col("cid").asc()
         )
         asg = (
-            c.join(F.broadcast(cents), "__k")
+            train.join(F.broadcast(cents), "__k")
             .select(
                 "__k",
                 id_col,
@@ -1157,6 +1181,7 @@ def pq_codebooks(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks: the vector space is split into
     ``m`` contiguous ``sub_dim``-dim subspaces and each gets its own
@@ -1165,7 +1190,10 @@ def pq_codebooks(
     training is oracle-checkable per subspace). Returns
     ``(m, cid, __ce)`` — ``m * n_codes`` rows, broadcastable at any
     corpus size (the whole point of PQ: the index stores
-    ``m * log2(n_codes)`` bits per vector).
+    ``m * log2(n_codes)`` bits per vector). ``train_sample`` bounds
+    every subspace's Lloyd passes to the per-key smallest-hash prefix
+    (same ids in all ``m`` subspaces) — pass it at real N so codebook
+    training never full-scans.
     """
     # ONE posexplode pass emits every (subspace, id, slice) row, and
     # ONE keyed training plan fits all m codebooks together — the
@@ -1185,7 +1213,7 @@ def pq_codebooks(
         ).alias("m", "__sv"),
     )
     cents = kmeans_centroids_keyed(
-        subs, "m", n_codes, iters, sub_dim, id_col, "__sv"
+        subs, "m", n_codes, iters, sub_dim, id_col, "__sv", train_sample
     ).select(F.col("m").cast("int"), "cid", "__ce")
     from pg2kafka_spark.operators.dedup import _persist
 
@@ -1259,6 +1287,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Product-quantization top-k (Jégou et al., TPAMI'11; FAISS
     ``PQ8`` shape): each vector is coded as ``m`` codebook ids (here
@@ -1282,7 +1311,7 @@ def pq_topk(
     codebook table (``m * n_codes`` rows) broadcasts everywhere.
     """
     cents = pq_codebooks(
-        corpus, m, sub_dim, n_codes, iters, id_col, vec_col
+        corpus, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
     )
     recon = pq_reconstruct(corpus, cents, m, sub_dim, id_col, vec_col)
     q = queries.select(
@@ -1396,6 +1425,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_sample: int | None = None,
 ) -> DataFrame:
     """IVF + PQ — the composed billion-vector index (FAISS
     ``IVFx,PQy`` routing shape): the coarse quantizer (portable
@@ -1413,16 +1443,22 @@ def ivf_pq_topk(
     Scale shape: coarse centroids AND codebooks broadcast (tiny);
     coding is the pq_reconstruct posexplode window; routing is the
     ivf probe join on cid — one cid-keyed exchange, zero extra
-    shuffles over flat PQ.
+    shuffles over flat PQ. ``train_sample`` bounds BOTH trainers —
+    the coarse quantizer and all ``m`` subspace codebooks — by the
+    same smallest-hash sample, so at real corpus size no training
+    stage makes a full pass (r7 verdict: previously the PQ side was
+    the one remaining full-scan trainer in the index family).
     """
     from pg2kafka_spark.operators.dedup import _persist
 
     coarse = kmeans_centroids(
-        corpus, n_centroids, train_iters, dim, id_col, vec_col
+        corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
     )
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
-    cents = pq_codebooks(corpus, m, sub_dim, n_codes, iters, id_col, vec_col)
+    cents = pq_codebooks(
+        corpus, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
+    )
     # (id, cid, reconstruction) — the materialized IVF-PQ index
     indexed = _persist(
         pq_reconstruct(corpus, cents, m, sub_dim, id_col, vec_col).join(

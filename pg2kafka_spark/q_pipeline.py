@@ -674,10 +674,10 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_portable_oracle(
-    num_planes: int = 8, dim: int = 64, seed: int = 42, thr: float = 0.4
+def _rademacher_bit_terms(
+    num_planes: int, dim: int = 64, seed: int = 42, col: str = "e"
 ) -> str:
-    """Oracle generator for the portable Rademacher-LSH discovery:
+    """SQL expression for the m-bit Rademacher signature of ``col``:
     the ±1 plane literals come from the SAME
     ``similarity.rademacher_planes`` call the Spark operator uses, so
     the engines cannot drift; with ±1 coefficients the projection is
@@ -688,11 +688,19 @@ def _lsh_portable_oracle(
     def lst(p: list[float]) -> str:
         return "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
 
-    bit_terms = " + ".join(
-        f"CASE WHEN list_inner_product(e, {lst(p)}) >= 0"
+    return " + ".join(
+        f"CASE WHEN list_inner_product({col}, {lst(p)}) >= 0"
         f" THEN {1 << j} ELSE 0 END"
         for j, p in enumerate(planes)
     )
+
+
+def _lsh_portable_oracle(
+    num_planes: int = 8, dim: int = 64, seed: int = 42, thr: float = 0.4
+) -> str:
+    """Oracle for the portable Rademacher-LSH discovery (see
+    :func:`_rademacher_bit_terms` for the exactness argument)."""
+    bit_terms = _rademacher_bit_terms(num_planes, dim, seed)
     return f"""
     WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     sig AS (
@@ -952,18 +960,63 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb, threshold=0.4, n_centroids=8)
 
 
-@query("embedding_ann_lsh")  # rows-only: hyperplane seeds not portable SQL
+def _ann_lsh_oracle(num_planes: int = 8, k: int = 3) -> str:
+    """Oracle for the multiprobe hyperplane-LSH top-k: the signature
+    is the sign-exact Rademacher bucket (see
+    :func:`_rademacher_bit_terms`), 1-bit multiprobe is a bucket-XOR
+    power-of-two membership test (each candidate matches at most one
+    probe, so no dedupe is needed), ranking runs on the raw cosine
+    doubles and the emitted score is rounded to 6 decimals on both
+    sides — the ``embedding_topk`` discipline."""
+    bit_terms = _rademacher_bit_terms(num_planes)
+    probe_set = ", ".join(str(1 << j) for j in range(num_planes))
+    cos = (
+        "list_inner_product(q.qe, s.e) / sqrt(list_inner_product(q.qe, q.qe)"
+        " * list_inner_product(s.e, s.e))"
+    )
+    return f"""
+    WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (
+      SELECT vec_id, e, CAST(({bit_terms}) AS BIGINT) AS bucket FROM d
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket
+          FROM sig WHERE vec_id < 5),
+    cand AS (
+      SELECT q.query_id, s.vec_id, {cos} AS cos_sim
+      FROM q JOIN sig s
+        ON s.vec_id <> q.query_id
+       AND (s.bucket = q.qbucket
+            OR xor(s.bucket, q.qbucket) IN ({probe_set}))
+    )
+    SELECT query_id, vec_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """
+
+
+@query("embedding_ann_lsh", oracle=_ann_lsh_oracle())
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 via 8-bit random-hyperplane LSH with 1-bit
-    multiprobe — the corpus-bucketing scale path (equality join on
-    bucket, never a cross join). Recall vs brute force asserted in
+    """Approximate top-3 via 8-bit Rademacher-hyperplane LSH with
+    1-bit multiprobe — the corpus-bucketing scale path (equality join
+    on bucket, never a cross join). Oracle-backed since r8: the ±1
+    signature is sign-exact cross-engine (the
+    ``embedding_near_dup_lsh_portable`` trick), multiprobe is a
+    bucket-XOR test, and the score is 6-dp-rounded on both sides
+    (rank on raw doubles — the ``embedding_topk`` discipline).
+    Recall vs brute force additionally asserted in
     tests/test_pipeline_ops.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.lsh_bucket_topk(emb, queries, k=3).select(
-        "query_id", "vec_id", "cos_sim", "rank"
+    return S.lsh_bucket_topk(emb, queries, k=3, portable=True).select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
     )
 
 
@@ -1293,14 +1346,73 @@ def multimodal_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media_checked(media)
 
 
-@query("media_near_dup_real")  # rows-only: real-codec frame stage
+@query(
+    "media_near_dup_real",
+    oracle=f"""
+    WITH alldocs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 3000000 AS doc_id, text FROM documents
+    ),
+    w AS (
+      SELECT doc_id, {_md5_word_le(0)} AS w0, {_md5_word_le(1)} AS w1,
+             {_md5_word_le(2)} AS w2
+      FROM (SELECT doc_id, md5(text) AS h FROM alldocs)
+    ),
+    -- audio (odd ids): the 2000-sample waveform is a pure function of
+    -- f = 200 + w0 % 800, so two items share sampled-frame
+    -- fingerprints iff f is equal — and then they share exactly the
+    -- DISTINCT slice fingerprints one item has. With 4 slices of 500
+    -- samples at 8 kHz the inter-slice phase shift is pi*f/8:
+    -- f % 16 = 0 makes all 4 slices identical (1 distinct fp),
+    -- f % 16 = 8 alternates s, -s, s, -s (2 distinct fps — round-even
+    -- is odd-symmetric so negation never collides), anything else
+    -- keeps 4 distinct fps.
+    audio AS (
+      SELECT doc_id AS media_id, 200 + (w0 % 800) AS f
+      FROM w WHERE doc_id % 2 = 1
+    ),
+    apairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(CASE WHEN a.f % 16 = 0 THEN 1
+                       WHEN a.f % 16 = 8 THEN 2
+                       ELSE 4 END AS BIGINT) AS common_frames
+      FROM audio a JOIN audio b
+        ON a.f = b.f AND a.media_id < b.media_id
+    ),
+    -- image (even ids): one pixel-array fingerprint, a pure function
+    -- of the (w0, w1, w2) % 97 channel offsets
+    image AS (
+      SELECT doc_id AS media_id, w0 % 97 AS p0, w1 % 97 AS p1,
+             w2 % 97 AS p2
+      FROM w WHERE doc_id % 2 = 0
+    ),
+    ipairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             CAST(1 AS BIGINT) AS common_frames
+      FROM image a JOIN image b
+        ON a.p0 = b.p0 AND a.p1 = b.p1 AND a.p2 = b.p2
+           AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b, common_frames FROM apairs
+    UNION ALL SELECT id_a, id_b, common_frames FROM ipairs
+    """,
+)
 def media_near_dup_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-level near-dup over REAL decoded content: the corpus plus
     one copy per document (id + 3·10⁶ — parity-preserving so the copy
     keeps its media type), frames fingerprinted from decoded
     samples/pixels, pairs sharing every sampled frame. Every original
     must pair with its copy; documents whose derived signals coincide
-    (same seeded waveform) pair too, deterministically."""
+    (same seeded waveform) pair too, deterministically.
+
+    Oracle-backed since r8 in the ``multimodal_decode_parity`` style:
+    the oracle re-derives which items MUST share fingerprints (and how
+    many distinct slices they share, including the phase-degenerate
+    frequencies where slices coincide) analytically from md5(text) —
+    it never sees the container bytes or the md5-of-samples
+    fingerprints — so a hash-match proves the whole
+    encode→decode→fingerprint→join pipeline equals the analytic
+    ground truth."""
     docs = load_table(spark, "documents", sf_dir)
     copies = docs.select(
         (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
@@ -2495,16 +2607,22 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-def _pq_recon_parts(m: int, sub_dim: int, n_codes: int) -> list[str]:
+def _pq_recon_parts(
+    m: int, sub_dim: int, n_codes: int, train_sample: int | None = None
+) -> list[str]:
     """Shared CTE builder: per-subspace seeded k-means (1 unrolled
     Lloyd iteration, the same CTE shapes as ``_kmeans_cents_ctes``),
     per-subspace argmax coding, concat reconstruction — ends with a
-    CTE named ``recon(vec_id, de)``. Used by the flat-PQ and IVF+PQ
-    oracles."""
+    CTE named ``recon(vec_id, de)``. ``train_sample`` limits each
+    subspace's TRAINING rows to the smallest-hash prefix (the keyed
+    trainer's per-key window rank — same ids in every subspace);
+    coding always covers the full corpus. Used by the flat-PQ and
+    IVF+PQ oracles."""
     cos = _sql_cos
     parts = []
     for mi in range(m):
         lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
+        train_rel = f"dm{mi}"
         avg_terms = ", ".join(
             f"round(CAST(sum(CAST(round(e[{i + 1}] * 1000000000.0) AS BIGINT))"
             f" AS DOUBLE) / (count(*) * 1000000000.0), 6)"
@@ -2515,10 +2633,19 @@ def _pq_recon_parts(m: int, sub_dim: int, n_codes: int) -> list[str]:
             f"c{mi}s AS (SELECT vec_id AS cid, e AS ce FROM dm{mi} "
             f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
             f"LIMIT {n_codes})",
+        ]
+        if train_sample is not None:
+            train_rel = f"dm{mi}t"
+            parts.append(
+                f"dm{mi}t AS (SELECT vec_id, e FROM dm{mi} "
+                f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,"
+                f" vec_id LIMIT {train_sample})"
+            )
+        parts += [
             f"a{mi}t AS (SELECT vec_id, e, cid FROM ("
             f"SELECT d.vec_id, d.e, c.cid, row_number() OVER (PARTITION BY d.vec_id "
             f"ORDER BY {cos('d.e', 'c.ce')} DESC, c.cid ASC) AS arn "
-            f"FROM dm{mi} d CROSS JOIN c{mi}s c) WHERE arn = 1)",
+            f"FROM {train_rel} d CROSS JOIN c{mi}s c) WHERE arn = 1)",
             f"k{mi}m AS (SELECT cid, list_value({avg_terms}) AS me "
             f"FROM a{mi}t GROUP BY cid)",
             f"c{mi}f AS (SELECT p.cid, coalesce(mm.me, p.ce) AS ce "
@@ -2562,17 +2689,20 @@ def _pq_oracle(
 def _ivf_pq_oracle(
     n_centroids: int = 8, n_probe: int = 2,
     m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3,
+    train_sample: int | None = None,
 ) -> str:
     """IVF+PQ oracle: coarse k-means CTEs (``cents``) route every
     query to its ``n_probe`` cells; scoring is asymmetric ADC against
     the PQ reconstruction, restricted to vectors assigned to the
-    probed cells — the exact composition the Spark operator runs."""
+    probed cells — the exact composition the Spark operator runs.
+    ``train_sample`` bounds BOTH trainers (coarse quantizer and all
+    ``m`` subspace codebooks) to the smallest-hash prefix."""
     cos = _sql_cos
-    parts = _pq_recon_parts(m, sub_dim, n_codes)
+    parts = _pq_recon_parts(m, sub_dim, n_codes, train_sample)
     adc = cos("p.qe", "r.de")
     return (
         "    , "
-        + _kmeans_cents_ctes(n_centroids, 2, 64)
+        + _kmeans_cents_ctes(n_centroids, 2, 64, train_sample)
         + ",\n    "
         + ",\n    ".join(parts)
         + f""",
@@ -2692,6 +2822,31 @@ def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_pq_topk(emb, queries, k=3).select(
+        "query_id", "vec_id", "pq_sim", "rank"
+    )
+
+
+@query(
+    "embedding_ann_pq_sampled",
+    oracle=_COSINE_ORACLE + _ivf_pq_oracle(train_sample=200),
+)
+def embedding_ann_pq_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ with SAMPLED training end to end — closes the last
+    full-corpus trainer in the index family (r7 verdict #2): the
+    coarse quantizer AND all 8 subspace codebooks train on the 200
+    smallest-portable-hash vectors only (the keyed trainer bounds
+    each per-key Lloyd pass by the same per-key hash-rank prefix),
+    while coding, routing, and ADC scoring still cover the full
+    corpus. At 10⁹ vectors this turns ``train_iters`` full passes ×
+    (1 coarse + m subspace) trainings into constant-size training
+    sets; hash-matching the whole composition proves the sampled
+    trainers are the same deterministic machine. See
+    ``operators/similarity.ivf_pq_topk(train_sample=...)``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_pq_topk(emb, queries, k=3, train_sample=200).select(
         "query_id", "vec_id", "pq_sim", "rank"
     )
 

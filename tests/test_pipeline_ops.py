@@ -1028,6 +1028,41 @@ def test_pq_reconstruction_recall_beats_chance(spark, sf_dir):
     assert hits / total >= 0.2, (hits, total, by_q_exact, by_q_pq)
 
 
+def test_ivf_pq_sampled_training_differs_and_is_deterministic(spark, sf_dir):
+    """train_sample through the full IVF+PQ stack (r7 verdict #2):
+    bounding the coarse quantizer AND the 8 subspace codebooks to the
+    200 smallest-hash vectors must (a) actually engage — the sampled
+    index returns a DIFFERENT top-k than full training (else the knob
+    is dead code), (b) stay a well-formed exact-k result, and (c) be
+    bit-deterministic across runs (it's a pure function of the
+    data)."""
+    from pg2kafka_spark.catalog import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_pq_topk(emb, queries, k=3).collect()
+    }
+    samp = sorted(
+        (r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+        for r in S.ivf_pq_topk(emb, queries, k=3, train_sample=200).collect()
+    )
+    samp_pairs = {(q, v) for q, v, _, _ in samp}
+    assert samp_pairs != full, "sampled training produced the full-training index"
+    per_q = {}
+    for q, v, _, _ in samp:
+        per_q.setdefault(q, set()).add(v)
+    assert all(len(vs) == 3 for vs in per_q.values()) and len(per_q) == 5
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["pq_sim"], r["rank"])
+        for r in S.ivf_pq_topk(emb, queries, k=3, train_sample=200).collect()
+    )
+    assert samp == again
+
+
 def test_bigram_surprisal_hand_corpus(spark):
     """Hand-computable corpus: 'a b a b' has predictable transitions
     ('a b' twice, 'b a' once), so its mean bigram surprisal must be

@@ -11,6 +11,8 @@ above 10× — it is quadratic BY CONSTRUCTION (the LSH path exists
 precisely to replace it there).
 
 Usage: [STRESS_SCALE=100] PYTHONPATH=. python tools/stress_bench.py
+(STRESS_ONLY=exact_dedup,segment_scrub restricts to the named
+measurements — how the 1000× linear-path decade is run.)
 """
 
 from __future__ import annotations
@@ -42,6 +44,15 @@ def timed(label, df):
 
 def main() -> None:
     scale = int(os.environ.get("STRESS_SCALE", "10"))
+    # STRESS_ONLY=exact_dedup,segment_scrub runs just the named
+    # measurements (label substring match) — the 1000× decade is
+    # feasible only for the linear paths, so the selector lets that
+    # run skip the (by-construction output-bound) pair-discovery rows.
+    only = [t for t in os.environ.get("STRESS_ONLY", "").split(",") if t]
+
+    def want(label: str) -> bool:
+        return not only or any(t in label for t in only)
+
     spark = get_spark("stress-bench")
     docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
     variants = spark.range(scale).select(F.col("id").alias("__v"))
@@ -66,20 +77,27 @@ def main() -> None:
     # regeneration), so the numbers below include it deliberately
     print(f"corpus rows: {corpus.count()}", flush=True)
 
-    timed(f"exact_dedup ({scale}x corpus)", D.exact_dedup(corpus))
-    timed(
-        f"minhash_lsh_pairs CAPPED ({scale}x, copy cluster dropped)",
-        D.minhash_lsh_pairs(corpus),
-    )
-    timed(f"simhash_near_pairs r=1 capped ({scale}x)", D.simhash_near_pairs(corpus))
-    timed(
-        f"simhash_near_pairs r=4 capped ({scale}x, full recall h<4)",
-        D.simhash_near_pairs(corpus, rotations=4),
-    )
-    timed(
-        f"doc_segment_scrub ({scale}x, copy-cluster boilerplate)",
-        D.duplicated_segment_scrub(corpus),
-    )
+    if want("exact_dedup"):
+        timed(f"exact_dedup ({scale}x corpus)", D.exact_dedup(corpus))
+    if want("minhash_lsh_pairs"):
+        timed(
+            f"minhash_lsh_pairs CAPPED ({scale}x, copy cluster dropped)",
+            D.minhash_lsh_pairs(corpus),
+        )
+    if want("simhash_near_pairs"):
+        timed(
+            f"simhash_near_pairs r=1 capped ({scale}x)",
+            D.simhash_near_pairs(corpus),
+        )
+        timed(
+            f"simhash_near_pairs r=4 capped ({scale}x, full recall h<4)",
+            D.simhash_near_pairs(corpus, rotations=4),
+        )
+    if want("segment_scrub"):
+        timed(
+            f"doc_segment_scrub ({scale}x, copy-cluster boilerplate)",
+            D.duplicated_segment_scrub(corpus),
+        )
     # store = the first half of the variants of every doc; batch = the
     # second half + the boilerplate cluster — every batch variant
     # near-dups scale/2 store variants of its base doc, and the copy
@@ -88,31 +106,39 @@ def main() -> None:
     half = (scale // 2) * 1_000_000
     store = corpus.filter(F.col("doc_id") < half)
     batch = corpus.filter(F.col("doc_id") >= half)
-    timed(
-        f"incremental_near_dup CAPPED ({scale}x split store/batch)",
-        D.incremental_near_dup(store, batch),
-    )
+    if want("incremental_near_dup"):
+        timed(
+            f"incremental_near_dup CAPPED ({scale}x split store/batch)",
+            D.incremental_near_dup(store, batch),
+        )
 
     # daily-ingest composition at stress scale (the q_pipeline
     # daily_ingest_keep_list stages on the stress corpus): quality
     # gates -> within-batch exact dedup -> fingerprint-store anti-join
     # -> near-dup verify vs store -> keep list
-    from pg2kafka_spark.operators import text as X
+    if want("daily_ingest"):
+        from pg2kafka_spark.operators import text as X
 
-    t = F.col("text")
-    n_tok = X.token_count(t)
-    gated = batch.filter(
-        (n_tok >= 10) & (X.unique_token_count(t) * 1.0 / n_tok >= 0.3)
-    )
-    store_fps = store.select(X.fingerprint(t).alias("fp")).distinct()
-    fresh = D.incremental_exact_dedup(gated, store_fps)
-    near = (
-        D.incremental_near_dup(store, fresh, threshold=0.5)
-        .select(F.col("batch_id").alias("doc_id"))
-        .distinct()
-    )
-    keep = fresh.join(near, "doc_id", "left_anti").select("doc_id")
-    timed(f"daily_ingest composition ({scale}x corpus)", keep)
+        t = F.col("text")
+        n_tok = X.token_count(t)
+        gated = batch.filter(
+            (n_tok >= 10) & (X.unique_token_count(t) * 1.0 / n_tok >= 0.3)
+        )
+        store_fps = store.select(X.fingerprint(t).alias("fp")).distinct()
+        fresh = D.incremental_exact_dedup(gated, store_fps)
+        near = (
+            D.incremental_near_dup(store, fresh, threshold=0.5)
+            .select(F.col("batch_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = fresh.join(near, "doc_id", "left_anti").select("doc_id")
+        timed(f"daily_ingest composition ({scale}x corpus)", keep)
+
+    if only and not any(
+        want(k) for k in ("embedding_near_dup", "ivf_topk")
+    ):
+        spark.stop()
+        return
 
     emb = load_table(spark, "embeddings", SF_DIR).select("vec_id", "embedding")
     embx = (
@@ -125,22 +151,26 @@ def main() -> None:
         )
     )
     print(f"embedding rows: {embx.count()}", flush=True)
-    if scale <= 10:
+    if scale <= 10 and want("embedding_near_dup"):
         timed(
             "embedding_near_dup block matmul (quadratic baseline)",
             S.embedding_near_dup_pairs(embx, threshold=0.95),
         )
-    timed(
-        f"embedding_near_dup LSH discovery ({scale}x vecs)",
-        S.embedding_near_dup_lsh(embx, threshold=0.95),
-    )
-    queries = embx.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    timed(
-        f"ivf_topk k-means trained ({scale}x vecs)",
-        S.ivf_topk(embx, queries, train_sample=20_000 if scale > 10 else None),
-    )
+    if want("embedding_near_dup"):
+        timed(
+            f"embedding_near_dup LSH discovery ({scale}x vecs)",
+            S.embedding_near_dup_lsh(embx, threshold=0.95),
+        )
+    if want("ivf_topk"):
+        queries = embx.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        timed(
+            f"ivf_topk k-means trained ({scale}x vecs)",
+            S.ivf_topk(
+                embx, queries, train_sample=20_000 if scale > 10 else None
+            ),
+        )
     spark.stop()
 
 
