@@ -334,3 +334,104 @@ def weighted_sample_topn(
         .limit(n)
         .drop("__wsw", "__wsh")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_rows: int,
+    id_col: str = "doc_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Square-root temperature source mixing (the mBERT/XLM-R
+    exponent-smoothed sampling, alpha = 0.5): each stratum's quota of
+    the ``target_rows`` budget is proportional to ``sqrt(n_s)`` —
+    large sources are downweighted, the tail is boosted, the published
+    fix for multilingual/ multi-source corpora where proportional
+    sampling drowns low-resource strata (Devlin et al. 2019 mBERT
+    notes; Conneau et al. 2020 XLM-R §3).
+
+    Integer-exact and engine-portable end to end: ``sqrt`` over an
+    integer count is correctly rounded by IEEE-754 (bit-identical on
+    any engine — the reason alpha is fixed at 0.5; a general alpha
+    needs exp/ln, which is NOT exactly rounded), the weight is
+    ``floor(sqrt(n_s)·1e6)`` as BIGINT, the quota is
+    ``target_rows·w_s div SUM(w)`` (pure integer — quotas sum to at
+    most ``target_rows``, short by at most n_strata rounding rows),
+    and WHICH rows fill a quota is the portable content-hash order
+    (``portable_int_hash(id), id``) — reproducible across runs,
+    retries, and engines.
+
+    Scale shape: stratum counts are one map-side-partial agg on a
+    tiny keyspace; the quota table broadcasts; the per-stratum
+    top-quota runs the exact salted two-phase rank of
+    :func:`per_key_cap` (a hot source never concentrates in one
+    task — phase 2 sees at most ``quota·n_salts`` rows per key...
+    bounded by the QUOTA, not the corpus).
+
+    Emits kept rows: ``(id, stratum, n_stratum, quota, key_rank)``.
+    """
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_stratum"))
+    quotas = (
+        counts.withColumn(
+            "__w",
+            F.floor(F.sqrt(F.col("n_stratum").cast("double")) * F.lit(1.0e6))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "quota",
+            F.expr(f"(CAST({int(target_rows)} AS BIGINT) * __w)"
+                   " div (sum(__w) OVER ())"),
+        )
+        .drop("__w")
+    )
+    h = portable_int_hash(F.col(id_col))
+    salt = F.pmod(h, F.lit(int(n_salts)))
+    w1 = Window.partitionBy(F.col(strata_col), salt).orderBy(h, F.col(id_col))
+    w2 = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    return (
+        df.select(id_col, strata_col)
+        .join(F.broadcast(quotas), strata_col)
+        .withColumn("__rk1", F.row_number().over(w1))
+        .filter(F.col("__rk1") <= F.col("quota"))
+        .withColumn("key_rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("key_rank") <= F.col("quota"))
+        .drop("__rk1")
+    )
+
+
+def training_order_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, position)`` — shard by the portable content hash,
+    position by ``(hash, id)`` rank within the shard. The standard
+    final pipeline step before writing training shards: the order is
+    pseudo-random w.r.t. any natural key (source, time, layout) yet a
+    PURE FUNCTION of the data, so re-running the pipeline (or losing
+    an executor mid-write) reproduces the identical epoch order —
+    ``rand()`` ordering silently reshuffles on every retry.
+
+    Scale shape: the shard key is a uniform hash residue, so the
+    single exchange is balanced by construction (no hot shard); the
+    per-shard rank is a window over ~N/n_shards rows — size
+    ``n_shards`` so a shard fits one task (the same knob as the
+    shard file size). No global sort ever materializes: position is
+    per-shard, and shards are independent.
+
+    Emits every row: ``(id, shard, position)``.
+    """
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    h = portable_int_hash(F.col(id_col))
+    shard = F.pmod(h, F.lit(int(n_shards)))
+    w = Window.partitionBy(shard).orderBy(h, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        shard.cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

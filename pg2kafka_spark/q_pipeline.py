@@ -2183,6 +2183,76 @@ def source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", F.col("key_rank").cast("long").alias("key_rank"))
 
 
+def _temperature_sample_oracle(target_rows: int = 200) -> str:
+    from pg2kafka_spark.operators.sketch import portable_int_hash_sql
+
+    h = portable_int_hash_sql("d.doc_id")
+    return f"""
+    WITH c AS (SELECT source, count(*) AS n_stratum
+               FROM documents GROUP BY source),
+    w AS (SELECT source, n_stratum,
+            CAST(floor(sqrt(CAST(n_stratum AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS w
+          FROM c),
+    q AS (SELECT source, n_stratum,
+            CAST((CAST({target_rows} AS BIGINT) * w)
+                 // CAST(sum(w) OVER () AS BIGINT) AS BIGINT) AS quota
+          FROM w)
+    SELECT doc_id, source, n_stratum, quota, key_rank FROM (
+      SELECT d.doc_id, d.source, q.n_stratum, q.quota,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY ({h}), d.doc_id) AS key_rank
+      FROM documents d JOIN q USING (source))
+    WHERE key_rank <= quota
+    """
+
+
+@query("source_temperature_sample", oracle=_temperature_sample_oracle())
+def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature source mixing (mBERT/XLM-R
+    exponent-smoothed sampling, alpha = 0.5): each source's quota of a
+    200-row budget is proportional to sqrt(n_source) — large sources
+    downweighted, the tail boosted — and WHICH rows fill a quota is
+    the portable content-hash order. Integer-exact cross-engine
+    because IEEE sqrt is correctly rounded (the reason alpha is fixed
+    at 0.5). Spark runs the exact salted two-phase per-key rank; the
+    oracle is the single-window spelling — identical rows AND ranks.
+    See ``operators/assembly.temperature_sample``."""
+    from pg2kafka_spark.operators.assembly import temperature_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_sample(docs, "source", target_rows=200)
+
+
+def _training_order_oracle(n_shards: int = 8) -> str:
+    from pg2kafka_spark.operators.sketch import portable_int_hash_sql
+
+    h = portable_int_hash_sql("doc_id")
+    return f"""
+    SELECT doc_id, shard, position FROM (
+      SELECT doc_id, CAST(h % {n_shards} AS BIGINT) AS shard,
+             row_number() OVER (PARTITION BY h % {n_shards}
+                                ORDER BY h, doc_id) AS position
+      FROM (SELECT doc_id, ({h}) AS h FROM documents))
+    """
+
+
+@query("doc_training_order", oracle=_training_order_oracle())
+def doc_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document
+    gets a ``(shard, position)`` — shard by portable-hash residue
+    (uniform, so the one exchange is balanced by construction),
+    position by (hash, id) rank within the shard. Pseudo-random
+    w.r.t. any natural key yet a pure function of the data, so
+    retries and reruns reproduce the identical epoch order; no
+    global sort ever materializes (positions are per-shard). See
+    ``operators/assembly.training_order_assign``."""
+    from pg2kafka_spark.operators.assembly import training_order_assign
+
+    docs = load_table(spark, "documents", sf_dir)
+    return training_order_assign(docs, n_shards=8)
+
+
 def _zorder_oracle(bits: int = 8, bucket_bits: int = 6) -> str:
     from pg2kafka_spark.operators.layout import quantize_sql, z_value_sql
 

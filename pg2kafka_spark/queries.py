@@ -50,6 +50,8 @@ _FRONT = [
     "embedding_ann_lsh",
     "media_near_dup_real",
     "embedding_ann_pq_sampled",
+    "source_temperature_sample",
+    "doc_training_order",
     # rows-only rotation tranche (r7 ADVICE): driver rows-count
     # evidence for queries that would otherwise never be windowed
     "minhash_lsh_pairs",

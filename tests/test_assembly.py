@@ -315,3 +315,67 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = {r["doc_id"] for r in weighted_sample_topn(df, F.col("w"), n=10).collect()}
     assert got == set(range(5, 10))
+
+
+def test_temperature_sample_boosts_tail_sources(spark):
+    """sqrt-temperature property: with sources of 900 and 100 docs and
+    a 100-row budget, proportional sampling gives the tail 10 rows;
+    sqrt smoothing must give it 100*sqrt(100)/(sqrt(900)+sqrt(100)) =
+    25. Quotas are integer-exact and the kept rows are the smallest
+    portable-hash prefix per source (determinism re-checked)."""
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.assembly import temperature_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, F.lit("big")).otherwise(F.lit("small")).alias(
+            "source"
+        ),
+    )
+    got = temperature_sample(df, "source", target_rows=100).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # w_big = floor(30*1e6), w_small = floor(10*1e6): quotas 75 / 25
+    assert len(by_src["big"]) == 75
+    assert len(by_src["small"]) == 25
+    assert all(r["quota"] == 75 and r["n_stratum"] == 900 for r in by_src["big"])
+    assert all(r["quota"] == 25 and r["n_stratum"] == 100 for r in by_src["small"])
+    # ranks are 1..quota with no gaps
+    for rows in by_src.values():
+        assert sorted(r["key_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    again = temperature_sample(df, "source", target_rows=100).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+
+def test_training_order_assign_covers_balanced_deterministic(spark):
+    """Every row gets exactly one (shard, position); positions are
+    1..n per shard with no gaps; hash sharding is near-balanced; the
+    order decorrelates from the id order (a prefix of ids does NOT
+    map to a prefix of any shard); reruns are identical."""
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.operators.assembly import training_order_assign
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    got = training_order_assign(df, n_shards=8).collect()
+    assert len(got) == 4000 and len({r["doc_id"] for r in got}) == 4000
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    for rows in by_shard.values():
+        assert sorted(r["position"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        # uniform hash residues: each shard within ±30% of 500
+        assert 350 <= len(rows) <= 650
+    # decorrelation: the first 100 positions of shard 0 are not the
+    # 100 smallest doc_ids in shard 0's id order
+    s0 = sorted(by_shard[0], key=lambda r: r["position"])[:100]
+    assert [r["doc_id"] for r in s0] != sorted(r["doc_id"] for r in s0)
+    again = training_order_assign(df, n_shards=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

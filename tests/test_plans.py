@@ -315,3 +315,24 @@ def test_knn_graph_is_grouped_map_per_cell(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_temperature_sample_broadcasts_quotas_two_windows(spark, sf_dir):
+    """The quota table (|sources| rows) must broadcast back onto the
+    corpus, and quota filling must be the salted two-phase rank (two
+    Window nodes) — a single key-partitioned window would sort an
+    entire hot source in one task."""
+    p = plan_of(spark, "source_temperature_sample", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Window") >= 2
+
+
+def test_training_order_single_balanced_exchange(spark, sf_dir):
+    """One hash-residue exchange feeds the per-shard rank: no
+    range-partitioned global sort (Exchange rangepartitioning) and no
+    join of any kind."""
+    p = plan_of(spark, "doc_training_order", sf_dir)
+    assert "rangepartitioning" not in p.lower()
+    assert "Join" not in p
+    assert p.count(" Exchange (") == 1

@@ -377,6 +377,34 @@ COMMENTARY = {
         "survivors. Stages compose in pruning order so each shuffle "
         "sees less than the last."
     ),
+    "embedding_ann_pq_sampled": (
+        "IVF+PQ with every trainer sampled (r8): the coarse quantizer "
+        "and all 8 subspace codebooks train on the TakeOrdered / "
+        "per-key-ranked smallest-hash prefix — constant-size training "
+        "inputs regardless of corpus size — while coding, routing, and "
+        "ADC keep the full-corpus embedding_ann_ivf_pq shape. The last "
+        "full-scan trainer in the index family is gone."
+    ),
+    "embedding_ann_lsh": (
+        "Multiprobe hyperplane-LSH top-k: the corpus buckets once on "
+        "the (portable, sign-exact) signature; queries explode to 9 "
+        "probe buckets and BROADCAST, so the candidate join is an "
+        "equality join on the bucket id — never a cross join — and "
+        "scoring touches ~N/2^m (+probes) vectors per query."
+    ),
+    "source_temperature_sample": (
+        "sqrt-temperature mixing (r8): one map-side-partial count on "
+        "the tiny source keyspace, quota table BROADCAST back, then "
+        "the exact salted two-phase per-key rank (a hot source spreads "
+        "over 32 salt tasks; phase 2 is bounded by quota*n_salts rows "
+        "per key, never the corpus)."
+    ),
+    "doc_training_order": (
+        "Deterministic training-order shuffle (r8): shard key is a "
+        "uniform hash residue, so the single exchange is balanced by "
+        "construction; position is a per-shard window rank — no global "
+        "sort ever materializes, and n_shards is the task-size knob."
+    ),
 }
 
 
