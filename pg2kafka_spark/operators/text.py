@@ -10,7 +10,7 @@ that preserves input partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Marker tokens per language for the n-gram/stopword-hit heuristic.
 # Deliberately tiny: real language ID would load fastText-style
@@ -611,4 +611,72 @@ def surprisal_band_fit(
             (F.col("mean_surprisal_microbits") >= F.col("band_lo"))
             & (F.col("mean_surprisal_microbits") <= F.col("band_hi"))
         ).alias("kept"),
+    )
+
+
+def stratified_surprisal_band(
+    docs: DataFrame,
+    strata_col: str = "source",
+    lo_q_pct: int = 25,
+    hi_q_pct: int = 75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum percentile-fit surprisal gate: the keep band is
+    re-fit WITHIN each stratum — [P25, P75] of mean surprisal per
+    source — instead of :func:`surprisal_band_fit`'s single corpus
+    band. The reason the per-domain refit exists: surprisal
+    distributions differ by domain (code vs news vs forums), so one
+    corpus-wide band systematically over-prunes whichever domain sits
+    off-center (the CCNet per-language-bucket / FineWeb per-language
+    filtering argument applied to sources).
+
+    Same exactness discipline as the corpus-wide fit: cuts are
+    DISCRETE order statistics (value at 0-indexed rank
+    ``(n_s - 1)·q div 100`` under the total ``(score, id)`` order —
+    no interpolation, so engines cannot differ on tie/lerp rules),
+    and the score is the fixed-point micro-bits integer.
+
+    Plan shape: the unigram-surprisal score table, one id-keyed join
+    to recover the stratum, then ONE stratum-keyed exchange carries
+    rank, per-stratum count, and both conditional-max band cuts as
+    window functions over the same sort. A giant stratum sorts in one
+    partition here (exact per-stratum order statistics need the total
+    order); at 100 TB either gate per (stratum, score-range) shard or
+    accept the corpus-wide :func:`surprisal_band_fit` whose cuts are
+    TakeOrdered prefixes.
+
+    Emits every doc: ``(id, stratum, mean_surprisal_microbits,
+    band_lo, band_hi, kept)``.
+    """
+    scored = unigram_surprisal(docs, id_col, text_col).select(
+        id_col, "mean_surprisal_microbits"
+    )
+    st = scored.join(docs.select(id_col, strata_col), id_col)
+    order_w = Window.partitionBy(strata_col).orderBy(
+        F.col("mean_surprisal_microbits").asc(), F.col(id_col).asc()
+    )
+    full_w = Window.partitionBy(strata_col).orderBy(
+        F.col("mean_surprisal_microbits").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s = F.col("mean_surprisal_microbits")
+    ranked = st.withColumn("__rk", F.row_number().over(order_w)).withColumn(
+        "__n", F.count(F.lit(1)).over(full_w)
+    )
+
+    def cut(q_pct: int) -> Column:
+        k1 = F.expr(f"((__n - 1) * {int(q_pct)}) div 100") + F.lit(1)
+        return F.max(F.when(F.col("__rk") <= k1, s)).over(full_w)
+
+    return (
+        ranked.withColumn("band_lo", cut(lo_q_pct))
+        .withColumn("band_hi", cut(hi_q_pct))
+        .select(
+            id_col,
+            strata_col,
+            "mean_surprisal_microbits",
+            "band_lo",
+            "band_hi",
+            ((s >= F.col("band_lo")) & (s <= F.col("band_hi"))).alias("kept"),
+        )
     )

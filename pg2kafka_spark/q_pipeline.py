@@ -3248,6 +3248,46 @@ def doc_surprisal_band_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_surprisal_band_stratified",
+    oracle=f"""
+    WITH {_SURPRISAL_SCORE_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    ranked AS (
+      SELECT s.doc_id, src.source, s.ms,
+             row_number() OVER (PARTITION BY src.source
+                                ORDER BY s.ms, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY src.source) AS n
+      FROM scores s JOIN src USING (doc_id)
+    ),
+    banded AS (
+      SELECT doc_id, source, ms,
+             max(CASE WHEN rn <= ((n - 1) * 25) // 100 + 1 THEN ms END)
+               OVER (PARTITION BY source) AS band_lo,
+             max(CASE WHEN rn <= ((n - 1) * 75) // 100 + 1 THEN ms END)
+               OVER (PARTITION BY source) AS band_hi
+      FROM ranked
+    )
+    SELECT doc_id, source, ms AS mean_surprisal_microbits,
+           band_lo, band_hi,
+           ms BETWEEN band_lo AND band_hi AS kept
+    FROM banded
+    """,
+)
+def doc_surprisal_band_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE percentile-fit surprisal gate (r8): the [P25, P75]
+    keep band is re-fit within each source — surprisal distributions
+    differ by domain, so the corpus-wide band of
+    ``doc_surprisal_band_fit`` systematically over-prunes whichever
+    domain sits off-center (the CCNet per-language-bucket argument
+    applied to sources). Cuts are the same discrete order statistics
+    (no interpolation drift); one stratum-keyed exchange carries
+    rank, count, and both conditional-max cuts over a single sort.
+    See ``operators/text.stratified_surprisal_band``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.stratified_surprisal_band(docs)
+
+
+@query(
     "embedding_prototype_prune",
     oracle=_COSINE_ORACLE
     + "    , "

@@ -52,6 +52,7 @@ _FRONT = [
     "embedding_ann_pq_sampled",
     "source_temperature_sample",
     "doc_training_order",
+    "doc_surprisal_band_stratified",
     # rows-only rotation tranche (r7 ADVICE): driver rows-count
     # evidence for queries that would otherwise never be windowed
     "minhash_lsh_pairs",

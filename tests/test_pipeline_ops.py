@@ -1549,3 +1549,41 @@ def test_fixed_point_mean_formula_fuzz_vs_python(spark):
     ).fetchone()[0]
     expect = py_mean(vals)
     assert got_spark == got_duck == expect, (got_spark, got_duck, expect)
+
+
+def test_stratified_surprisal_band_refits_per_source(spark):
+    """Two sources with deliberately different surprisal levels: a
+    repetitive source (low surprisal) and a diverse source (high).
+    A corpus-wide band would brand one side mostly 'too predictable'
+    and the other 'too surprising'; the stratified gate must fit a
+    band INSIDE each source (each keeps roughly its middle half and
+    at least one doc), and each source's band must equal the discrete
+    [P25, P75] order statistics of its own scores."""
+    from pg2kafka_spark.operators.text import stratified_surprisal_band
+
+    rows = []
+    # source A: predictable base, i%5 rare tokens inject variance
+    for i in range(20):
+        toks = ["common"] * (8 - i % 5) + [f"rareA{i}x{j}" for j in range(i % 5)]
+        rows.append((i, "A", " ".join(toks)))
+    # source B: surprising base (unique vocab), i%5 common tokens
+    for i in range(20):
+        toks = [f"uniqB{i}x{j}" for j in range(8 - i % 5)] + ["common"] * (i % 5)
+        rows.append((100 + i, "B", " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = stratified_surprisal_band(docs).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"A", "B"} and all(len(v) == 20 for v in by_src.values())
+    for src, rs in by_src.items():
+        scores = sorted((r["mean_surprisal_microbits"], r["doc_id"]) for r in rs)
+        lo = scores[(19 * 25) // 100][0]
+        hi = scores[(19 * 75) // 100][0]
+        assert all(r["band_lo"] == lo and r["band_hi"] == hi for r in rs), src
+        kept = [r for r in rs if r["kept"]]
+        assert 1 <= len(kept) <= 19
+        assert all(lo <= r["mean_surprisal_microbits"] <= hi for r in kept)
+    # the two fitted bands genuinely differ (the reason the op exists)
+    a, b = by_src["A"][0], by_src["B"][0]
+    assert (a["band_lo"], a["band_hi"]) != (b["band_lo"], b["band_hi"])

@@ -41,6 +41,10 @@ def main() -> None:
         "ivf_sq8": lambda: S.ivf_sq8_topk(emb, queries, k=K),
         "pq_8x8": lambda: S.pq_topk(emb, queries, k=K),
         "ivf_pq": lambda: S.ivf_pq_topk(emb, queries, k=K),
+        "ivf_sampled": lambda: S.ivf_topk(emb, queries, k=K, train_sample=200),
+        "ivf_pq_sampled": lambda: S.ivf_pq_topk(
+            emb, queries, k=K, train_sample=200
+        ),
     }
     print("| index | recall@3 vs exact | bytes/vector (64-dim) |")
     print("|---|---|---|")
@@ -51,6 +55,8 @@ def main() -> None:
         "ivf_sq8": "64 (int8) + 8 cell id",
         "pq_8x8": "8 codes (3 bit each here; 8 in prod)",
         "ivf_pq": "8 codes + 8 cell id",
+        "ivf_sampled": "256 (f32) + 8 cell id; trains on 200 vecs",
+        "ivf_pq_sampled": "8 codes + 8 cell id; trains on 200 vecs",
     }
     for name, fn in variants.items():
         got = topsets(fn())

@@ -405,6 +405,15 @@ COMMENTARY = {
         "construction; position is a per-shard window rank — no global "
         "sort ever materializes, and n_shards is the task-size knob."
     ),
+    "doc_surprisal_band_stratified": (
+        "Per-source percentile gate (r8): the unigram-surprisal score "
+        "plan, one id-keyed join to recover the source, then ONE "
+        "source-keyed exchange where rank, count, and both "
+        "conditional-max band cuts ride the same Window sort. Exact "
+        "per-stratum order statistics need the total per-stratum "
+        "order; at 100 TB shard by (stratum, score-range) or use the "
+        "corpus-wide TakeOrdered variant."
+    ),
 }
 
 
