@@ -4,11 +4,13 @@ extras). Oracle-backed where ANSI-SQL-expressible — including the
 Arrow-kernel paths whose outputs are analytically re-derivable
 (grouped BLAS cosine, md5-framed frame sampling, decode functionals:
 the decode-parity pattern) and the portable twins of the seeded
-discovery paths (Rademacher LSH, portable MinHash/SimHash). The six
-remaining rows-only queries are exactly the xxhash/BLAS-seeded or
-binary-md5 discovery kernels whose seeds aren't portable SQL; each
-is verified by unit tests against exact formulations and, where one
-exists, shadowed by its hash-checked twin.
+discovery paths (Rademacher LSH, portable MinHash/SimHash). The four
+remaining rows-only queries (r8: `embedding_ann_lsh` converted via
+the portable Rademacher signature, `media_near_dup_real` via an
+analytic shared-frame oracle) are exactly the xxhash/BLAS-seeded
+discovery kernels whose seeds aren't portable SQL; each is verified
+by unit tests against exact formulations and, where one exists,
+shadowed by its hash-checked twin.
 
 Float determinism: cosine math uses double-cast arrays with
 sequential folds — bit-identical between Spark's ``aggregate`` and
