@@ -258,9 +258,12 @@ def kmeans_centroids(
         else c
     )
     for _ in range(iters):
-        asg_w = Window.partitionBy(id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cid").asc()
-        )
+        # Assignment argmax as ONE max_by hash-aggregate, not a
+        # row_number window (r8): the window formulation exchanges all
+        # n_centroids candidate rows per id and SORTS each partition;
+        # max_by(cid, struct(sim, -cid)) — identical (sim desc, cid
+        # asc) tie semantics — partial-aggregates map-side, so the
+        # shuffle carries one row per id and no sort runs anywhere.
         asg = (
             train.crossJoin(F.broadcast(cents))
             .select(
@@ -269,8 +272,13 @@ def kmeans_centroids(
                 "cid",
                 F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
             )
-            .withColumn("__arn", F.row_number().over(asg_w))
-            .filter(F.col("__arn") == 1)
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cell_sim"), -F.col("cid"))
+                ).alias("cid"),
+                F.first("__cv").alias("__cv"),
+            )
         )
         # Per-component means via EXACT fixed-point bigint sums, not
         # avg(double): a double partial-sum order depends on partition
@@ -471,27 +479,32 @@ def assign_cells(
     keep_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment for a ``(id, __cv)`` frame against a
-    ``(cid, __ce)`` centroid table: one map-only pass over the corpus
-    with the centroids broadcast, argmax on 6-dp-rounded cosine with
-    cid as tiebreak (the engine-portable discipline shared with
-    :func:`kmeans_centroids`). Returns ``(id, __cv, cid)``."""
-    asg_w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_sim").desc(), F.col("cid").asc()
+    ``(cid, __ce)`` centroid table: centroids broadcast, argmax on
+    6-dp-rounded cosine with cid as tiebreak (the engine-portable
+    discipline shared with :func:`kmeans_centroids`), computed as ONE
+    ``max_by`` hash-aggregate — partial aggregation collapses the
+    n_centroids candidate rows per id map-side, so the only exchange
+    carries one row per id and nothing sorts (r8; the previous
+    row_number window shuffled AND sorted every candidate row).
+    Returns ``(id, __cv, cid)``."""
+    scored = prepared.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "__cv",
+        "cid",
+        F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
     )
-    return (
-        prepared.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "__cv",
-            "cid",
-            F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
-        )
-        .withColumn("__arn", F.row_number().over(asg_w))
-        .filter(F.col("__arn") == 1)
-        .select(
-            id_col, "__cv", "cid",
-            *(["cell_sim"] if keep_sim else []),
-        )
+    return scored.groupBy(id_col).agg(
+        F.max_by("cid", F.struct(F.col("cell_sim"), -F.col("cid"))).alias(
+            "cid"
+        ),
+        F.first("__cv").alias("__cv"),
+        *(
+            [F.max("cell_sim").alias("cell_sim")]
+            if keep_sim
+            else []
+        ),
+    ).select(
+        id_col, "__cv", "cid", *(["cell_sim"] if keep_sim else [])
     )
 
 
@@ -1129,9 +1142,9 @@ def kmeans_centroids_keyed(
         else c
     )
     for _ in range(iters):
-        asg_w = Window.partitionBy("__k", id_col).orderBy(
-            F.col("cell_sim").desc(), F.col("cid").asc()
-        )
+        # max_by argmax instead of a row_number window — same (sim
+        # desc, cid asc) tie semantics, but partial-aggregated
+        # map-side with no sort (see kmeans_centroids, r8).
         asg = (
             train.join(F.broadcast(cents), "__k")
             .select(
@@ -1141,8 +1154,13 @@ def kmeans_centroids_keyed(
                 "cid",
                 F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
             )
-            .withColumn("__arn", F.row_number().over(asg_w))
-            .filter(F.col("__arn") == 1)
+            .groupBy("__k", id_col)
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("cell_sim"), -F.col("cid"))
+                ).alias("cid"),
+                F.first("__cv").alias("__cv"),
+            )
         )
         sums = asg.groupBy("__k", "cid").agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1249,9 +1267,11 @@ def pq_reconstruct(
             )
         ).alias("m", "__sv"),
     ).select(F.col(id_col), F.col("m").cast("int"), "__sv")
-    asg_w = Window.partitionBy(id_col, "m").orderBy(
-        F.col("code_sim").desc(), F.col("cid").asc()
-    )
+    # Coding argmax as max_by over the (id, subspace) key — the chosen
+    # centroid VECTOR rides inside the max_by value struct, so partial
+    # aggregation collapses the n_codes candidates map-side and no
+    # sort runs (r8; previously a row_number window sorted all
+    # m·n_codes candidate rows per vector through the exchange).
     coded = (
         subs.join(F.broadcast(cents), "m")
         .select(
@@ -1261,8 +1281,12 @@ def pq_reconstruct(
             F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
             "__ce",
         )
-        .withColumn("__arn", F.row_number().over(asg_w))
-        .filter(F.col("__arn") == 1)
+        .groupBy(id_col, "m")
+        .agg(
+            F.max_by(
+                "__ce", F.struct(F.col("code_sim"), -F.col("cid"))
+            ).alias("__ce")
+        )
     )
     return coded.groupBy(id_col).agg(
         F.flatten(

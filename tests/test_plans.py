@@ -336,3 +336,32 @@ def test_training_order_single_balanced_exchange(spark, sf_dir):
     assert "rangepartitioning" not in p.lower()
     assert "Join" not in p
     assert p.count(" Exchange (") == 1
+
+
+def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
+    """r8: every k-means assignment/coding argmax is a max_by
+    hash-aggregate (map-side partial, one row per id through the
+    exchange), NOT a row_number window — the training + assignment
+    plan must contain zero Window nodes and no sort beyond the
+    TakeOrdered seed scan."""
+    import contextlib
+    import io
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.select(
+        F.col("vec_id"), S.as_double(F.col("embedding")).alias("__cv")
+    )
+    cents = S.kmeans_centroids(emb, 8, 2, 64)
+    df = S.assign_cells(c, cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p
+    assert "max_by" in p
+    # the only ordered operator is the bounded-heap seed scan
+    assert "TakeOrderedAndProject" in p
