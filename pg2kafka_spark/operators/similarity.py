@@ -593,10 +593,17 @@ def ivf_topk(
     train_iters: int = 2,
     dim: int = 64,
     train_sample: int | None = None,
+    train_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted lists by
     nearest centroid, probe only the ``n_probe`` nearest lists per
     query, exact cosine within the probed lists, top-k.
+
+    ``train_corpus`` (default: the corpus itself) trains the coarse
+    quantizer on a DIFFERENT frame — the incremental-ingest mode:
+    train on yesterday's store, assign today's batch to the existing
+    cells without retraining (retraining re-shuffles every stored
+    code; assignment is one broadcast map pass), search the union.
 
     Centroids come from :func:`kmeans_centroids` (deterministic
     portable spherical k-means, ``train="kmeans"``) or the legacy
@@ -617,7 +624,13 @@ def ivf_topk(
     """
     if train == "kmeans":
         cents = kmeans_centroids(
-            corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
+            train_corpus if train_corpus is not None else corpus,
+            n_centroids,
+            train_iters,
+            dim,
+            id_col,
+            vec_col,
+            train_sample,
         )
     elif train == "first_n":
         cents = corpus.filter(F.col(id_col) < n_centroids).select(

@@ -801,14 +801,16 @@ def _kmeans_cents_ctes(
     iters: int = 2,
     dim: int = 64,
     train_sample: int | None = None,
+    base: str = "d",
 ) -> str:
     """Unrolled portable spherical k-means as chained CTEs — the SQL
     twin of operators/similarity.kmeans_centroids (same seeded sample
     ordering, 6-dp-rounded assignment cosine and centroid means,
     empty cells keep their previous centroid; ``train_sample`` limits
     the TRAINING rows to the same smallest-hash prefix the operator
-    uses — the at-scale mode). Ends with a CTE named ``cents`` so the
-    consumer SQL is unchanged."""
+    uses — the at-scale mode; ``base`` names the training relation —
+    the incremental mode trains on a store subset of ``d``). Ends
+    with a CTE named ``cents`` so the consumer SQL is unchanged."""
 
     def cos(a: str, b: str) -> str:
         return (
@@ -816,16 +818,16 @@ def _kmeans_cents_ctes(
             f" * list_inner_product({b}, {b})), 6)"
         )
 
-    train_rel = "d"
+    train_rel = base
     parts = [
-        f"cents0 AS (SELECT vec_id AS cid, e AS ce FROM d "
+        f"cents0 AS (SELECT vec_id AS cid, e AS ce FROM {base} "
         f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
         f"LIMIT {n_centroids})"
     ]
     if train_sample is not None:
         train_rel = "ktr"
         parts.append(
-            f"ktr AS (SELECT vec_id, e FROM d "
+            f"ktr AS (SELECT vec_id, e FROM {base} "
             f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
             f"LIMIT {train_sample})"
         )
@@ -2875,6 +2877,70 @@ def embedding_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(emb, queries, k=3, train_sample=200).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
+@query(
+    "embedding_ann_ivf_incremental",
+    oracle=_COSINE_ORACLE
+    + """    ,
+    ds AS (SELECT vec_id, e FROM d WHERE vec_id < 400),
+    """
+    + _kmeans_cents_ctes(base="ds")
+    + """    ,
+    asg AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT d.vec_id, d.e, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qe, cid FROM (
+        SELECT q.query_id, q.qe, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_inner_product(q.qe, c.ce)
+                   / sqrt(list_inner_product(q.qe, q.qe) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS prn
+        FROM q CROSS JOIN cents c
+      ) WHERE prn <= 2
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round(list_inner_product(p.qe, a.e)
+               / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_inner_product(p.qe, a.e)
+                 / sqrt(list_inner_product(p.qe, p.qe) * list_inner_product(a.e, a.e)), 6) DESC,
+                 a.vec_id ASC) AS rank
+      FROM probes p JOIN asg a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest (r8): the coarse quantizer trains on
+    the STORE only (vec_id < 400 — yesterday's index), the new batch
+    is assigned to the EXISTING cells without retraining (retraining
+    re-shuffles every stored code; assignment is one broadcast map
+    pass — the standard daily-ingest move for a billion-vector
+    index), and queries probe the union. Hash-checked end to end: the
+    oracle trains the identical unrolled k-means on the store subset.
+    See ``operators/similarity.ivf_topk(train_corpus=...)``."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    store = emb.filter(F.col("vec_id") < 400)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(emb, queries, k=3, train_corpus=store).select(
         "query_id", "vec_id", "cos_sim", "rank"
     )
 

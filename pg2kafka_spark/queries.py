@@ -53,6 +53,7 @@ _FRONT = [
     "source_temperature_sample",
     "doc_training_order",
     "doc_surprisal_band_stratified",
+    "embedding_ann_ivf_incremental",
     # rows-only rotation tranche (r7 ADVICE): driver rows-count
     # evidence for queries that would otherwise never be windowed
     "minhash_lsh_pairs",

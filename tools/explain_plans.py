@@ -405,6 +405,14 @@ COMMENTARY = {
         "construction; position is a per-shard window rank — no global "
         "sort ever materializes, and n_shards is the task-size knob."
     ),
+    "embedding_ann_ivf_incremental": (
+        "Incremental IVF ingest (r8): training reads ONLY the store "
+        "subset (filter pushed to the scan), the full union assigns "
+        "against broadcast store-trained centroids via the max_by "
+        "hash-aggregate (no retraining, no sort), probing unchanged. "
+        "At scale the daily batch is the only new work — assignment "
+        "is one broadcast map pass over the batch."
+    ),
     "doc_surprisal_band_stratified": (
         "Per-source percentile gate (r8): the unigram-surprisal score "
         "plan, one id-keyed join to recover the source, then ONE "
