@@ -1,0 +1,119 @@
+"""IVF index persistence: the index AT REST as a partitioned parquet
+layout, and the search path over the loaded index.
+
+The in-memory operators (similarity.ivf_topk) recompute training +
+assignment per session; a production billion-vector index is built
+once and SERVED many times. The at-rest layout is the standard one:
+
+- ``<path>/centroids`` — the (cid, centroid) table, tiny, read and
+  broadcast by every searcher;
+- ``<path>/cells`` — the (id, vector) corpus PARTITIONED BY cid, so
+  a probe of ``n_probe`` lists reads ``n_probe/n_centroids`` of the
+  data from disk (partition pruning), not a full scan.
+
+Searching the loaded index returns bit-identical results to
+``ivf_topk`` over the same corpus (training and assignment are the
+deterministic portable k-means — pinned by tests), so an index can be
+built by a nightly batch job and served by any number of readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pg2kafka_spark.operators.similarity import (
+    as_double,
+    assign_cells,
+    cosine,
+    kmeans_centroids,
+)
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> None:
+    """Train + assign + materialize the IVF index under ``path``.
+
+    Scale shape: training is the portable k-means (bound it with
+    ``train_sample`` at real N); assignment is the broadcast max_by
+    pass; the cells write is one shuffle-free ``partitionBy(cid)``
+    fan-out (each input partition appends to its cells' directories —
+    with n_centroids sized sensibly the small-files risk is the
+    writer's per-task file count, the standard trade of partitioned
+    layouts).
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, iters, dim, id_col, vec_col, train_sample
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cells.withColumnRenamed("__cv", "vec").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/cells")
+
+
+def load_ivf_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a SAVED index: centroids load (tiny) and broadcast for
+    probing; the cells scan joins the broadcast probe list on the
+    PARTITION column, so dynamic partition pruning restricts the read
+    to the probed ``n_probe`` directories — the serving read path
+    touches ``n_probe/n_centroids`` of the index regardless of corpus
+    size. Results are bit-identical to ``ivf_topk`` over the same
+    corpus (deterministic training + assignment)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    # partition-column type inference may narrow cid to int; restore
+    # the bigint the in-memory path uses
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .withColumn("cid", F.col("cid").cast("bigint"))
+        .withColumnRenamed("vec", "__cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("probe_sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            query_id_col,
+            "__qv",
+            "cid",
+            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
+        )
+        .withColumn("__prn", F.row_number().over(probe_w))
+        .filter(F.col("__prn") <= n_probe)
+        .select(query_id_col, "__qv", "cid")
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

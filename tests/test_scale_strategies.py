@@ -346,3 +346,46 @@ def test_per_key_cap_fuzz_matches_naive_window(spark):
         assert got == want, (rows, cap, n_salts)
 
     check()
+
+
+def test_ivf_index_save_load_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
+    """The index AT REST (r8): save_ivf_index writes centroids + a
+    cid-partitioned cells layout; load_ivf_topk must (a) return
+    bit-identical results to the in-memory ivf_topk over the same
+    corpus (deterministic training + assignment), and (b) plan the
+    probe join with DYNAMIC PARTITION PRUNING on the cells scan — the
+    serving read path touches n_probe/n_centroids of the index, not a
+    full scan."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import similarity as S
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_topk,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfidx")
+    save_ivf_index(emb, path)
+    # at-rest layout: one directory per inverted list
+    assert sorted(
+        d for d in os.listdir(f"{path}/cells") if d.startswith("cid=")
+    )
+    got = load_ivf_topk(spark, path, queries, k=3)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, S.ivf_topk(emb, queries, k=3).collect()))
+    assert a == b and len(a) == 15
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    assert "dynamicpruning" in p.lower()
+    assert "PartitionFilters" in p

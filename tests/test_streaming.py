@@ -643,3 +643,49 @@ def test_legacy_create_statement_through_full_relay(spark, outbox, tmp_path):
     unkeyed = [r for r in out if r.key is None]
     assert len(unkeyed) == 1
     assert json.loads(unkeyed[0].value)["statement"] == "SOMETHING_ELSE"
+
+
+def test_streaming_embedding_assignment_matches_batch(spark, tmp_path):
+    """The incremental-IVF ingest as a STREAM (r8): new vectors
+    arrive as files and are assigned to the STORE-trained centroids
+    inside the stream (broadcast join + max_by — the same map-only
+    assignment pass the batch path runs). Streamed assignments must
+    equal assign_cells on the same batch: the vector ingest path
+    composes into the relay exactly like the text gates."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    store = emb.filter(F.col("vec_id") < 80)
+    batch = emb.filter(F.col("vec_id") >= 80)
+    cents = S.kmeans_centroids(store, 8, 2, 64)
+
+    src = str(tmp_path / "incoming_vecs")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    prepared = stream.select(
+        F.col("vec_id"), S.as_double(F.col("embedding")).alias("__cv")
+    )
+    assigned = S.assign_cells(prepared, cents).select("vec_id", "cid")
+    q = (
+        assigned.writeStream.queryName("vec_assign_stream")
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in spark.sql("select * from vec_assign_stream").collect()
+    }
+    want_prepared = batch.select(
+        F.col("vec_id"), S.as_double(F.col("embedding")).alias("__cv")
+    )
+    want = {
+        (r["vec_id"], r["cid"])
+        for r in S.assign_cells(want_prepared, cents).select(
+            "vec_id", "cid"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
