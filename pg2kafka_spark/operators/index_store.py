@@ -117,3 +117,182 @@ def load_ivf_topk(
         .withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _pq_codes(
+    corpus: DataFrame,
+    cents: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-vector PQ code WORDS — ``(id, codes: array<bigint>[m])`` —
+    the compressed representation the at-rest index stores (the
+    in-memory path keeps the reconstruction inline; storage wants the
+    ``m·log2(n_codes)`` bits). Same posexplode + max_by coding plan
+    as ``pq_reconstruct``, but the argmax keeps the code id instead
+    of the centroid vector."""
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("m", "__sv"),
+    ).select(F.col(id_col), F.col("m").cast("int"), "__sv")
+    coded = (
+        subs.join(F.broadcast(cents), "m")
+        .select(
+            id_col,
+            "m",
+            "cid",
+            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
+        )
+        .groupBy(id_col, "m")
+        .agg(
+            F.max_by("cid", F.struct(F.col("code_sim"), -F.col("cid"))).alias(
+                "code"
+            )
+        )
+    )
+    return coded.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("code")))),
+            lambda x: x["code"],
+        ).alias("codes")
+    )
+
+
+def save_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    train_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> None:
+    """The COMPRESSED index at rest (FAISS ``IVFx,PQy`` storage
+    shape): coarse centroids + PQ codebooks (both tiny tables) and a
+    cid-partitioned cells layout holding ``(id, codes[m])`` — the
+    ``m·log2(n_codes)`` bits per vector that make a billion-vector
+    index fit storage budgets; the raw vectors are NOT stored."""
+    from pg2kafka_spark.operators.similarity import pq_codebooks
+
+    coarse = kmeans_centroids(
+        corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
+    books = pq_codebooks(
+        corpus, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
+    )
+    codes = _pq_codes(corpus, books, m, sub_dim, id_col, vec_col)
+    coarse.write.mode("overwrite").parquet(f"{path}/centroids")
+    books.write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.join(cells, id_col).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{path}/cells")
+
+
+def load_ivf_pq_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve the compressed index: probe broadcast coarse centroids,
+    dynamic-partition-prune the cells scan to the probed lists,
+    RECONSTRUCT the probed vectors from their code words against the
+    broadcast codebooks (posexplode codes → (m, code) lookup join →
+    ordered concat), and ADC-score. Bit-identical to
+    ``ivf_pq_topk`` over the same corpus — reconstruction from stored
+    codes is the same centroid concatenation the in-memory path
+    computes inline."""
+    coarse = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    cells = spark.read.parquet(f"{path}/cells").withColumn(
+        "cid", F.col("cid").cast("bigint")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("probe_sim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            query_id_col,
+            "__qv",
+            "cid",
+            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
+        )
+        .withColumn("__prn", F.row_number().over(probe_w))
+        .filter(F.col("__prn") <= n_probe)
+        .select(query_id_col, "__qv", "cid")
+    )
+    # Restrict the scan to the probed lists FIRST — a broadcast
+    # semi-join on the partition column directly above the scan, so
+    # dynamic partition pruning fires at the file level AND
+    # reconstruction work is bounded by the probed lists, not the
+    # index (reconstructing then filtering would decode every list).
+    probed = cells.join(
+        F.broadcast(probes.select("cid").distinct()), "cid", "leftsemi"
+    )
+    # reconstruct probed rows from code words: one bounded explode
+    # (m rows per vector), broadcast codebook lookup, ordered concat
+    recon = (
+        probed.select(
+            id_col, "cid", F.posexplode("codes").alias("m", "code")
+        )
+        .join(
+            F.broadcast(
+                books.select(
+                    F.col("m"), F.col("cid").alias("code"), "__ce"
+                )
+            ),
+            ["m", "code"],
+        )
+        .groupBy(id_col, "cid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("m"), F.col("__ce")))
+                    ),
+                    lambda x: x["__ce"],
+                )
+            ).alias("__de")
+        )
+    )
+    rank_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("pq_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        recon.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qv"), F.col("__de")), 6).alias("pq_sim"),
+        )
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -389,3 +389,44 @@ def test_ivf_index_save_load_roundtrip_prunes_partitions(spark, sf_dir, tmp_path
     p = buf.getvalue()
     assert "dynamicpruning" in p.lower()
     assert "PartitionFilters" in p
+
+
+def test_ivf_pq_index_stores_codes_and_serves_identically(spark, sf_dir, tmp_path):
+    """The COMPRESSED index at rest (r8): cells hold (id, codes[m]) —
+    raw vectors are NOT stored — plus tiny centroid/codebook tables.
+    Serving must reconstruct probed rows from their code words against
+    the broadcast codebooks and return bit-identical results to the
+    in-memory ivf_pq_topk, with the cells scan dynamic-partition-
+    pruned to the probed lists."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators import similarity as S
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "pqidx")
+    save_ivf_pq_index(emb, path)
+    # the stored representation is the m code words, not the vector
+    cells = spark.read.parquet(f"{path}/cells")
+    assert set(cells.columns) == {"vec_id", "codes", "cid"}
+    assert cells.select(F.size("codes")).distinct().collect()[0][0] == 8
+    got = load_ivf_pq_topk(spark, path, queries, k=3)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, S.ivf_pq_topk(emb, queries, k=3).collect()))
+    assert a == b and len(a) == 15
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    assert "dynamicpruning" in p.lower()
+    assert "PartitionFilters" in p
