@@ -135,7 +135,7 @@ def main() -> None:
         timed(f"daily_ingest composition ({scale}x corpus)", keep)
 
     if only and not any(
-        want(k) for k in ("embedding_near_dup", "ivf_topk")
+        want(k) for k in ("embedding_near_dup", "ivf_topk", "index_serve")
     ):
         spark.stop()
         return
@@ -171,6 +171,45 @@ def main() -> None:
                 embx, queries, train_sample=20_000 if scale > 10 else None
             ),
         )
+    if want("index_serve"):
+        # build-once / serve-many: the at-rest index story measured —
+        # build+save pays training and the partitioned write ONCE;
+        # each serve pays probes + a partition-pruned read of
+        # n_probe/n_centroids of the cells.
+        import shutil
+        import tempfile
+
+        from pg2kafka_spark.operators.index_store import (
+            load_ivf_topk,
+            save_ivf_index,
+        )
+
+        queries = embx.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # 8 lists = the same train+assign work as the ivf_topk row
+        # above, so BUILD+SAVE − ivf_topk isolates the write cost and
+        # SERVE shows what every further query batch pays instead of
+        # retraining. (More lists prune serving harder but multiply
+        # the training cosines — the standard build/serve trade.)
+        idx_dir = tempfile.mkdtemp(prefix="stress_ivfidx_")
+        t0 = time.perf_counter()
+        save_ivf_index(
+            embx,
+            idx_dir,
+            n_centroids=8,
+            train_sample=20_000 if scale > 10 else None,
+        )
+        print(
+            f"{'ivf index BUILD+SAVE (8 lists)':48s} "
+            f"{time.perf_counter() - t0:7.2f} s",
+            flush=True,
+        )
+        timed(
+            "ivf index SERVE (probe 2/8 lists, pruned read)",
+            load_ivf_topk(spark, idx_dir, queries, k=3),
+        )
+        shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()
 
 
