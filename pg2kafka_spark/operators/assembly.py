@@ -435,3 +435,86 @@ def training_order_assign(
         shard.cast("long").alias("shard"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+def source_epoch_allocation(
+    df: DataFrame,
+    token_budget: int,
+    max_epochs: int = 4,
+    strata_col: str = "source",
+    token_count_col: Column | None = None,
+) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models", arXiv:2305.16264:
+    repeating unique data up to ~4 epochs costs almost nothing, so a
+    token budget above the unique-token supply should be filled by
+    REPETITION, bounded by ``max_epochs``): every source contributes
+    ``full_epochs = min(max_epochs, budget div Σtokens)`` whole
+    epochs of its unique tokens, and the remaining budget is split
+    one level deeper — ``extra_s = rem · tokens_s div Σtokens``, a
+    proportional partial epoch. If the budget exceeds
+    ``max_epochs · Σtokens`` the surplus is reported unused (the
+    data-constrained regime's actual message: go find more data).
+
+    Pure integer arithmetic on exact token counts — the plan every
+    pretraining run starts from, auditable and engine-portable (no
+    float shares; allocations sum to ≤ budget by construction with a
+    per-source remainder of < 1 token-share each).
+
+    Scale shape: one map-side-partial aggregation onto the tiny
+    source keyspace, then window totals over that |sources|-row
+    frame — nothing returns to the corpus.
+
+    Emits per source: ``(stratum, n_docs, n_tokens, full_epochs,
+    extra_tokens, total_tokens)``.
+    """
+    from pg2kafka_spark.operators.text import token_count
+
+    tok = (
+        token_count_col
+        if token_count_col is not None
+        else token_count(F.col("text"))
+    )
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok.cast("bigint")).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    b = F.lit(int(token_budget)).cast("bigint")
+    # full epochs shared by every source; remainder split proportionally
+    out = (
+        per.withColumn("__tot", total)
+        .withColumn(
+            "full_epochs",
+            F.least(
+                F.lit(int(max_epochs)).cast("bigint"),
+                F.expr(f"CAST({int(token_budget)} AS BIGINT) div __tot"),
+            ),
+        )
+        .withColumn(
+            "__rem",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                b - F.col("full_epochs") * F.col("__tot"),
+            ),
+        )
+        .withColumn(
+            "extra_tokens",
+            F.when(
+                F.col("full_epochs") >= F.lit(int(max_epochs)),
+                F.lit(0).cast("bigint"),
+            ).otherwise(F.expr("(__rem * n_tokens) div __tot")),
+        )
+        .withColumn(
+            "total_tokens",
+            F.col("n_tokens") * F.col("full_epochs") + F.col("extra_tokens"),
+        )
+    )
+    return out.select(
+        strata_col,
+        "n_docs",
+        "n_tokens",
+        "full_epochs",
+        "extra_tokens",
+        "total_tokens",
+    )

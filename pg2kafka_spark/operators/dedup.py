@@ -1321,3 +1321,89 @@ def incremental_near_dup(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+def decontamination_scrub(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    seg_words: int = 8,
+    emit_text: bool = False,
+) -> DataFrame:
+    """Span-level benchmark decontamination — the REMOVAL counterpart
+    of :func:`contamination_hits` (which only flags): every
+    non-overlapping ``seg_words``-token segment of a training doc
+    that appears VERBATIM anywhere in the eval set is scrubbed, and
+    the survivors reassemble in order. Span removal keeps the rest of
+    a contaminated document (dropping whole documents for one leaked
+    snippet throws away good tokens; the published pipelines do both
+    — gate on heavy contamination, scrub light contamination).
+
+    Alignment-free matching: the TRAIN side segments non-overlapping
+    (expansion 1×, the :func:`duplicated_segment_scrub` shape), while
+    the EVAL side enumerates OVERLAPPING ``seg_words``-grams — so a
+    train segment matches wherever its exact tokens occur in an eval
+    doc, regardless of window alignment. Eval benchmarks are MBs
+    against a 100 TB corpus: the distinct eval-gram fingerprints
+    BROADCAST, making the scrub pass map-only until the one
+    uniform-key reassembly shuffle.
+
+    Emits one row per training doc:
+    ``(id, n_segments, n_removed, scrubbed_fp | text, n_chars_kept)``
+    — same contract as :func:`duplicated_segment_scrub`, so the two
+    scrubs compose/interchange downstream.
+    """
+    from pg2kafka_spark.operators.text import normalized_text
+
+    w = int(seg_words)
+    ev = (
+        eval_docs.select(
+            F.explode(
+                shingles(F.split(normalized_text(F.col(eval_text_col)), " "), w)
+            ).alias("g")
+        )
+        .select(F.md5(F.col("g")).alias("sfp"))
+        .distinct()
+    )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(F.col("__toks")) / F.lit(float(w))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * w + 1, w), " "),
+    )
+    seg_rows = (
+        _spread(docs.select(id_col, text_col))
+        .select(id_col, toks.alias("__toks"))
+        .select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+    )
+    marked = seg_rows.join(
+        F.broadcast(ev), F.md5(seg_rows["seg"]) == ev["sfp"], "left"
+    ).select(
+        id_col,
+        "seg_idx",
+        "seg",
+        F.col("sfp").isNotNull().alias("is_dup"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("seg_idx").alias("i"),
+                F.col("is_dup").alias("d"),
+                F.col("seg").alias("s"),
+            )
+        )
+    )
+    kept_text = F.array_join(
+        F.transform(F.filter(ordered, lambda x: ~x["d"]), lambda x: x["s"]),
+        " ",
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+        (kept_text if emit_text else F.md5(kept_text)).alias(
+            "text" if emit_text else "scrubbed_fp"
+        ),
+        F.length(kept_text).cast("long").alias("n_chars_kept"),
+    )

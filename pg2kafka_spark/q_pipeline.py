@@ -2155,6 +2155,64 @@ def doc_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_segment_scrub(docs, seg_words=8, min_docs=2)
 
 
+@query(
+    "decontamination_scrub",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+             array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS seg
+      FROM t, unnest(range(CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)
+    ),
+    eg AS (
+      SELECT DISTINCT md5(g.s) AS sfp
+      FROM (SELECT toks[1:15] AS toks FROM t WHERE doc_id % 20 = 0) e,
+           unnest(list_transform(range(1, len(toks) - 6),
+                  j -> array_to_string(toks[j:j+7], ' '))) AS g(s)
+      WHERE len(toks) >= 8
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, (d.sfp IS NOT NULL) AS is_dup
+      FROM seg s LEFT JOIN eg d ON md5(s.seg) = d.sfp
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
+           md5(coalesce(
+             string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE NOT is_dup),
+             '')) AS scrubbed_fp,
+           CAST(coalesce(
+             len(string_agg(seg, ' ' ORDER BY seg_idx)
+                 FILTER (WHERE NOT is_dup)), 0) AS BIGINT) AS n_chars_kept
+    FROM marked GROUP BY doc_id
+    """,
+)
+def decontamination_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (r8) — the REMOVAL
+    counterpart of ``decontamination_check``: every 8-token segment
+    of a training doc that appears verbatim in the eval set (the
+    same every-20th-doc first-15-token snippet fixture) is scrubbed
+    and the survivors reassembled, emitted as the per-doc scrubbed
+    fingerprint + counts. Train side segments non-overlapping
+    (expansion 1×); eval side enumerates OVERLAPPING grams so
+    matching is alignment-free; the distinct eval-gram fingerprints
+    broadcast. See ``operators/dedup.decontamination_scrub``."""
+    from pg2kafka_spark.operators.text import normalized_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.array_join(
+            F.slice(F.split(normalized_text(F.col("text")), " "), 1, 15), " "
+        ).alias("text")
+    )
+    return D.decontamination_scrub(docs, ev)
+
+
 def _source_cap_oracle(cap: int = 50) -> str:
     from pg2kafka_spark.operators.sketch import portable_int_hash_sql
 
@@ -3593,3 +3651,47 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("ttr"), 6).alias("min_ttr"),
         F.round(F.max("ttr"), 6).alias("max_ttr"),
     )
+
+
+@query(
+    "source_epoch_allocation",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+    alloc AS (
+      SELECT p.source, p.n_docs, p.n_tokens,
+             least(CAST(4 AS BIGINT), CAST(100000 AS BIGINT) // t.t)
+               AS full_epochs,
+             t.t AS tot
+      FROM per p CROSS JOIN tot t
+    )
+    SELECT source, n_docs, n_tokens, full_epochs,
+           CASE WHEN full_epochs >= 4 THEN CAST(0 AS BIGINT)
+                ELSE (greatest(CAST(0 AS BIGINT),
+                               CAST(100000 AS BIGINT) - full_epochs * tot)
+                      * n_tokens) // tot END AS extra_tokens,
+           n_tokens * full_epochs
+             + (CASE WHEN full_epochs >= 4 THEN CAST(0 AS BIGINT)
+                ELSE (greatest(CAST(0 AS BIGINT),
+                               CAST(100000 AS BIGINT) - full_epochs * tot)
+                      * n_tokens) // tot END) AS total_tokens
+    FROM alloc
+    """,
+)
+def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (r8; Muennighoff et al.
+    2023): how a 100k-token budget fills from the corpus — every
+    source contributes the same number of whole epochs of its unique
+    tokens (capped at 4, past which repetition stops paying), and
+    the remainder splits proportionally as a partial epoch. Pure
+    integer arithmetic over one tiny per-source aggregate — the
+    auditable pretraining data plan. See
+    ``operators/assembly.source_epoch_allocation``."""
+    from pg2kafka_spark.operators.assembly import source_epoch_allocation as A
+
+    docs = load_table(spark, "documents", sf_dir)
+    return A(docs, token_budget=100_000, max_epochs=4)

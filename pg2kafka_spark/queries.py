@@ -54,6 +54,8 @@ _FRONT = [
     "doc_training_order",
     "doc_surprisal_band_stratified",
     "embedding_ann_ivf_incremental",
+    "decontamination_scrub",
+    "source_epoch_allocation",
     # rows-only rotation tranche (r7 ADVICE): driver rows-count
     # evidence for queries that would otherwise never be windowed
     "minhash_lsh_pairs",

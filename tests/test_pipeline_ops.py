@@ -1621,3 +1621,64 @@ def test_ivf_incremental_trains_on_store_only(spark, sf_dir):
     assert a != b
     again = S.ivf_topk(emb, queries, k=3, train_corpus=store).collect()
     assert sorted(map(tuple, inc)) == sorted(map(tuple, again))
+
+
+def test_decontamination_scrub_removes_aligned_eval_spans(spark):
+    """Hand fixture: doc 1's SECOND 8-token segment equals an eval
+    snippet span (offset inside the eval doc — alignment-free
+    matching must still catch it); doc 2 shares nothing. The
+    contaminated segment is removed and the survivors reassemble in
+    order; the clean doc passes through whole."""
+    from pg2kafka_spark.operators.dedup import decontamination_scrub
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    doc1 = "one two three four five six seven eight " + leak
+    doc2 = "totally unrelated words that never appear in any benchmark x"
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    # eval doc contains the leak at a NON-segment-aligned offset
+    ev = spark.createDataFrame(
+        [(100, "prefix filler " + leak + " suffix filler")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontamination_scrub(docs, ev, emit_text=True).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_removed"] == 1
+    assert out[1]["text"] == "one two three four five six seven eight"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text"] == doc2
+    # partial trailing segments (< 8 tokens) never match full grams
+    assert out[2]["n_segments"] == 2
+
+
+def test_source_epoch_allocation_water_fills_and_caps(spark):
+    """Hand-computable: sources with 100 and 300 tokens, budget 1000,
+    cap 4. full_epochs = min(4, 1000 div 400) = 2; rem = 200;
+    extras = 200*100//400 = 50 and 200*300//400 = 150. With budget
+    10000 the cap binds: 4 epochs each, zero extra (surplus unused)."""
+    from pg2kafka_spark.operators.assembly import source_epoch_allocation
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "a", " ".join(["t"] * 10)))       # 100 tokens
+    for i in range(10):
+        rows.append((100 + i, "b", " ".join(["t"] * 30)))  # 300 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: r
+        for r in source_epoch_allocation(docs, token_budget=1000).collect()
+    }
+    assert got["a"]["n_tokens"] == 100 and got["b"]["n_tokens"] == 300
+    assert got["a"]["full_epochs"] == 2 and got["b"]["full_epochs"] == 2
+    assert got["a"]["extra_tokens"] == 50 and got["b"]["extra_tokens"] == 150
+    assert got["a"]["total_tokens"] == 250 and got["b"]["total_tokens"] == 750
+    capped = {
+        r["source"]: r
+        for r in source_epoch_allocation(docs, token_budget=10_000).collect()
+    }
+    assert all(r["full_epochs"] == 4 and r["extra_tokens"] == 0
+               for r in capped.values())
+    assert capped["a"]["total_tokens"] == 400

@@ -405,6 +405,20 @@ COMMENTARY = {
         "construction; position is a per-shard window rank — no global "
         "sort ever materializes, and n_shards is the task-size knob."
     ),
+    "decontamination_scrub": (
+        "Span-level decontamination (r8): eval-gram fingerprints "
+        "broadcast (benchmarks are MBs vs a 100 TB corpus), the train "
+        "side segments map-only inside the scan (non-overlapping — "
+        "expansion 1x), and the only data shuffle is the uniform "
+        "doc-id reassembly — the duplicated_segment_scrub shape with "
+        "the dup set swapped for the broadcast eval set."
+    ),
+    "source_epoch_allocation": (
+        "Epoch water-fill (r8): one map-side-partial aggregation onto "
+        "the tiny source keyspace, then window totals over the "
+        "|sources|-row frame — nothing returns to the corpus; the "
+        "whole plan is dimension-table-sized past the first agg."
+    ),
     "embedding_ann_ivf_incremental": (
         "Incremental IVF ingest (r8): training reads ONLY the store "
         "subset (filter pushed to the scan), the full union assigns "
