@@ -1407,3 +1407,134 @@ def decontamination_scrub(
         ),
         F.length(kept_text).cast("long").alias("n_chars_kept"),
     )
+
+
+def simhash_pairs_portable(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 6,
+    max_block_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = PORTABLE_SIMHASH_BITS,
+) -> DataFrame:
+    """FULL-PIPELINE portable twin of :func:`simhash_near_pairs`:
+    sketch → prefix blocking → hot-block cap → hamming verify, all in
+    engine-portable integer algebra — so the driver hash-checks not
+    just the signature bits (:func:`simhash_portable`) but the
+    BLOCKING JOIN and the hamming-distance verify too. The production
+    path keeps its xxhash/Arrow kernel and 64-bit sketch; this twin
+    runs the identical pipeline shape on the 24-bit portable sketch
+    (same block-equality join on the top ``prefix_bits``, same
+    ``bit_count(xor) <= max_hamming`` verify, same count-capped hot
+    blocks).
+
+    Emits ``(id_a, id_b, block, hamming)`` — block included so the
+    oracle pins the blocking keys, hamming so it pins the verify.
+
+    Scale shape: identical to the production path — one uniform
+    block-key shuffle, per-block pair expansion bounded by
+    ``max_block_size``.
+    """
+    sh = _persist(
+        simhash_portable(docs, text_col, id_col, n_bits).select(
+            id_col, "simhash"
+        )
+    )
+    block = F.shiftright(F.col("simhash"), n_bits - prefix_bits)
+    blk = sh.select(id_col, "simhash", block.alias("block"))
+    ok = (
+        blk.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_block_size)))
+        .select(F.col("block").alias("__okblock"))
+    )
+    a = blk.alias("a")
+    b = blk.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .join(ok, F.col("a.block") == F.col("__okblock"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.block").alias("block"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+    )
+
+
+def minhash_lsh_pairs_portable(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    band_rows: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """FULL-PIPELINE portable twin of :func:`minhash_lsh_pairs`:
+    portable-minhash band keys → bucket self-join → hot-bucket cap →
+    distinct candidate pairs → signature-agreement count, every stage
+    engine-portable — so the driver hash-checks the BANDED DISCOVERY
+    itself (bucket membership, the cap, and the per-pair agreement
+    estimate), not just the signature values
+    (:func:`minhash_signatures_portable`). The production path keeps
+    its xxhash/Arrow kernel; the plan shape here is identical: one
+    uniform (band, bkey) shuffle, per-bucket expansion bounded by
+    ``max_bucket_size``, one uniform pair-key count.
+
+    Emits ``(id_a, id_b, n_agree)`` — ``n_agree / k`` is the standard
+    signature-agreement Jaccard estimate, kept as the exact integer.
+    """
+    bands = _persist(
+        portable_band_keys(docs, text_col, id_col, k, band_rows)
+    )
+    ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= F.lit(int(max_bucket_size)))
+        .select(F.col("band").alias("__okband"), F.col("bkey").alias("__okbkey"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .join(
+            ok,
+            (F.col("a.band") == F.col("__okband"))
+            & (F.col("a.bkey") == F.col("__okbkey")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sigs = minhash_signatures_portable(docs, text_col, id_col, k)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), "i", F.col("minhash").alias("__ma")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), "i", F.col("minhash").alias("__mb")
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("__ma") == F.col("__mb")).cast("long")).alias(
+                "n_agree"
+            )
+        )
+    )

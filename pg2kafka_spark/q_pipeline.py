@@ -3695,3 +3695,116 @@ def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return A(docs, token_budget=100_000, max_epochs=4)
+
+
+@query(
+    "simhash_near_pairs_portable",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(toks, s -> {_ROLL}) AS xs
+      FROM t WHERE length(toks) >= 1
+    ),
+    sk AS (
+      SELECT doc_id, CAST(({_SIMHASH_BIT_TERMS}) AS BIGINT) AS simhash
+      FROM hashed
+    ),
+    blk AS (SELECT doc_id, simhash, simhash >> 18 AS block FROM sk),
+    ok AS (SELECT block FROM blk GROUP BY block HAVING count(*) <= 1000)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.block AS block,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blk a
+    JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id
+    JOIN ok ON ok.block = a.block
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-PIPELINE portable twin of the rows-only
+    ``simhash_near_pairs`` (r8): sketch → top-6-bit prefix blocking →
+    1000-cap hot blocks → hamming ≤ 3 verify, every stage in
+    engine-portable integer algebra, so the driver hash-checks the
+    BLOCKING JOIN and the distance verify — not just the signature
+    bits. Same plan shape as the production xxhash path (one uniform
+    block-key shuffle, capped per-block expansion). See
+    ``operators/dedup.simhash_pairs_portable``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.simhash_pairs_portable(docs)
+
+
+def _lsh_pairs_portable_oracle(
+    k: int = 8, band_rows: int = 2, cap: int = 1000
+) -> str:
+    from pg2kafka_spark.operators.dedup import (
+        PORTABLE_MINHASH_MOD as MOD,
+        PORTABLE_MINHASH_SALT as SALT,
+    )
+
+    roll = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(list_filter(string_split_regex(s, ''), x -> x <> ''),"
+        " x -> CAST(ord(x) AS BIGINT))),"
+        f" (a, b) -> (a * 131 + b) % {MOD})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    sh3 AS (
+      SELECT doc_id,
+             list_transform(range(1, length(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]) AS shs
+      FROM t WHERE length(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id, list_transform(shs, s -> {roll}) AS xs FROM sh3
+    ),
+    mh AS (
+      SELECT doc_id, u.i AS i,
+             list_min(list_transform(xs,
+               x -> ((2*u.i+1)*x + (u.i*{SALT}) % {MOD}) % {MOD})) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(range({k})) AS i) u
+    ),
+    bands AS (
+      SELECT doc_id, i // {band_rows} AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i) AS bkey
+      FROM mh GROUP BY 1, 2
+    ),
+    bcap AS (
+      SELECT band, bkey FROM bands
+      GROUP BY band, bkey HAVING count(*) <= {cap}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                  AND a.doc_id < b.doc_id
+      JOIN bcap c ON c.band = a.band AND c.bkey = a.bkey
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(count(*) FILTER (WHERE ma.minhash = mb.minhash) AS BIGINT)
+             AS n_agree
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.id_a
+    JOIN mh mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+    GROUP BY 1, 2
+    """
+
+
+@query("minhash_lsh_pairs_portable", oracle=_lsh_pairs_portable_oracle())
+def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-PIPELINE portable twin of the rows-only
+    ``minhash_lsh_pairs`` (r8): portable-minhash band keys → bucket
+    self-join → 1000-cap hot buckets → distinct candidate pairs →
+    per-pair signature-agreement count, every stage hash-checked — so
+    the BANDED DISCOVERY itself (bucket membership, the cap, the
+    Jaccard-estimate numerator) carries oracle evidence, not just the
+    signature values. Identical plan shape to the xxhash production
+    path. See ``operators/dedup.minhash_lsh_pairs_portable``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.minhash_lsh_pairs_portable(docs)

@@ -56,6 +56,8 @@ _FRONT = [
     "embedding_ann_ivf_incremental",
     "decontamination_scrub",
     "source_epoch_allocation",
+    "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable",
     # rows-only rotation tranche (r7 ADVICE): driver rows-count
     # evidence for queries that would otherwise never be windowed
     "minhash_lsh_pairs",

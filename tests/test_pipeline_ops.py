@@ -1682,3 +1682,38 @@ def test_source_epoch_allocation_water_fills_and_caps(spark):
     assert all(r["full_epochs"] == 4 and r["extra_tokens"] == 0
                for r in capped.values())
     assert capped["a"]["total_tokens"] == 400
+
+
+def test_portable_pair_twins_discover_planted_neighbors(spark):
+    """The r8 full-pipeline twins must behave like the discovery
+    paths they shadow: a planted near-dup pair (one token changed)
+    surfaces in BOTH the simhash-blocked pairs (small hamming) and
+    the minhash-banded pairs (high signature agreement); an unrelated
+    doc pairs with neither; and an exact-duplicate cluster larger
+    than the cap is dropped by the hot-bucket/block guards."""
+    from pg2kafka_spark.operators.dedup import (
+        minhash_lsh_pairs_portable,
+        simhash_pairs_portable,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("sigma", "sigmaX")
+    rows = [(1, base), (2, near),
+            (3, "completely different words nothing shared here at all ok")]
+    # a 5-copy boilerplate cluster with cap=3: every block/bucket it
+    # fills exceeds the cap, so it contributes ZERO pairs
+    rows += [(100 + i, "copy copy copy copy copy copy copy copy") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sp = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in simhash_pairs_portable(docs, max_hamming=6, prefix_bits=2,
+                                          max_block_size=3).collect()}
+    assert (1, 2) in sp, sp
+    assert all(not (a >= 100 and b >= 100) for a, b in sp)
+
+    mp = {(r["id_a"], r["id_b"]): r["n_agree"]
+          for r in minhash_lsh_pairs_portable(docs, max_bucket_size=3).collect()}
+    assert (1, 2) in mp and mp[(1, 2)] >= 4  # most of 8 positions agree
+    assert all(not (a >= 100 and b >= 100) for a, b in mp)
+    assert all((3 not in p) for p in mp)

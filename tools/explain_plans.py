@@ -405,6 +405,18 @@ COMMENTARY = {
         "construction; position is a per-shard window rank — no global "
         "sort ever materializes, and n_shards is the task-size knob."
     ),
+    "simhash_near_pairs_portable": (
+        "Full-pipeline portable simhash discovery (r8): one uniform "
+        "block-key shuffle, per-block pair expansion bounded by the "
+        "1000-cap, bit_count hamming verify inline — the production "
+        "xxhash path's exact plan shape, now under hash evidence."
+    ),
+    "minhash_lsh_pairs_portable": (
+        "Full-pipeline portable banded LSH (r8): (band, bkey) "
+        "equality self-join with the hot-bucket cap, distinct "
+        "pair-key reduction, then the signature-agreement count on "
+        "uniform pair keys — the minhash_lsh_pairs shape end to end."
+    ),
     "decontamination_scrub": (
         "Span-level decontamination (r8): eval-gram fingerprints "
         "broadcast (benchmarks are MBs vs a 100 TB corpus), the train "
