@@ -365,3 +365,22 @@ def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
     assert "max_by" in p
     # the only ordered operator is the bounded-heap seed scan
     assert "TakeOrderedAndProject" in p
+
+
+def test_decontamination_scrub_broadcasts_eval_set(spark, sf_dir):
+    """The eval-gram fingerprints (MBs vs a 100 TB corpus) must
+    broadcast — a sort-merge join here would shuffle the full
+    segmented corpus against the tiny eval side."""
+    p = plan_of(spark, "decontamination_scrub", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_portable_twin_pairs_shuffle_on_uniform_keys(spark, sf_dir):
+    """The full-pipeline discovery twins must keep the production
+    paths' shape: equality joins on uniform block/bucket keys — no
+    cartesian, no corpus sort-merge self-join."""
+    for name in ("simhash_near_pairs_portable", "minhash_lsh_pairs_portable"):
+        p = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
