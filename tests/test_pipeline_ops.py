@@ -1717,3 +1717,92 @@ def test_portable_pair_twins_discover_planted_neighbors(spark):
     assert (1, 2) in mp and mp[(1, 2)] >= 4  # most of 8 positions agree
     assert all(not (a >= 100 and b >= 100) for a, b in mp)
     assert all((3 not in p) for p in mp)
+
+
+def test_simhash_pairs_portable_matches_python_reference(spark):
+    """Exact-set fuzz vs an independent pure-Python replay of the
+    whole portable pipeline (rolling hash -> bit votes -> prefix
+    blocking -> cap -> hamming): the operator must emit EXACTLY the
+    pairs the reference computes — including blocking misses (pairs
+    whose differing bits land in the prefix are correctly absent) and
+    cap drops."""
+    import itertools
+    import random
+
+    from pg2kafka_spark.operators.dedup import (
+        PORTABLE_SIMHASH_BITS,
+        simhash_pairs_portable,
+    )
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(30):
+        n = rng.randint(3, 12)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dup pairs: a long doc and a 1-token-off variant
+    # (most bit votes unchanged -> small hamming, usually same block)
+    for j in range(8):
+        base = [rng.choice(vocab) for _ in range(20)]
+        var = list(base)
+        var[rng.randrange(len(var))] = rng.choice(vocab)
+        rows.append((200 + 2 * j, " ".join(base)))
+        rows.append((201 + 2 * j, " ".join(var)))
+    # plus a 4-copy cluster to exercise the cap
+    rows += [(100 + i, "dup dup dup dup dup") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    MOD = 2147483647
+    NB = PORTABLE_SIMHASH_BITS
+
+    def roll(s):
+        h = 0
+        for ch in s:
+            h = (h * 131 + ord(ch)) % MOD
+        return h
+
+    def simhash(text):
+        toks = text.split(" ")
+        hs = [roll(t) for t in toks]
+        v = 0
+        for i in range(NB):
+            ones = sum((h >> i) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                v |= 1 << i
+        return v
+
+    prefix_bits, h = 4, 6
+    sk = {d: simhash(t) for d, t in rows}
+
+    def reference(cap):
+        blocks = {}
+        for d, s in sk.items():
+            blocks.setdefault(s >> (NB - prefix_bits), []).append(d)
+        want = set()
+        for members in blocks.values():
+            if len(members) > cap:
+                continue
+            for a, b in itertools.combinations(sorted(members), 2):
+                if bin(sk[a] ^ sk[b]).count("1") <= h:
+                    want.add((a, b))
+        return want
+
+    def run(cap):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs_portable(
+                docs, max_hamming=h, prefix_bits=prefix_bits,
+                max_block_size=cap,
+            ).collect()
+        }
+
+    # generous cap: the planted near-dups' hot block survives and the
+    # pair set is non-trivially equal to the reference
+    want_big = reference(100)
+    assert run(100) == want_big
+    assert any(a >= 200 and b >= 200 for a, b in want_big)
+    # tight cap: the same hot block is dropped on BOTH sides — cap
+    # semantics replicate exactly too
+    want_small = reference(3)
+    assert run(3) == want_small
+    assert want_small != want_big
