@@ -23,54 +23,77 @@ from pg2kafka_spark.qreg import ORACLES, QUERIES, QueryFn, query
 # surface last saw driver rows in r6, and two rounds of drift is the
 # limit. Whatever falls outside the window is always covered by the
 # committed full-surface CORRECTNESS_LOCAL artifact regenerated every
-# round. r9 NOTE: rotate q_pipeline back to the front, and keep
-# alternating each round.
+# round. r8+r9 ran the CDC/relational-fronted window (all green);
+# r10 rotates q_pipeline back to the front. r11 NOTE: rotate q_cdc +
+# q_relational to the front again, and keep alternating each round.
+from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
+
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
-
-# r8 window shaping (on top of the module rotation above): the driver
-# hash-checks only the first 50 entries, so within that cap we front
-# (a) queries whose SEMANTICS changed this round (the dsir coin-mixing
-# and weighted-sample zero-hash fixes — both sides of each oracle pair
-# changed together, so each needs a fresh driver row), (b) new r8
-# queries and oracle conversions with no driver row yet, and (c) —
-# per r7 ADVICE — a rotating tranche of rows-only queries, so the
-# weakest-verified queries periodically receive independent driver
-# rows-count evidence instead of permanently sorting past the window.
-# Then oracle-backed queries in registration order, rows-only last.
+# r10 window shaping (on top of the module rotation above): the
+# driver hash-checks only the first 50 entries. Front the 15
+# oracle-backed pipeline queries whose newest driver row dates from
+# r6 (they fell outside both the r7 pipeline window and the r8/r9
+# CDC window), then any query whose formula changed this round; the
+# remaining ~35 slots fill with the r7-covered pipeline surface in
+# registration order. Rows-only queries got their rotation tranche
+# of driver rows-count evidence in r8/r9 and sort last this round.
 _FRONT = [
-    # changed formulas this round (operator + oracle together)
-    "dsir_resample",
-    "doc_weighted_sample",
-    # vectorized kernel this round — must stay hash-identical
-    "embedding_knn_graph",
-    # r8 oracle conversions / additions — no driver row exists yet
-    "embedding_ann_lsh",
-    "media_near_dup_real",
-    "embedding_ann_pq_sampled",
-    "source_temperature_sample",
-    "doc_training_order",
-    "doc_surprisal_band_stratified",
-    "embedding_ann_ivf_incremental",
-    "decontamination_scrub",
-    "source_epoch_allocation",
-    "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable",
-    # rows-only rotation tranche (r7 ADVICE): driver rows-count
-    # evidence for queries that would otherwise never be windowed
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "embedding_near_dup_lsh_pairs",
+    # stalest driver evidence first (newest row r6)
+    "doc_segment_scrub",
+    "source_capped_sample",
+    "zorder_layout_stats",
+    "doc_pack_spans_strict",
+    "incremental_near_dup_batch",
+    "embedding_ann_ivf_sq8",
+    "daily_ingest_keep_list",
+    "embedding_ann_pq",
+    "doc_bigram_surprisal",
+    "embedding_topk_filtered",
+    "dsir_importance_weights",
+    "embedding_prototype_prune",
+    "doc_quality_classifier",
+    "hilbert_layout_stats",
+    "corpus_report",
 ]
+# Oracle-backed queries that took a fresh driver row in the r9
+# window (the r8-shaped CDC/relational + new-op front) sort AFTER
+# the r7-covered pipeline surface: their evidence is two rounds
+# fresher, so the ~35 non-_FRONT slots go to the stalest rows.
+_R9_WINDOW = {
+    "dsir_resample", "doc_weighted_sample", "embedding_knn_graph",
+    "embedding_ann_lsh", "media_near_dup_real",
+    "embedding_ann_pq_sampled", "source_temperature_sample",
+    "doc_training_order", "doc_surprisal_band_stratified",
+    "embedding_ann_ivf_incremental", "decontamination_scrub",
+    "source_epoch_allocation", "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable", "latest_state_per_user",
+    "state_asof", "snapshot_part", "update_diff_events",
+    "update_diff_json", "unprocessed_page", "unprocessed_pages_count",
+    "wire_encode_nation", "topic_routing", "event_asof_order",
+    "order_event_attribution", "replayed_state_from_diffs",
+    "scd2_user_history", "pricing_summary", "top_orders",
+    "events_hourly", "revenue_by_region", "customer_order_stats",
+    "customers_without_orders", "customers_with_orders",
+    "brand_supplier_revenue", "shipping_priority",
+    "order_rank_per_customer", "order_gap_days",
+    "running_customer_total", "sessionize_events",
+    "finished_only_customers", "both_status_customers",
+    "union_segments", "rollup_returns", "cube_priority_status",
+    "user_event_type_pivot", "order_line_arrays",
+}
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
 _ordered = sorted(
     QUERIES,
     key=lambda n: (
         (0, _FRONT.index(n))
         if n in _FRONT
-        else ((1, _reg_pos[n]) if n in ORACLES else (2, _reg_pos[n]))
+        else (
+            (1, _reg_pos[n])
+            if n in ORACLES and n not in _R9_WINDOW
+            else ((2, _reg_pos[n]) if n in ORACLES else (3, _reg_pos[n]))
+        )
     ),
 )
 _requeries = {n: QUERIES[n] for n in _ordered}
