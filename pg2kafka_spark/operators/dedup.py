@@ -1538,3 +1538,74 @@ def minhash_lsh_pairs_portable(
             )
         )
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-source corpus-overlap matrix from MERGED MinHash
+    sketches: one portable k-element signature per source (the min
+    over all member documents' per-permutation mins — min-fold is
+    associative, so the source signature is exactly the signature of
+    the source's shingle UNION), then pairwise position-match counts
+    estimating shingle Jaccard between sources.
+
+    This is the scale path for "how much does source A duplicate
+    source B": at 100 TB the naive answer is a cross-source pair
+    join over documents (quadratic); the sketch answer is one
+    map-only signature pass, a (source, i)-keyed agg that
+    partial-aggregates map-side down to |sources|·k rows, and an
+    O(|sources|²·k) comparison on data that fits on the head of a
+    pin. Same engine-portable hash family as
+    ``minhash_signatures_portable``, so the whole estimate — sketch,
+    merge, estimate — is reproducible in ANSI SQL and hash-checked.
+
+    ``jaccard_est`` is a single IEEE division of exact integers
+    (bit-identical on any engine).
+    """
+    sig = minhash_signatures_portable(df, text_col=text_col, id_col=id_col, k=k)
+    src = df.select(id_col, group_col)
+    persrc = (
+        sig.join(src, id_col)
+        .groupBy(group_col, "i")
+        .agg(F.min("minhash").alias("mh"))
+    )
+    # persist the |sources|-row signature table: both sides of the
+    # pairwise comparison read it, so the full sketch pipeline (scan,
+    # shingle fold, k min-folds, source merge) runs ONCE
+    sigs = _persist(
+        persrc.groupBy(group_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda s: s["mh"],
+            ).alias("__sig")
+        )
+    )
+    a = sigs.select(
+        F.col(group_col).alias("source_a"), F.col("__sig").alias("__sa")
+    )
+    b = sigs.select(
+        F.col(group_col).alias("source_b"), F.col("__sig").alias("__sb")
+    )
+    n_match = F.aggregate(
+        F.zip_with(
+            F.col("__sa"),
+            F.col("__sb"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            n_match.alias("n_match"),
+            (n_match.cast("double") / F.lit(float(k))).alias("jaccard_est"),
+        )
+    )

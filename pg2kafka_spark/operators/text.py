@@ -680,3 +680,114 @@ def stratified_surprisal_band(
             ((s >= F.col("band_lo")) & (s <= F.col("band_hi"))).alias("kept"),
         )
     )
+
+
+def vocabulary_top_terms(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """Corpus vocabulary build: global token counts, the ``top_n``
+    most frequent terms, and each prefix's cumulative corpus
+    coverage in fixed-point micro-fractions — the first artifact of
+    any tokenizer-training / vocab-pruning pass over a corpus.
+
+    Scale shape: ONE uniform-key shuffle (term counts, map-side
+    partial agg — term keys are near-uniform, the Zipf head is
+    absorbed by the partial agg), then the top-n runs as
+    TakeOrderedAndProject (per-partition heads, no global sort) and
+    the rank/cumsum window sees only ``top_n`` rows. The corpus
+    token total rides in as a broadcast 1-row cross join. Coverage
+    is exact DECIMAL(38) arithmetic (cum·1e6 overflows int64 at
+    ~9e12 tokens — a real corpus), floored via the exact-multiple
+    trick so no decimal rounding can bump a boundary value.
+    Cumulative sums over a (count desc, term) prefix are invariant
+    to the truncation, so computing them after the top-n cut is
+    exact.
+    """
+    from pg2kafka_spark.operators.dedup import _persist
+
+    tok = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
+    )
+    # persist the vocab-sized count table: top-n AND the corpus total
+    # both derive from it, so the corpus is scanned ONCE (uncached,
+    # each consumer would re-run the tokenize+count pass)
+    cnt = _persist(
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    tot = cnt.agg(F.sum("term_count").alias("__t"))
+    top = cnt.orderBy(F.col("term_count").desc(), F.col("term").asc()).limit(
+        int(top_n)
+    )
+    order_w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    cum_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q = F.col("cum_count").cast("decimal(38,0)") * F.lit(1000000)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(order_w).cast("long"))
+        .withColumn("cum_count", F.sum("term_count").over(cum_w))
+        .select(
+            "term",
+            "term_count",
+            "rnk",
+            "cum_count",
+            ((q - q % F.col("__t")) / F.col("__t"))
+            .cast("bigint")
+            .alias("coverage_micros"),
+        )
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """First-merge-step BPE statistics: corpus-weighted counts of
+    adjacent symbol (character) pairs — exactly the quantity a BPE
+    tokenizer trainer maximizes per merge — with the number of
+    distinct vocabulary words each pair occurs in.
+
+    Scale shape — the 100 TB-safe formulation: token occurrences
+    collapse to the DISTINCT word vocabulary first (one uniform-key
+    shuffle with map-side partial agg), so the O(word_len) pair
+    explosion runs over vocab rows (~1e7 at web scale) weighted by
+    their counts, never over the ~1e14 corpus token occurrences.
+    The pair agg is a second small uniform shuffle (≤ |alphabet|²
+    keys after partial agg) and the top-n is TakeOrderedAndProject;
+    the rank window sees ``top_n`` rows. A pair occurring twice in
+    one word ("aaa" → (a,a)×2) counts both occurrences, as BPE
+    requires.
+    """
+    words = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        "w",
+        "c",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("pair_a"),
+        F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("pair_b"),
+        "w",
+        "c",
+    )
+    agg = pairs.groupBy("pair_a", "pair_b").agg(
+        F.sum("c").alias("total_count"),
+        F.count_distinct("w").alias("n_vocab_words"),
+    )
+    top = agg.orderBy(
+        F.col("total_count").desc(), F.col("pair_a").asc(), F.col("pair_b").asc()
+    ).limit(int(top_n))
+    order_w = Window.orderBy(
+        F.col("total_count").desc(), F.col("pair_a").asc(), F.col("pair_b").asc()
+    )
+    return top.select(
+        "pair_a",
+        "pair_b",
+        "total_count",
+        "n_vocab_words",
+        F.row_number().over(order_w).cast("long").alias("rnk"),
+    )

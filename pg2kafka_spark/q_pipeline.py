@@ -3808,3 +3808,138 @@ def minhash_lsh_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     path. See ``operators/dedup.minhash_lsh_pairs_portable``."""
     docs = load_table(spark, "documents", sf_dir)
     return D.minhash_lsh_pairs_portable(docs)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-training / corpus-overlap statistics (r10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_vocabulary",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS term_count FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(sum(term_count) AS BIGINT) AS t FROM cnt),
+    top AS (
+      SELECT term, term_count,
+             CAST(row_number() OVER (ORDER BY term_count DESC, term) AS BIGINT)
+               AS rnk,
+             CAST(sum(term_count) OVER (ORDER BY term_count DESC, term
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_count
+      FROM cnt
+      QUALIFY rnk <= 200
+    )
+    SELECT term, term_count, rnk, cum_count,
+           CAST((CAST(cum_count AS HUGEINT) * 1000000) // t AS BIGINT)
+             AS coverage_micros
+    FROM top CROSS JOIN tot
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocab build: global term counts, top-200
+    terms, cumulative corpus-coverage in exact micro-fractions
+    (DECIMAL(38) — cum·1e6 overflows int64 at real corpus size).
+    One uniform-key shuffle + TakeOrderedAndProject; the rank/cumsum
+    window sees 200 rows. See ``operators/text.vocabulary_top_terms``.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return X.vocabulary_top_terms(docs)
+
+
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1),
+    pos AS (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i FROM wc),
+    agg AS (
+      SELECT substr(w, i, 1) AS pair_a, substr(w, i + 1, 1) AS pair_b,
+             CAST(sum(c) AS BIGINT) AS total_count,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_vocab_words
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT pair_a, pair_b, total_count, n_vocab_words,
+           CAST(row_number() OVER (ORDER BY total_count DESC, pair_a, pair_b)
+                AS BIGINT) AS rnk
+    FROM agg
+    ORDER BY rnk
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-merge-step BPE pair statistics: corpus-weighted adjacent
+    character-pair counts — the argmax a BPE trainer takes per merge.
+    Pair explosion runs over the DISTINCT vocabulary weighted by word
+    counts, never over corpus token occurrences (the 100 TB shape).
+    See ``operators/text.bpe_pair_stats``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.bpe_pair_stats(docs)
+
+
+@query(
+    "source_minhash_overlap",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, length(toks) - 1),
+               j -> toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2]) AS shs
+      FROM t WHERE length(toks) >= 3
+    ),
+    hashed AS (
+      SELECT doc_id,
+             list_transform(shs, s ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(
+                     list_filter(string_split_regex(s, ''), x -> x <> ''),
+                     x -> CAST(ord(x) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS xs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, u.i AS i,
+             list_min(list_transform(xs,
+               x -> ((2*u.i+1)*x + (u.i*2654435761) % 2147483647) % 2147483647
+             )) AS minhash
+      FROM hashed CROSS JOIN (SELECT unnest(range(8)) AS i) u
+    ),
+    persrc AS (
+      SELECT d.source AS source, s.i, min(s.minhash) AS mh
+      FROM sig s JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8
+             AS jaccard_est
+    FROM persrc a
+    JOIN persrc b ON a.i = b.i AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix from MERGED MinHash sketches —
+    min-fold associativity makes a source's signature exactly the
+    signature of its shingle union, so pairwise source Jaccard is
+    estimated from |sources|·k sketch rows instead of a quadratic
+    cross-source document join. The whole path (sketch, merge,
+    estimate) is the portable hash family, hence ANSI-reproducible.
+    See ``operators/dedup.source_minhash_overlap``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return D.source_minhash_overlap(docs)

@@ -40,7 +40,11 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # registration order. Rows-only queries got their rotation tranche
 # of driver rows-count evidence in r8/r9 and sort last this round.
 _FRONT = [
-    # stalest driver evidence first (newest row r6)
+    # NEW this round — no driver row exists yet
+    "corpus_vocabulary",
+    "bpe_pair_counts",
+    "source_minhash_overlap",
+    # stalest driver evidence next (newest row r6)
     "doc_segment_scrub",
     "source_capped_sample",
     "zorder_layout_stats",

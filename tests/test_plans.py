@@ -384,3 +384,42 @@ def test_portable_twin_pairs_shuffle_on_uniform_keys(spark, sf_dir):
         p = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_corpus_vocabulary_single_count_pass(spark, sf_dir):
+    """Top-n and the corpus total must BOTH read the persisted
+    vocab-sized count table (two InMemoryTableScans), never re-run
+    the tokenize+count corpus pass; top-n is a bounded heap."""
+    p = plan_of(spark, "corpus_vocabulary", sf_dir)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "TakeOrderedAndProject" in p
+    # 1-row total joins in as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_bpe_pairs_explode_over_vocab_not_corpus(spark, sf_dir):
+    """Pair generation must sit ABOVE the word-count aggregate (the
+    explode runs over distinct vocab weighted by counts, not over
+    corpus token occurrences), and the top-n is a bounded heap."""
+    p = plan_of(spark, "bpe_pair_counts", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    # two aggregation shuffles: word counts, then pair counts
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    # the pair Generate consumes the aggregated (w, c) rows: in the
+    # formatted plan the second Generate node appears after the first
+    # HashAggregate pair, not directly over the scan
+    scan_pos = p.find("Scan parquet")
+    gen2_pos = p.rfind("(7) Generate")
+    assert scan_pos != -1 and gen2_pos > scan_pos
+
+
+def test_source_overlap_signature_computed_once(spark, sf_dir):
+    """Both sides of the pairwise source comparison must read the
+    persisted |sources|-row signature table; the comparison itself is
+    a broadcast (inequality) join over sketch rows, and the sketch
+    merge partial-aggregates map-side."""
+    p = plan_of(spark, "source_minhash_overlap", sf_dir)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "partial_min" in p  # (source, i) merge combines map-side
