@@ -134,6 +134,34 @@ def main() -> None:
         keep = fresh.join(near, "doc_id", "left_anti").select("doc_id")
         timed(f"daily_ingest composition ({scale}x corpus)", keep)
 
+    # r10 tokenizer/overlap statistics: vocabulary + BPE pairs are
+    # linear map+agg paths (decade candidates); the source-overlap
+    # sketch is the map-side-mergeable replacement for a quadratic
+    # cross-source join — its wall must track corpus size, with the
+    # pairwise stage constant in |sources|².
+    if want("vocabulary") or want("bpe_pairs") or want("source_overlap"):
+        from pg2kafka_spark.operators import text as X
+
+        if want("vocabulary"):
+            timed(
+                f"corpus_vocabulary ({scale}x corpus)",
+                X.vocabulary_top_terms(corpus),
+            )
+        if want("bpe_pairs"):
+            timed(
+                f"bpe_pair_counts ({scale}x corpus)",
+                X.bpe_pair_stats(corpus),
+            )
+        if want("source_overlap"):
+            src_corpus = corpus.withColumn(
+                "source",
+                F.concat(F.lit("src_"), (F.col("doc_id") % 20).cast("string")),
+            )
+            timed(
+                f"source_minhash_overlap ({scale}x, 20 sources)",
+                D.source_minhash_overlap(src_corpus),
+            )
+
     if only and not any(
         want(k) for k in ("embedding_near_dup", "ivf_topk", "index_serve")
     ):
