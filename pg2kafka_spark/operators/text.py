@@ -791,3 +791,86 @@ def bpe_pair_stats(
         "n_vocab_words",
         F.row_number().over(order_w).cast("long").alias("rnk"),
     )
+
+
+def source_quality_drift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    n_bins: int = 16,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Ingest-drift monitor: per source, the total-variation distance
+    between the token-count distributions of two ingest halves (docs
+    split by id parity — in production, by batch/date). A pipeline
+    that gates on quality needs to notice when a source's
+    distribution MOVES between crawls before the gates silently
+    change their accept rate.
+
+    All integer/fixed-point arithmetic: per-bin shares in exact
+    DECIMAL(38) micro-fractions (exact-multiple floor — counts·1e6
+    overflows int64 at real volume), TV = Σ|p_a − p_b| / 2 floored in
+    micros. Scale shape: ONE corpus pass partial-aggregating to
+    (source, bin) cells; everything after runs on |sources|·n_bins
+    rows (totals join broadcast). A source empty in one half reports
+    NULL tv (no distribution to compare).
+
+    The half assignment hashes the id with the portable permutation
+    (``(id mod M)·salt mod M``, the sketch-family constants) — raw
+    ``id % 2`` parity is correlated with any block-allocated id
+    scheme (the fixture allocates contiguous per-source ranges, which
+    makes parity degenerate per source).
+    """
+    mod = F.lit(2147483647)  # 2^31-1, the portable-sample modulus
+    half_hash = F.pmod(
+        F.pmod(F.col(id_col).cast("bigint"), mod) * F.lit(2654435761), mod
+    )
+    t = token_count(F.col(text_col))
+    b = F.least(
+        F.lit(int(n_bins) - 1), F.floor(t / F.lit(int(bin_width)))
+    ).cast("long")
+    cells = (
+        df.select(
+            group_col,
+            b.alias("bin"),
+            (half_hash % 2 == 0).alias("__a"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tots = cells.groupBy(group_col).agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    qa = F.col("ca").cast("decimal(38,0)") * F.lit(1000000)
+    qb = F.col("cb").cast("decimal(38,0)") * F.lit(1000000)
+    shares = cells.join(F.broadcast(tots), group_col).select(
+        group_col,
+        "n_a",
+        "n_b",
+        # guard the empty-half case (ANSI REMAINDER_BY_ZERO): NULL
+        # share -> NULL tv for that source, same as the oracle's
+        # NULL-on-zero-divisor `//`
+        F.when(
+            F.col("n_a") > 0,
+            ((qa - qa % F.col("n_a")) / F.col("n_a")).cast("bigint"),
+        ).alias("pa"),
+        F.when(
+            F.col("n_b") > 0,
+            ((qb - qb % F.col("n_b")) / F.col("n_b")).cast("bigint"),
+        ).alias("pb"),
+    )
+    sum_abs = F.sum(F.abs(F.col("pa") - F.col("pb")))
+    return shares.groupBy(group_col).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        (sum_abs - sum_abs % 2).cast("bigint").alias("__t2"),
+    ).select(
+        group_col,
+        "n_a",
+        "n_b",
+        (F.col("__t2") / 2).cast("bigint").alias("tv_micros"),
+    )

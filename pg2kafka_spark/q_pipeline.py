@@ -3943,3 +3943,47 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     See ``operators/dedup.source_minhash_overlap``."""
     docs = load_table(spark, "documents", sf_dir)
     return D.source_minhash_overlap(docs)
+
+
+@query(
+    "source_quality_drift",
+    oracle="""
+    WITH h AS (
+      SELECT source, text,
+             ((doc_id % 2147483647) * 2654435761) % 2147483647 % 2 = 0 AS a
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             least(15, length(string_split(text, ' ')) // 32) AS bin,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM h GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT source, CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b
+      FROM cells GROUP BY 1
+    ),
+    shares AS (
+      SELECT c.source, t.n_a, t.n_b,
+             CAST((CAST(ca AS HUGEINT) * 1000000) // t.n_a AS BIGINT) AS pa,
+             CAST((CAST(cb AS HUGEINT) * 1000000) // t.n_b AS BIGINT) AS pb
+      FROM cells c JOIN tots t USING (source)
+    )
+    SELECT source, n_a, n_b,
+           CAST(sum(abs(pa - pb)) // 2 AS BIGINT) AS tv_micros
+    FROM shares
+    GROUP BY 1, n_a, n_b
+    """,
+)
+def source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift monitor: per-source total-variation distance
+    between the token-count distributions of two ingest halves (id
+    parity stands in for batch/date) in exact micro-fractions — the
+    alarm that a source's crawl moved before quality gates silently
+    change their accept rate. One corpus pass to (source, bin) cells;
+    everything after runs on |sources|·16 rows. See
+    ``operators/text.source_quality_drift``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.source_quality_drift(docs)

@@ -1363,3 +1363,60 @@ def brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("economy_share")
         )
     )
+
+
+@query(
+    "props_key_profile",
+    oracle="""
+    WITH k AS (
+      SELECT event_type, unnest(json_keys(props)) AS key
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, key, count(*) AS n_events
+      FROM k GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*) AS n_type_events
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type, p.key, p.n_events, t.n_type_events,
+           CAST((CAST(p.n_events AS HUGEINT) * 1000000) // t.n_type_events
+                AS BIGINT) AS presence_micros
+    FROM per p JOIN tot t USING (event_type)
+    """,
+)
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC schema-drift detection: which JSON payload keys appear per
+    event type, how often, and with what presence ratio — the
+    consumer-side answer to "did a producer start emitting a new
+    column?" (the reference's dynamic jsonb payloads make payload
+    schema an emergent property the warehouse must OBSERVE, not
+    declare; cf. pg2kafka's trigger emitting whatever columns changed).
+
+    Scale shape: key explosion is map-only (json_object_keys inside
+    codegen); both aggs partial-aggregate map-side on near-uniform
+    keys; the per-type totals join broadcast (|event_types| rows).
+    Presence ratio is exact DECIMAL(38) floor-division (the
+    exact-multiple trick — counts·1e6 overflows int64 at real event
+    volume)."""
+    events = load_table(spark, "events", sf_dir)
+    keys = events.select(
+        "event_type", F.explode(F.json_object_keys("props")).alias("key")
+    )
+    per = keys.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type_events")
+    )
+    q = F.col("n_events").cast("decimal(38,0)") * F.lit(1000000)
+    return per.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "key",
+        "n_events",
+        "n_type_events",
+        ((q - q % F.col("n_type_events")) / F.col("n_type_events"))
+        .cast("bigint")
+        .alias("presence_micros"),
+    )

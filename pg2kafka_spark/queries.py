@@ -44,6 +44,8 @@ _FRONT = [
     "corpus_vocabulary",
     "bpe_pair_counts",
     "source_minhash_overlap",
+    "source_quality_drift",
+    "props_key_profile",
     # stalest driver evidence next (newest row r6)
     "doc_segment_scrub",
     "source_capped_sample",

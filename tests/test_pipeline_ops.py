@@ -1908,3 +1908,79 @@ def test_source_minhash_overlap_signature_is_merged_min(spark):
     assert len(out) == 1
     # sanity: merged dict is non-degenerate (signatures exist per source)
     assert len(merged) > 0
+
+
+def _half_a(doc_id: int) -> bool:
+    # the operator's portable-permutation half assignment
+    return ((doc_id % 2147483647) * 2654435761) % 2147483647 % 2 == 0
+
+
+def test_source_quality_drift_zero_when_halves_identical(spark):
+    from pg2kafka_spark.operators.text import source_quality_drift
+
+    # every doc in the source has the same token count -> both halves
+    # land in one bin -> tv = 0 regardless of the split
+    rows = [(i, "w " * 10 + "w", "s0") for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = source_quality_drift(df).collect()
+    assert len(out) == 1
+    assert out[0].tv_micros == 0
+    assert out[0].n_a + out[0].n_b == 39
+
+
+def test_source_quality_drift_full_when_halves_disjoint(spark):
+    from pg2kafka_spark.operators.text import source_quality_drift
+
+    # half A docs -> bin 0 (short), half B docs -> bin 2 (long):
+    # disjoint supports => TV = 1.0 (1_000_000 micros)
+    ids_a = [i for i in range(1, 200) if _half_a(i)][:20]
+    ids_b = [i for i in range(1, 200) if not _half_a(i)][:20]
+    rows = [(i, "w " * 9 + "w", "s0") for i in ids_a] + [
+        (i, "w " * 79 + "w", "s0") for i in ids_b
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = source_quality_drift(df).collect()
+    assert len(out) == 1
+    assert out[0].tv_micros == 1000000
+    assert out[0].n_a == 20 and out[0].n_b == 20
+
+
+def test_source_quality_drift_empty_half_reports_null(spark):
+    from pg2kafka_spark.operators.text import source_quality_drift
+
+    ids_a = [i for i in range(1, 200) if _half_a(i)][:5]
+    df = spark.createDataFrame(
+        [(i, "w w w", "s0") for i in ids_a], ["doc_id", "text", "source"]
+    )
+    out = source_quality_drift(df).collect()
+    assert len(out) == 1
+    assert out[0].tv_micros is None and out[0].n_b == 0
+
+
+def test_props_key_profile_multi_key_presence(spark):
+    from pg2kafka_spark.queries import QUERIES  # noqa: F401  (style parity)
+    from pg2kafka_spark.catalog import load_table  # noqa: F401
+    import pg2kafka_spark.q_relational as qr
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", '{"a": 1, "b": 2}'),
+            (2, "click", '{"a": 3}'),
+            (3, "click", '{"c": null}'),
+            (4, "buy", '{"a": 1}'),
+        ],
+        ["event_id", "event_type", "props"],
+    )
+    keys = events.select(
+        "event_type", F.explode(F.json_object_keys("props")).alias("key")
+    )
+    per = keys.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    got = {(r.event_type, r.key): r.n_events for r in per.collect()}
+    assert got == {
+        ("click", "a"): 2,
+        ("click", "b"): 1,
+        ("click", "c"): 1,
+        ("buy", "a"): 1,
+    }
