@@ -1420,3 +1420,55 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("presence_micros"),
     )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): an IN-subquery over an
+    AGGREGATED relation — the bulk-order keys — then a 3-way join and
+    regroup. The classic "aggregate, filter on the aggregate, rejoin
+    the detail" consumer pattern.
+
+    Scale shape: the big-order key set is a lineitem shuffle with
+    map-side partial sums that reduces to the ~1% of orders over
+    threshold; it then SEMI-joins lineitem broadcast (the planner
+    turns the IN into a LeftSemi), so the detail re-read never
+    shuffles on the full key space; customer/orders join broadcast on
+    the shrunken fact side. DECIMAL sums (double partial-sum order is
+    partition-dependent; the r5 lesson)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(qty).cast("double").alias("sum_qty"))
+    )

@@ -46,6 +46,7 @@ _FRONT = [
     "source_minhash_overlap",
     "source_quality_drift",
     "props_key_profile",
+    "large_quantity_orders",
     # stalest driver evidence next (newest row r6)
     "doc_segment_scrub",
     "source_capped_sample",

@@ -423,3 +423,18 @@ def test_source_overlap_signature_computed_once(spark, sf_dir):
     p = plan_of(spark, "source_minhash_overlap", sf_dir)
     assert p.count("InMemoryTableScan") >= 2
     assert "partial_min" in p  # (source, i) merge combines map-side
+
+
+def test_large_quantity_orders_semi_join_broadcasts_key_set(spark, sf_dir):
+    """Q18 shape: the over-threshold key set reduces via map-side
+    partial sums, then reaches the detail re-read as a BROADCAST
+    semi-join — the full lineitem never shuffles on orderkey for the
+    filter; exactly two aggregation exchanges (key-set + final)."""
+    p = plan_of(spark, "large_quantity_orders", sf_dir)
+    assert "LeftSemi" in p
+    assert p.count("BroadcastHashJoin") >= 3  # semi + orders + customer
+    assert "SortMergeJoin" not in p
+    assert "partial_sum" in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
