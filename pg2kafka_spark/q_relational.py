@@ -1431,7 +1431,8 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
       HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
     )
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -1468,7 +1469,110 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
         )
         .agg(F.sum(qty).cast("double").alias("sum_qty"))
+    )
+
+
+@query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60
+    )
+    GROUP BY 1
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated semi-join — orders with at
+    least one lineitem shipped more than 60 days after the order
+    date, counted by priority. (The reference fixture carries no
+    commitdate/receiptdate; ship-lag stands in for the late-delivery
+    predicate — the SHAPE is the point: a non-aggregated EXISTS that
+    must plan as a semi-join, never a join+distinct.)
+
+    Scale shape: lineitem projects to (orderkey, shipdate) at the
+    scan; the semi-join deduplicates ON THE JOIN (one output row per
+    order regardless of lineitem fan-out), then a tiny 5-key agg
+    with map-side partials."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, "orders", sf_dir)
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "economy_revenue_share",
+    oracle="""
+    SELECT CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+           CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS economy_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS total_revenue,
+           CAST((CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS HUGEINT)
+                 * 1000000)
+                // CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100
+                     AS HUGEINT) AS BIGINT) AS economy_share_micros
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo-revenue share): a fact-to-dim join with
+    a CONDITIONAL aggregate in the numerator and the same aggregate
+    unconditioned in the denominator — one pass, no self-join. Share
+    reported in exact integer micros (DECIMAL floor-division; the
+    exact sums are DECIMAL so the conditional/total ratio is
+    engine-exact, no double partial-sum order dependence).
+
+    Scale shape: part broadcasts (dim-sized); one year-keyed exchange
+    with map-side partial sums."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    zero = F.expr("CAST(0 AS DECIMAL(18,2))")
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero)
+    esum = F.sum(econ)
+    tsum = F.sum(rev)
+    # integer-hundredths fixed point on BOTH engines: DuckDB's `//`
+    # on DECIMAL routes through double (off-by-one at 1e14), so the
+    # share divides exact integers — sums are scale-2 DECIMAL, ×100
+    # is integral
+    e2 = (esum * 100).cast("decimal(38,0)")
+    t2 = (tsum * 100).cast("decimal(38,0)")
+    q = e2 * F.lit(1000000)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("ship_year")
+        )
+        .agg(
+            esum.cast("double").alias("economy_revenue"),
+            tsum.cast("double").alias("total_revenue"),
+            ((q - q % t2) / t2).cast("bigint").alias("economy_share_micros"),
+        )
     )

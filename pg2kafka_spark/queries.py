@@ -47,6 +47,8 @@ _FRONT = [
     "source_quality_drift",
     "props_key_profile",
     "large_quantity_orders",
+    "late_shipment_priority_counts",
+    "economy_revenue_share",
     # stalest driver evidence next (newest row r6)
     "doc_segment_scrub",
     "source_capped_sample",

@@ -438,3 +438,23 @@ def test_large_quantity_orders_semi_join_broadcasts_key_set(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+
+
+def test_late_shipment_exists_plans_as_semi_join(spark, sf_dir):
+    """Q4 shape: EXISTS must become a semi-join (one output row per
+    order regardless of lineitem fan-out) — never join+distinct."""
+    p = plan_of(spark, "late_shipment_priority_counts", sf_dir)
+    assert "LeftSemi" in p
+    assert "HashAggregate" in p and "partial_count" in p
+
+
+def test_economy_share_broadcasts_part_single_exchange(spark, sf_dir):
+    """Q14 shape: part is dim-sized and must broadcast; numerator and
+    denominator ride ONE aggregation pass (a single plain exchange),
+    no self-join."""
+    p = plan_of(spark, "economy_revenue_share", sf_dir)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1

@@ -448,6 +448,56 @@ COMMENTARY = {
         "order; at 100 TB shard by (stratum, score-range) or use the "
         "corpus-wide TakeOrdered variant."
     ),
+    "corpus_vocabulary": (
+        "Vocab build (r10): ONE tokenize+count corpus pass into a "
+        "persisted vocab-sized table; both the top-200 heap "
+        "(`TakeOrderedAndProject`) and the corpus total read the cache "
+        "(`InMemoryTableScan` ×2). The 1-row total broadcasts; the "
+        "rank/cumsum Window sees 200 rows. Coverage is DECIMAL(38) "
+        "exact-multiple floor division — cum·1e6 overflows int64 at "
+        "~9e12 tokens, i.e. at exactly the corpus size this engine "
+        "targets."
+    ),
+    "bpe_pair_counts": (
+        "BPE first-merge statistics (r10): the pair Generate sits ABOVE "
+        "the word-count aggregate — pair explosion runs over the "
+        "DISTINCT vocabulary weighted by counts (vocab-bounded, ~1e7 "
+        "rows at web scale), never the ~1e14 corpus token occurrences. "
+        "Exactly two aggregation exchanges (word counts, pair counts); "
+        "top-50 is a bounded heap."
+    ),
+    "source_minhash_overlap": (
+        "Cross-source overlap from MERGED sketches (r10): per-doc "
+        "portable signatures partial-aggregate map-side onto "
+        "(source, i) — min-fold is associative, so the source signature "
+        "is exactly the signature of its shingle union — and the "
+        "pairwise Jaccard stage runs on the persisted |sources|-row "
+        "table (`InMemoryTableScan` on both join sides, broadcast "
+        "inequality join). The quadratic cross-source document join "
+        "this replaces would be the single worst plan at 100 TB."
+    ),
+    "source_quality_drift": (
+        "Ingest drift monitor (r10): one corpus pass partial-aggregating "
+        "to (source, token-bin) cells; totals and the TV-distance "
+        "aggregation run on |sources|·16 rows with broadcast totals. "
+        "All fixed-point DECIMAL(38) arithmetic; the half split hashes "
+        "ids with the portable permutation (raw parity is degenerate "
+        "under block-allocated id ranges)."
+    ),
+    "props_key_profile": (
+        "CDC payload schema observation (r10): `json_object_keys` "
+        "explodes inside codegen (map-only), both aggs partial-combine "
+        "map-side, per-type totals broadcast. At 100 TB of events this "
+        "is one shuffle of (type, key) partial counts — the emergent "
+        "payload schema for the price of a word count."
+    ),
+    "large_quantity_orders": (
+        "TPC-H Q18 shape (r10): the over-threshold key set reduces via "
+        "map-side partial DECIMAL sums, then BROADCASTS into a LeftSemi "
+        "against the lineitem re-read — the detail never shuffles on "
+        "the full key space; orders/customer join broadcast onto the "
+        "shrunken fact. Exactly two aggregation exchanges."
+    ),
 }
 
 
