@@ -1,0 +1,135 @@
+"""Continuous corpus ingest: the daily-ingest dedup pipeline as a
+Structured Streaming loop with a SELF-MAINTAINING store.
+
+The batch operators (`incremental_exact_dedup`, `incremental_near_dup`)
+are pure — they take the store as an input frame. This module closes
+the loop the way a production crawl-ingest service runs it: each
+micro-batch is gated → exact-deduped within the batch → anti-joined
+against the accumulated fingerprint store → near-dup-verified against
+the accumulated document store, and the SURVIVORS are appended back to
+the store before the next micro-batch runs. A near-duplicate arriving
+two waves after its original is rejected because the store grew in
+between — state the stream itself maintains, not a static side input.
+
+Delivery contract (mirrors the reference's at-least-once relay,
+pg2kafka main.go: the producer retries and the consumer dedups): the
+store append inside foreachBatch is NOT transactional with the
+checkpoint, so a crash between append and commit can replay a batch.
+Replayed survivors hit their own fingerprints in the store on the
+second pass and are dropped — the store append is idempotent at the
+corpus level (duplicate (doc_id, fp) STORE rows are possible and
+harmless: every consumer of the store reads it through the dedup
+operators, which key on fp). The keep-list output carries batch_id so
+downstream exactly-once consumers can fence replays, the same
+uuid-fencing contract as the wire events.
+
+Scale notes: at 100 TB the store is a parquet table partitioned/
+bucketed on the fingerprint (exact side) and (band, bkey) (near-dup
+side) so both joins co-locate; the micro-batch side is one
+trigger-worth of crawl output, small by construction. The hot-band
+cap inside `incremental_near_dup` bounds the corpus-age-dependent
+candidate blowup per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2kafka_spark.operators.dedup import (
+    incremental_exact_dedup,
+    incremental_near_dup,
+)
+from pg2kafka_spark.operators.text import fingerprint
+
+
+def _store_or_empty(
+    spark: SparkSession, store_dir: str, like: DataFrame
+) -> DataFrame:
+    """The accumulated keep-store, or an empty frame with the batch
+    schema on the very first micro-batch (no store written yet)."""
+    try:
+        return spark.read.parquet(store_dir)
+    except Exception:
+        return spark.createDataFrame([], like.schema)
+
+
+def ingest_keep_batch(
+    batch_df: DataFrame,
+    store_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    min_tokens: int = 3,
+) -> DataFrame:
+    """One micro-batch of the ingest pipeline against the current
+    store: short-doc gate → within-batch exact dedup + store
+    fingerprint anti-join → near-dup verification against the store.
+    Pure (no writes) — the streaming wrapper owns the store append,
+    and the sequential-batch equivalence test drives this directly.
+    """
+    gated = batch_df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= int(min_tokens)
+    )
+    store_fps = store_df.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    fresh = incremental_exact_dedup(gated, store_fps, text_col, id_col)
+    near_ids = (
+        incremental_near_dup(
+            store_df, fresh, text_col, id_col, threshold=threshold
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return fresh.join(near_ids, id_col, "left_anti")
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    store_dir: str,
+    keep_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    min_tokens: int = 3,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the continuous-ingest dedup stream: parquet files landing
+    in ``incoming_dir`` flow through :func:`ingest_keep_batch` against
+    the store at ``store_dir``; survivors append to BOTH the store
+    (closing the loop for the next micro-batch) and ``keep_dir``
+    (the keep-list output, stamped with the micro-batch id).
+
+    ``max_files_per_trigger`` bounds micro-batch size (the paging
+    knob, same role as the relay's); ``available_now`` drains the
+    backlog then stops — the bootstrap mode; pass False for the
+    steady-state continuous trigger.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    stream = reader.parquet(incoming_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # sever the source lineage
+        store_df = _store_or_empty(batch_df.sparkSession, store_dir, batch_df)
+        keep = ingest_keep_batch(
+            batch_df, store_df, text_col, id_col, threshold, min_tokens
+        ).localCheckpoint()  # evaluate ONCE; two sinks consume it
+        keep.write.mode("append").parquet(store_dir)
+        keep.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(keep_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
