@@ -1530,10 +1530,10 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST((CAST(sum(CASE WHEN p_type = 'ECONOMY'
                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                 ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS HUGEINT)
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS HUGEINT)
                  * 1000000)
                 // CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000
                      AS HUGEINT) AS BIGINT) AS economy_share_micros
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
@@ -1558,12 +1558,14 @@ def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(zero)
     esum = F.sum(econ)
     tsum = F.sum(rev)
-    # integer-hundredths fixed point on BOTH engines: DuckDB's `//`
-    # on DECIMAL routes through double (off-by-one at 1e14), so the
-    # share divides exact integers — sums are scale-2 DECIMAL, ×100
-    # is integral
-    e2 = (esum * 100).cast("decimal(38,0)")
-    t2 = (tsum * 100).cast("decimal(38,0)")
+    # integer fixed point on BOTH engines: DuckDB's `//` on DECIMAL
+    # routes through double (off-by-one at 1e14), so the share divides
+    # exact integers — rev is DECIMAL scale 4 (scale-2 price × scale-2
+    # factor), so the sums are scale-4 and ×10000 clears EVERY
+    # fractional digit before the decimal(38,0)/HUGEINT casts: no
+    # rounding happens on either engine, the value is integral
+    e2 = (esum * 10000).cast("decimal(38,0)")
+    t2 = (tsum * 10000).cast("decimal(38,0)")
     q = e2 * F.lit(1000000)
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))

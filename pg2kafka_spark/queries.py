@@ -31,80 +31,82 @@ from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-# r10 window shaping (on top of the module rotation above): the
-# driver hash-checks only the first 50 entries. Front the 15
-# oracle-backed pipeline queries whose newest driver row dates from
-# r6 (they fell outside both the r7 pipeline window and the r8/r9
-# CDC window), then any query whose formula changed this round; the
-# remaining ~35 slots fill with the r7-covered pipeline surface in
-# registration order. Rows-only queries got their rotation tranche
-# of driver rows-count evidence in r8/r9 and sort last this round.
+# r11 window shaping (on top of the module rotation above): the
+# driver hash-checks only the first 50 entries. Per the standing
+# alternation (and the r10 verdict's item 2), q_cdc + q_relational
+# rotate to the front this round: CDC-core driver rows date from r9,
+# the r10 window was the pipeline surface. Order: (0) queries that
+# are NEW or whose FORMULA CHANGED this round (no driver row exists
+# for the current code), (1) the CDC core (SURVEY §2's operator
+# inventory), (2) the relational consumer surface minus the rows that
+# took fresh r10 driver evidence, (3) the r10-window names (freshest
+# evidence — outside the window this round), (4) the remaining
+# oracle-backed pipeline surface, (5) rows-only queries last (their
+# portable twins are oracle-backed and their rotation tranche of
+# rows-count evidence dates from r8/r9). Whatever falls outside the
+# window is always covered by the committed full-surface
+# CORRECTNESS_LOCAL artifact regenerated at round close.
+# r12 NOTE: rotate q_pipeline back to the front; keep alternating.
 _FRONT = [
-    # NEW this round — no driver row exists yet
-    "corpus_vocabulary",
-    "bpe_pair_counts",
-    "source_minhash_overlap",
-    "source_quality_drift",
-    "props_key_profile",
-    "large_quantity_orders",
-    "late_shipment_priority_counts",
+    # formula changed in r11 (exact-integral fixed point) — the r10
+    # driver row predates the current code
     "economy_revenue_share",
-    # stalest driver evidence next (newest row r6)
-    "doc_segment_scrub",
-    "source_capped_sample",
-    "zorder_layout_stats",
-    "doc_pack_spans_strict",
-    "incremental_near_dup_batch",
-    "embedding_ann_ivf_sq8",
-    "daily_ingest_keep_list",
-    "embedding_ann_pq",
-    "doc_bigram_surprisal",
-    "embedding_topk_filtered",
-    "dsir_importance_weights",
-    "embedding_prototype_prune",
-    "doc_quality_classifier",
-    "hilbert_layout_stats",
-    "corpus_report",
 ]
-# Oracle-backed queries that took a fresh driver row in the r9
-# window (the r8-shaped CDC/relational + new-op front) sort AFTER
-# the r7-covered pipeline surface: their evidence is two rounds
-# fresher, so the ~35 non-_FRONT slots go to the stalest rows.
-_R9_WINDOW = {
-    "dsir_resample", "doc_weighted_sample", "embedding_knn_graph",
-    "embedding_ann_lsh", "media_near_dup_real",
-    "embedding_ann_pq_sampled", "source_temperature_sample",
-    "doc_training_order", "doc_surprisal_band_stratified",
-    "embedding_ann_ivf_incremental", "decontamination_scrub",
-    "source_epoch_allocation", "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable", "latest_state_per_user",
-    "state_asof", "snapshot_part", "update_diff_events",
-    "update_diff_json", "unprocessed_page", "unprocessed_pages_count",
-    "wire_encode_nation", "topic_routing", "event_asof_order",
-    "order_event_attribution", "replayed_state_from_diffs",
-    "scd2_user_history", "pricing_summary", "top_orders",
-    "events_hourly", "revenue_by_region", "customer_order_stats",
-    "customers_without_orders", "customers_with_orders",
-    "brand_supplier_revenue", "shipping_priority",
-    "order_rank_per_customer", "order_gap_days",
-    "running_customer_total", "sessionize_events",
-    "finished_only_customers", "both_status_customers",
-    "union_segments", "rollup_returns", "cube_priority_status",
-    "user_event_type_pivot", "order_line_arrays",
+_CDC = [
+    "latest_state_per_user", "state_asof", "snapshot_part",
+    "update_diff_events", "update_diff_json", "unprocessed_page",
+    "unprocessed_pages_count", "wire_encode_nation", "topic_routing",
+    "event_asof_order", "order_event_attribution",
+    "replayed_state_from_diffs", "scd2_user_history",
+]
+# names that took a fresh r10 driver row (CORRECTNESS_r10.json keys):
+# they sort AFTER the stale relational surface.
+_R10_WINDOW = {
+    "corpus_vocabulary", "bpe_pair_counts", "source_minhash_overlap",
+    "source_quality_drift", "props_key_profile",
+    "large_quantity_orders", "late_shipment_priority_counts",
+    "doc_segment_scrub", "source_capped_sample", "zorder_layout_stats",
+    "doc_pack_spans_strict", "incremental_near_dup_batch",
+    "embedding_ann_ivf_sq8", "daily_ingest_keep_list",
+    "embedding_ann_pq", "doc_bigram_surprisal",
+    "embedding_topk_filtered", "dsir_importance_weights",
+    "embedding_prototype_prune", "doc_quality_classifier",
+    "hilbert_layout_stats", "corpus_report", "exact_dedup_documents",
+    "bow_dedup_documents", "shingle_jaccard_pairs",
+    "cross_source_dup_matrix", "doc_token_stats", "doc_quality",
+    "lang_id_heuristic", "doc_fingerprint", "doc_quality_extended",
+    "doc_rolling_hash", "lang_ngram_profile", "embedding_topk",
+    "embedding_topk_quantized", "embedding_near_dup_pairs",
+    "incremental_dedup_batch", "doc_char_ngram_stats",
+    "doc_repetition", "embedding_near_dup_lsh_portable",
+    "doc_pii_scrub", "embedding_ann_ivf", "semantic_dedup_embeddings",
+    "near_dup_keep_list", "media_frame_fingerprints",
+    "media_frame_sample", "media_near_dup_by_frames",
+    "multimodal_features", "multimodal_features_real",
 }
+from pg2kafka_spark.q_relational import __name__ as _qrel_mod  # noqa: E402
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
-_ordered = sorted(
-    QUERIES,
-    key=lambda n: (
-        (0, _FRONT.index(n))
-        if n in _FRONT
-        else (
-            (1, _reg_pos[n])
-            if n in ORACLES and n not in _R9_WINDOW
-            else ((2, _reg_pos[n]) if n in ORACLES else (3, _reg_pos[n]))
-        )
-    ),
-)
+_rel_names = [
+    n for n, fn in QUERIES.items()
+    if getattr(fn, "__module__", "") == _qrel_mod
+]
+
+
+def _tier(n: str) -> tuple:
+    if n in _FRONT:
+        return (0, _FRONT.index(n))
+    if n in _CDC:
+        return (1, _CDC.index(n))
+    if n not in ORACLES:
+        return (5, _reg_pos[n])
+    if n in _rel_names and n not in _R10_WINDOW:
+        return (2, _reg_pos[n])
+    if n in _R10_WINDOW:
+        return (3, _reg_pos[n])
+    return (4, _reg_pos[n])
+
+
+_ordered = sorted(QUERIES, key=_tier)
 _requeries = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_requeries)

@@ -13,15 +13,20 @@ between — state the stream itself maintains, not a static side input.
 
 Delivery contract (mirrors the reference's at-least-once relay,
 pg2kafka main.go: the producer retries and the consumer dedups): the
-store append inside foreachBatch is NOT transactional with the
-checkpoint, so a crash between append and commit can replay a batch.
-Replayed survivors hit their own fingerprints in the store on the
-second pass and are dropped — the store append is idempotent at the
-corpus level (duplicate (doc_id, fp) STORE rows are possible and
-harmless: every consumer of the store reads it through the dedup
-operators, which key on fp). The keep-list output carries batch_id so
-downstream exactly-once consumers can fence replays, the same
-uuid-fencing contract as the wire events.
+two appends inside foreachBatch are NOT transactional with the
+checkpoint, so a crash can replay a batch. Write order makes every
+crash window an at-least-once window, never a loss window: keep_dir
+(batch_id-stamped) is written FIRST, the store append second. Crash
+after keep_dir but before the store append → the replay re-runs
+against the UNGROWN store, survivors pass the gate again, and
+keep_dir gets a batch_id-fenced duplicate. Crash after both writes
+(before checkpoint commit) → replayed survivors hit their own
+fingerprints in the store and are dropped; keep_dir again at worst
+holds a fenced duplicate. Duplicate (doc_id, fp) STORE rows from the
+first window are harmless: every consumer of the store reads it
+through the dedup operators, which key on fp. Downstream
+exactly-once consumers fence on batch_id, the same uuid-fencing
+contract as the wire events.
 
 Scale notes: at 100 TB the store is a parquet table partitioned/
 bucketed on the fingerprint (exact side) and (band, bkey) (near-dup
@@ -33,6 +38,9 @@ candidate blowup per batch.
 
 from __future__ import annotations
 
+import os
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg2kafka_spark.operators.dedup import (
@@ -46,11 +54,25 @@ def _store_or_empty(
     spark: SparkSession, store_dir: str, like: DataFrame
 ) -> DataFrame:
     """The accumulated keep-store, or an empty frame with the batch
-    schema on the very first micro-batch (no store written yet)."""
+    schema on the very first micro-batch (no store written yet).
+
+    Only the path-missing case maps to "empty store": any OTHER read
+    failure (corrupt footer, permissions, FS hiccup) must raise so the
+    micro-batch fails and the checkpoint retries it — silently treating
+    a transient read error as an empty store would let that batch's
+    duplicates through the dedup gate AND append them to the store.
+    """
+    if not os.path.isdir(store_dir):
+        return spark.createDataFrame([], like.schema)
     try:
         return spark.read.parquet(store_dir)
-    except Exception:
-        return spark.createDataFrame([], like.schema)
+    except AnalysisException as exc:
+        # Directory exists but holds no parquet footers yet (e.g. only
+        # a leftover _SUCCESS/_temporary): PATH_NOT_FOUND-class errors
+        # are the empty-store case; everything else propagates.
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return spark.createDataFrame([], like.schema)
+        raise
 
 
 def ingest_keep_batch(
@@ -120,10 +142,17 @@ def start_ingest_stream(
         keep = ingest_keep_batch(
             batch_df, store_df, text_col, id_col, threshold, min_tokens
         ).localCheckpoint()  # evaluate ONCE; two sinks consume it
-        keep.write.mode("append").parquet(store_dir)
+        # Write ORDER is the crash contract: keep_dir (batch_id-stamped)
+        # FIRST, store append second. A crash between the two replays the
+        # batch against a store that does NOT yet contain its survivors,
+        # so the replay re-emits them into keep_dir as a batch_id-fenced
+        # duplicate — the documented at-least-once shape. The opposite
+        # order would silently LOSE the survivors: on replay the grown
+        # store filters them out and keep_dir never sees them.
         keep.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(keep_dir)
+        keep.write.mode("append").parquet(store_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -1888,8 +1888,14 @@ def test_source_minhash_overlap_signature_is_merged_min(spark):
     )
 
     docs = load_table(spark, "documents", SF_DIR).limit(40)
-    per_doc = minhash_signatures_portable(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
+    # relabel the corpus into two parity halves, merge each half's
+    # per-doc signatures by elementwise min OUTSIDE the operator...
+    half = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("h0")).otherwise(F.lit("h1")),
+    )
+    per_doc = minhash_signatures_portable(half).join(
+        half.select("doc_id", "source"), "doc_id"
     )
     merged = {
         (r.source, r.i): r.mh
@@ -1897,17 +1903,17 @@ def test_source_minhash_overlap_signature_is_merged_min(spark):
         .agg(F.min("minhash").alias("mh"))
         .collect()
     }
-    # overlap on a one-source frame reproduces the same signature via
-    # its internal merge: compare n_match of a source against itself
-    # through two disjoint halves of its own docs relabeled a/b
-    half = docs.withColumn(
-        "source",
-        F.when(F.col("doc_id") % 2 == 0, F.lit("h0")).otherwise(F.lit("h1")),
+    k = len({i for (_s, i) in merged})
+    assert k > 0 and len(merged) == 2 * k  # both halves fully signed
+    want_match = sum(
+        1 for i in range(k) if merged[("h0", i)] == merged[("h1", i)]
     )
+    # ...and the operator's internal merge must agree position-for-
+    # position: its n_match on the h0/h1 pair IS the min-fold result
     out = source_minhash_overlap(half).collect()
     assert len(out) == 1
-    # sanity: merged dict is non-degenerate (signatures exist per source)
-    assert len(merged) > 0
+    assert out[0].n_match == want_match
+    assert out[0].jaccard_est == pytest.approx(want_match / k)
 
 
 def _half_a(doc_id: int) -> bool:

@@ -689,3 +689,167 @@ def test_streaming_embedding_assignment_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Continuous-ingest dedup loop (streaming/ingest.py) — the
+# self-maintaining store e2e the module docstring promises.
+# ---------------------------------------------------------------------------
+
+_INGEST_WAVES = [
+    # wave 0: two fresh docs — both survive, seed the store
+    [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon"),
+        (2, "completely different text about spark streaming pipelines "
+            "maintaining dedup state across micro batches"),
+    ],
+    # wave 1: exact dup of doc 1, NEAR dup of doc 1 (one word changed),
+    # a short doc gated by min_tokens, and one genuinely new doc
+    [
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau REPLACED"),
+        (5, "hi there"),
+        (6, "training data pipelines need deduplication at scale for "
+            "quality language models and careful curation work"),
+    ],
+    # wave 2: near dup of doc 6 (a WAVE-1 survivor — proves the store
+    # grew between triggers), exact dup of doc 2, and a new doc
+    [
+        (7, "training data pipelines need deduplication at scale for "
+            "quality language models and careful curation REPLACED"),
+        (8, "completely different text about spark streaming pipelines "
+            "maintaining dedup state across micro batches"),
+        (9, "the final wave brings an entirely unrelated document about "
+            "orchestrating nightly crawl output into parquet"),
+    ],
+]
+
+
+def _ingest_dirs(tmp_path):
+    return {
+        "incoming": str(tmp_path / "incoming"),
+        "store": str(tmp_path / "store"),
+        "keep": str(tmp_path / "keep"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _write_wave(spark, rows, incoming_dir, idx):
+    import os
+
+    df = spark.createDataFrame(rows, "doc_id int, text string").coalesce(1)
+    path = f"{incoming_dir}/wave={idx}"
+    df.write.mode("overwrite").parquet(path)
+    # Deterministic trigger order for maxFilesPerTrigger=1: the file
+    # source orders by modification time — stamp each wave idx seconds
+    # apart so wave k is always batch k.
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (1700000000 + idx, 1700000000 + idx))
+
+
+def test_ingest_stream_equals_sequential_batches(spark, tmp_path):
+    """Sequential-batch equivalence (streaming/ingest.py docstring):
+    3 file waves through start_ingest_stream with maxFilesPerTrigger=1
+    must produce, per micro-batch, exactly the keep-set that running
+    ingest_keep_batch wave-by-wave in batch mode (manually growing the
+    store between waves) produces — including a near-dup of a wave-1
+    survivor arriving in wave 2 being rejected because the store grew
+    in between."""
+    from pg2kafka_spark.streaming.ingest import (
+        ingest_keep_batch,
+        start_ingest_stream,
+    )
+
+    d = _ingest_dirs(tmp_path)
+    for i, rows in enumerate(_INGEST_WAVES):
+        _write_wave(spark, rows, d["incoming"], i)
+
+    schema = "doc_id int, text string"
+    q = start_ingest_stream(
+        spark,
+        d["incoming"],
+        schema,
+        d["store"],
+        d["keep"],
+        d["ckpt"],
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(d["keep"])
+    got = {
+        (r["batch_id"], r["doc_id"]) for r in kept.collect()
+    }
+
+    # batch-mode replay of the same waves, growing the store by hand
+    store = spark.createDataFrame([], schema)
+    want = set()
+    for i, rows in enumerate(_INGEST_WAVES):
+        batch = spark.createDataFrame(rows, schema)
+        keep = ingest_keep_batch(batch, store)
+        for r in keep.collect():
+            want.add((i, r["doc_id"]))
+        store = store.unionByName(keep.select("doc_id", "text"))
+
+    assert got == want
+    # the fixture exercises every path: survivors in every wave,
+    # an exact dup, a near dup of a SAME-ROUND-EARLIER survivor,
+    # and a min_tokens gate drop
+    assert {doc for (_b, doc) in got} == {1, 2, 6, 9}
+    # store holds exactly the survivors (one row each)
+    store_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(d["store"]).collect()
+    )
+    assert store_ids == [1, 2, 6, 9]
+
+
+def test_ingest_replay_is_idempotent_against_grown_store(spark, tmp_path):
+    """Replay contract (streaming/ingest.py:14-24): re-running a batch
+    against the store that already absorbed its survivors yields ZERO
+    new survivors — the at-least-once crash window produces fenced
+    duplicates in keep_dir, never store corruption or double-keeps."""
+    from pg2kafka_spark.streaming.ingest import (
+        ingest_keep_batch,
+        start_ingest_stream,
+    )
+
+    d = _ingest_dirs(tmp_path)
+    for i, rows in enumerate(_INGEST_WAVES):
+        _write_wave(spark, rows, d["incoming"], i)
+    schema = "doc_id int, text string"
+    q = start_ingest_stream(
+        spark, d["incoming"], schema, d["store"], d["keep"], d["ckpt"],
+        max_files_per_trigger=1, available_now=True,
+    )
+    q.awaitTermination(180)
+
+    store = spark.read.parquet(d["store"])
+    for rows in _INGEST_WAVES:
+        batch = spark.createDataFrame(rows, schema)
+        replayed = ingest_keep_batch(batch, store)
+        assert replayed.count() == 0
+
+
+def test_ingest_store_or_empty_only_swallows_missing_path(spark, tmp_path):
+    """_store_or_empty maps ONLY the store-not-yet-written case to an
+    empty frame; a store directory that exists but cannot be read
+    (corrupt footer) must raise so the checkpoint retries the batch
+    instead of silently passing duplicates through the gate."""
+    from pg2kafka_spark.streaming.ingest import _store_or_empty
+
+    like = spark.createDataFrame([], "doc_id int, text string")
+    # missing directory → empty frame with the batch schema
+    empty = _store_or_empty(spark, str(tmp_path / "nope"), like)
+    assert empty.count() == 0 and empty.schema == like.schema
+
+    # corrupt store → raises (any Py4J/Spark error class), not empty
+    bad = tmp_path / "store"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        _store_or_empty(spark, str(bad), like).collect()
