@@ -874,3 +874,192 @@ def source_quality_drift(
         "n_b",
         (F.col("__t2") / 2).cast("bigint").alias("tv_micros"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """BPE merge-table training, exactly unrolled: run ``n_merges``
+    iterations of (count adjacent symbol pairs over the corpus →
+    take the argmax pair → fuse it into one symbol everywhere), the
+    algorithm of Sennrich et al.'s subword-units tokenizer. Emits
+    one row per merge step — (step, pair_a, pair_b, new_symbol,
+    total_count) — the merge table a tokenizer ships.
+
+    Symbol representation: each word is a WRAPPED string — every
+    symbol enclosed in single spaces, so adjacent symbols are
+    separated by a double space (" a  b  c "). A merge (a, b) is then
+    a plain literal string replace of " a  b " with " ab ": string
+    replace scans left-to-right over NON-overlapping occurrences,
+    which is precisely BPE's greedy within-word merge order
+    ("aaa" + (a,a) → "aa a", first pair wins), and because each
+    symbol carries its OWN wrap spaces, consuming a match leaves the
+    neighbouring symbols' boundaries intact ("b a b a b" + (b,a) →
+    "ba ba b", not the boundary-starved "ba b a b" a single-space
+    join would give). No fold/UDF, no lookaround — portable to any
+    engine with literal replace, so the whole trainer is
+    oracle-checkable.
+
+    Scale shape (the 100 TB formulation, same spine as
+    :func:`bpe_pair_stats`): the corpus collapses ONCE to the
+    DISTINCT word vocabulary with counts (one uniform-key shuffle);
+    every iteration after that runs on vocab-sized data (~1e7 rows at
+    web scale, never the ~1e14 token occurrences): pair explosion
+    over the persisted vocab weighted by counts → ≤|symbols|² keys
+    after map-side partial agg → argmax as TakeOrdered(1) → the
+    1-row winner broadcast-cross-joined back so the replace is
+    map-side. Each step's vocab and winner are LAZY localCheckpoints
+    (graph.py's iterative precedent): the lineage truncates to a flat
+    RDD scan per step — a ``persist`` alone leaves the logical plan
+    nesting the whole history, 2^n_merges plan text and an
+    exponential recompute race if union branches materialize
+    concurrently — while construction stays lazy so benchmarks time
+    the training itself. ``n_merges`` stays small here so the oracle
+    can unroll the steps as CTEs (the unrolled-Lloyd precedent); a
+    production 30k-merge trainer runs the same loop driver-side with
+    reliable checkpoints instead of local ones (executor loss must
+    not lose a step at cluster scale).
+    """
+    steps, _vocab = _bpe_train(df, text_col, int(n_merges))
+    out = steps[0]
+    for fr in steps[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str, n_merges: int, checkpoint: bool = True
+) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE training loop: returns (per-step 1-row winner frames,
+    final vocabulary frame (w, w2, c) after all merges). See
+    :func:`bpe_train_merges` for semantics and scale notes.
+    ``checkpoint=False`` keeps the raw nested logical plan — ONLY for
+    plan-shape tests at tiny n_merges (the text grows 2^n)."""
+
+    def _cut(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=False) if checkpoint else frame
+
+    words = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+    )
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # wrap: every char becomes " c " → " a  b  c " (double space
+    # between symbols, single at the ends)
+    vocab = _cut(
+        wc.select("w", F.regexp_replace("w", "(.)", " $1 ").alias("w2"), "c")
+    )
+    step_frames = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(F.trim(F.col("w2")), "  ")
+        pairs = vocab.select(
+            syms.alias("s"),
+            "c",
+            F.explode(F.sequence(F.lit(1), F.size(syms) - 1)).alias("i"),
+        ).select(
+            F.element_at("s", F.col("i")).alias("pair_a"),
+            F.element_at("s", F.col("i") + 1).alias("pair_b"),
+            "c",
+        )
+        agg = pairs.groupBy("pair_a", "pair_b").agg(
+            F.sum("c").alias("total_count")
+        )
+        best = (
+            agg.orderBy(
+                F.col("total_count").desc(),
+                F.col("pair_a").asc(),
+                F.col("pair_b").asc(),
+            )
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "pair_a",
+                "pair_b",
+                F.concat("pair_a", "pair_b").alias("new_symbol"),
+                "total_count",
+            )
+        )
+        best = _cut(best)
+        step_frames.append(best)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("pair_a", "pair_b")))
+            .select(
+                "w",
+                F.replace(
+                    F.col("w2"),
+                    F.concat(
+                        F.lit(" "), F.col("pair_a"),
+                        F.lit("  "), F.col("pair_b"), F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("pair_a"), F.col("pair_b"),
+                        F.lit(" "),
+                    ),
+                ).alias("w2"),
+                "c",
+            )
+        )
+        vocab = _cut(vocab)
+    return step_frames, vocab
+
+
+def bpe_compression_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Apply the trained BPE merge table back to the corpus: per
+    source, word occurrences, characters, post-merge symbol count,
+    and the compression ratio (symbols/chars) in exact fixed-point
+    micros — the metric a tokenizer team watches per ingest source
+    (a source whose compression ratio drifts up is one the learned
+    vocabulary no longer fits: new language, new boilerplate, spam).
+
+    Scale shape: training runs on the vocab-sized frames
+    (:func:`_bpe_train`); application needs NO second corpus text
+    pass of its own — the corpus collapses once to (source, word)
+    occurrence counts (uniform keys, map-side partial agg), then
+    LEFT-joins the final vocabulary's per-word symbol count (both
+    sides vocab-sized; uniform word key — broadcast when the vocab
+    fits, AQE decides). Words shorter than 2 chars never enter the
+    trainer and count as 1 symbol (coalesce), which is exact — a
+    single char cannot merge. All ratio arithmetic is DECIMAL(38)
+    exact-multiple floor division.
+    """
+    _steps, vocab = _bpe_train(df, text_col, int(n_merges))
+    nsyms = vocab.select(
+        "w", F.size(F.split(F.trim(F.col("w2")), "  ")).alias("n_syms")
+    )
+    sw = (
+        df.select(
+            group_col,
+            F.explode(
+                F.split(normalized_text(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    j = sw.join(nsyms, "w", "left")
+    agg = j.groupBy(group_col).agg(
+        F.sum("wc").cast("bigint").alias("n_words"),
+        F.sum(F.col("wc") * F.length("w")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("wc") * F.coalesce(F.col("n_syms"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_symbols"),
+    )
+    q = F.col("n_symbols").cast("decimal(38,0)") * F.lit(1000000)
+    return agg.select(
+        group_col,
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        F.when(
+            F.col("n_chars") > 0,
+            ((q - q % F.col("n_chars")) / F.col("n_chars")).cast("bigint"),
+        ).alias("compression_micros"),
+    )

@@ -3987,3 +3987,117 @@ def source_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/text.source_quality_drift``."""
     docs = load_table(spark, "documents", sf_dir)
     return X.source_quality_drift(docs)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-table training (r11)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_cte_chain(n_merges: int) -> tuple[str, list[str]]:
+    """Shared unrolled BPE-trainer CTE chain (the unrolled-Lloyd
+    precedent): v0 is the wrapped distinct-word vocabulary (w kept for
+    downstream joins); per step k, e{k} explodes adjacent symbol
+    pairs, p{k} is the LIMIT-1 argmax, v{k} literal-replaces the
+    winning wrapped pair. Returns (cte_sql, per-step pick selects).
+    The wrapped-symbol representation (" a  b  c ") makes each merge
+    a plain non-overlapping left-to-right string replace on both
+    engines — see ``operators/text.bpe_train_merges``."""
+    ctes = [
+        r"""bwords AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                    ' ')) AS w
+      FROM documents
+    ),
+    v0 AS (
+      SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS w2, count(*) AS c
+      FROM bwords WHERE length(w) >= 2 GROUP BY 1, 2
+    )"""
+    ]
+    picks = []
+    for k in range(1, int(n_merges) + 1):
+        ctes.append(f"""e{k} AS (
+      SELECT syms, c, unnest(generate_series(1, length(syms) - 1)) AS i
+      FROM (SELECT string_split(trim(w2), '  ') AS syms, c FROM v{k-1})
+    ),
+    p{k} AS (
+      SELECT syms[i] AS pair_a, syms[i + 1] AS pair_b,
+             CAST(sum(c) AS BIGINT) AS total_count
+      FROM e{k} GROUP BY 1, 2
+      ORDER BY total_count DESC, pair_a, pair_b LIMIT 1
+    ),
+    v{k} AS (
+      SELECT w, replace(w2, ' ' || pair_a || '  ' || pair_b || ' ',
+                        ' ' || pair_a || pair_b || ' ') AS w2, c
+      FROM v{k-1} CROSS JOIN p{k}
+    )""")
+        picks.append(
+            f"SELECT CAST({k} AS INT) AS step, pair_a, pair_b,"
+            f" pair_a || pair_b AS new_symbol, total_count FROM p{k}"
+        )
+    return "WITH " + ",\n    ".join(ctes), picks
+
+
+def _bpe_merge_oracle(n_merges: int = 8) -> str:
+    ctes, picks = _bpe_cte_chain(n_merges)
+    return ctes + "\n" + "\nUNION ALL\n".join(picks)
+
+
+def _bpe_compression_oracle(n_merges: int = 8) -> str:
+    """Trainer chain + application: (source, word) occurrence counts
+    LEFT-join the final vocabulary's per-word symbol count; words the
+    trainer never saw (length < 2) are 1 symbol."""
+    ctes, _picks = _bpe_cte_chain(n_merges)
+    return ctes + f""",
+    dwords AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' ')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS wc FROM dwords GROUP BY 1, 2),
+    ns AS (
+      SELECT w, length(string_split(trim(w2), '  ')) AS n_syms
+      FROM v{int(n_merges)}
+    ),
+    sj AS (
+      SELECT source, wc, length(sw.w) AS wl, coalesce(n_syms, 1) AS s
+      FROM sw LEFT JOIN ns ON sw.w = ns.w
+    )
+    SELECT source,
+           CAST(sum(wc) AS BIGINT) AS n_words,
+           CAST(sum(wc * wl) AS BIGINT) AS n_chars,
+           CAST(sum(wc * s) AS BIGINT) AS n_symbols,
+           CAST((CAST(sum(wc * s) AS HUGEINT) * 1000000)
+                // CAST(sum(wc * wl) AS BIGINT) AS BIGINT)
+             AS compression_micros
+    FROM sj
+    GROUP BY 1
+    """
+
+
+@query("bpe_merge_steps", oracle=_bpe_merge_oracle())
+def bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training, 8 merges exactly unrolled: iterate
+    (corpus-weighted adjacent-pair count over the DISTINCT vocabulary
+    → argmax pair → fuse everywhere via wrapped-literal replace).
+    Every iteration runs on vocab-sized data; the corpus is scanned
+    once. The merge table — (step, pair, new_symbol, count) — is the
+    artifact a subword tokenizer ships. See
+    ``operators/text.bpe_train_merges``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.bpe_train_merges(docs, n_merges=8)
+
+
+@query("bpe_compression_by_source", oracle=_bpe_compression_oracle())
+def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BPE compression after the 8-merge trained table is
+    applied back to the corpus: word/char/symbol totals and the
+    symbols-per-char ratio in exact micros — the drift metric telling
+    a tokenizer team which ingest source the learned vocabulary no
+    longer fits. Application adds NO extra corpus text pass: one
+    (source, word) occurrence-count collapse joined to the vocab's
+    per-word symbol counts. See
+    ``operators/text.bpe_compression_by_source``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.bpe_compression_by_source(docs, n_merges=8)

@@ -48,6 +48,9 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # CORRECTNESS_LOCAL artifact regenerated at round close.
 # r12 NOTE: rotate q_pipeline back to the front; keep alternating.
 _FRONT = [
+    # NEW in r11 — no driver row exists yet
+    "bpe_merge_steps",
+    "bpe_compression_by_source",
     # formula changed in r11 (exact-integral fixed point) — the r10
     # driver row predates the current code
     "economy_revenue_share",

@@ -1990,3 +1990,69 @@ def test_props_key_profile_multi_key_presence(spark):
         ("click", "c"): 1,
         ("buy", "a"): 1,
     }
+
+
+def test_bpe_train_merges_two_steps_hand_computed(spark):
+    """Hand-computable 2-merge trace: words aaab(x2), ab(x1).
+    Step 1 pairs: (a,a)=4, (a,b)=3 -> merge (a,a). Step 2 (on
+    aa|a|b x2, a|b x1): (aa,a)=2, (a,b)=3 -> merge (a,b)."""
+    from pg2kafka_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaab aaab ab")], ["doc_id", "text"])
+    rows = {r.step: r for r in bpe_train_merges(df, n_merges=2).collect()}
+    assert (rows[1].pair_a, rows[1].pair_b, rows[1].total_count) == ("a", "a", 4)
+    assert rows[1].new_symbol == "aa"
+    assert (rows[2].pair_a, rows[2].pair_b, rows[2].total_count) == ("a", "b", 3)
+
+
+def test_bpe_train_merges_greedy_nonoverlapping(spark):
+    """BPE's greedy left-to-right within-word merge order: 'aaa' with
+    merge (a,a) pairs as (aa)(a) — the wrapped-literal replace must
+    consume symbols without starving the neighbour's boundary, so
+    'babab' with merge (b,a) pairs as (ba)(ba)(b), NOT (ba) b a b."""
+    from pg2kafka_spark.operators.text import bpe_train_merges
+
+    # 'babab' x3 makes (b,a) the step-1 argmax: (b,a)=6, (a,b)=6 ties
+    # broken by pair_a asc -> (a,b) first actually; use unambiguous fixture
+    df = spark.createDataFrame([(1, "babab babab babab")], ["doc_id", "text"])
+    out = {r.step: r for r in bpe_train_merges(df, n_merges=2).collect()}
+    # step 1: (a,b)=6 vs (b,a)=6 -> tie-break pair_a asc picks (a,b)
+    assert (out[1].pair_a, out[1].pair_b) == ("a", "b")
+    # after fusing (a,b): b|ab|ab -> step-2 pairs (b,ab)=3, (ab,ab)=3
+    # -> tie-break picks (ab,ab): greedy left-to-right paired the two
+    # 'ab' symbols, proving non-overlapping scan (an overlap bug would
+    # leave b|ab|ab unmergeable or double-count)
+    assert (out[2].pair_a, out[2].pair_b) == ("ab", "ab")
+    assert out[2].total_count == 3
+
+
+def test_bpe_train_merges_boundary_spaces_survive_adjacent_merges(spark):
+    """'b a b a b' + merge (b,a): a single-space join would consume
+    the shared boundary and merge only ONCE; the wrapped form must
+    merge both occurrences -> (ba)(ba)(b)."""
+    from pyspark.sql import functions as F
+
+    # exercise the replace directly at the representation level
+    w2 = F.lit(" b  a  b  a  b ")
+    got = spark.range(1).select(
+        F.replace(w2, F.lit(" b  a "), F.lit(" ba ")).alias("r")
+    ).collect()[0].r
+    assert got == " ba  ba  b "
+
+
+def test_bpe_compression_by_source_hand_computed(spark):
+    """1-merge trace over two sources: corpus pairs (a,a)=2, (a,b)=4
+    -> merge (a,b). 'aaab' -> a|a|ab (3 symbols), 'ab' -> 1 symbol,
+    'x' (len<2, never trained) -> 1 symbol via coalesce."""
+    from pg2kafka_spark.operators.text import bpe_compression_by_source
+
+    df = spark.createDataFrame(
+        [(1, "aaab ab x", "s1"), (2, "ab ab", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r.source: r for r in bpe_compression_by_source(df, n_merges=1).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1.n_words, s1.n_chars, s1.n_symbols) == (3, 7, 5)
+    assert s1.compression_micros == 5_000_000 // 7
+    assert (s2.n_words, s2.n_chars, s2.n_symbols) == (2, 4, 2)
+    assert s2.compression_micros == 500_000

@@ -458,3 +458,39 @@ def test_economy_share_broadcasts_part_single_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_bpe_merge_steps_step_plan_shape(spark, sf_dir):
+    """Inside one training step (raw plan, checkpoint=False): the
+    per-step argmax is a bounded heap (TakeOrderedAndProject), the
+    1-row winner joins back as a BROADCAST, the pair aggregation
+    partial-aggregates map-side, and nothing degenerates into a
+    cartesian or sort-merge join."""
+    import contextlib
+    import io
+
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.text import _bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    steps, vocab = _bpe_train(docs, "text", 2, checkpoint=False)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        steps[1].explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "partial_sum" in p  # pair counts combine map-side
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bpe_merge_steps_lineage_truncated_per_step(spark, sf_dir):
+    """The registered query's plan must be checkpoint-truncated: a
+    flat union over per-step RDD scans — NOT the 2^n nested lineage a
+    bare persist leaves (256 parquet-scan mentions at n=8), which
+    also races union branches into exponential recompute."""
+    p = plan_of(spark, "bpe_merge_steps", sf_dir)
+    assert "Union" in p
+    assert p.count("Scan ExistingRDD") >= 8
+    assert "Scan parquet" not in p

@@ -491,6 +491,27 @@ COMMENTARY = {
         "is one shuffle of (type, key) partial counts — the emergent "
         "payload schema for the price of a word count."
     ),
+    "bpe_merge_steps": (
+        "BPE merge-table training (r11): the registered plan is a flat "
+        "Union over 8 per-step `Scan ExistingRDD` nodes — each training "
+        "step is a LAZY localCheckpoint, truncating lineage so the plan "
+        "does not nest 2^8 copies of the history (a bare persist leaves "
+        "256 parquet-scan mentions and a recompute race between union "
+        "branches). Inside a step (see test_plans.py's checkpoint=False "
+        "probe): pair counts partial-aggregate map-side over the "
+        "vocab-sized frame, the argmax is `TakeOrderedAndProject`, and "
+        "the 1-row winner re-enters as a BROADCAST so the merge replace "
+        "is map-only. The corpus is scanned exactly once, into the "
+        "step-0 vocabulary."
+    ),
+    "bpe_compression_by_source": (
+        "Trained-vocab application (r11): NO second corpus text pass — "
+        "the corpus collapses once to (source, word) occurrence counts "
+        "(uniform keys, map-side partials), LEFT-joins the final "
+        "vocabulary's per-word symbol counts (both sides vocab-sized), "
+        "and aggregates to |sources| rows. Ratio in DECIMAL(38) "
+        "exact-multiple floor micros."
+    ),
     "large_quantity_orders": (
         "TPC-H Q18 shape (r10): the over-threshold key set reduces via "
         "map-side partial DECIMAL sums, then BROADCASTS into a LeftSemi "
