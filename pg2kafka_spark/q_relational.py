@@ -1578,3 +1578,451 @@ def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((q - q % t2) / t2).cast("bigint").alias("economy_share_micros"),
         )
     )
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co
+    GROUP BY 1
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed k orders each, for every k including zero — the classic
+    LEFT-join-then-double-aggregate (the zero bucket is why the join
+    must be outer). The priority filter stands in for Q13's
+    comment-pattern exclusion (the fixture carries no comment column).
+
+    Scale shape: orders pre-aggregates to per-customer counts FIRST
+    (one shuffle with map-side partial counts — never the join-then-
+    count that shuffles every order row through the join), then an
+    outer join against customer on the same uniform key fills the
+    zero bucket via coalesce, and the second aggregate is over the
+    tiny k-domain (~bounded by max orders/customer). Two shuffles
+    total, both reducing."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH brand AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+    ),
+    avgq AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+      FROM lineitem JOIN brand ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           count(*) AS n_small_lines
+    FROM lineitem JOIN avgq ON lineitem.l_partkey = avgq.l_partkey
+    WHERE l_quantity < lim
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar subquery — each lineitem compares against 0.2× the MEAN
+    quantity of ITS part — de-correlated into an aggregate-then-
+    rejoin, restricted to one brand.
+
+    Scale shape: the brand key set broadcasts into a semi-filter so
+    the per-part average is computed only over the ~1/|brands| of
+    lineitem that can match; the per-part limits are |parts-of-brand|
+    rows that join back on the same uniform partkey (AQE picks
+    broadcast when they fit). The double mean is deterministic here:
+    quantities are small integers, so the partial sums are exact in
+    IEEE double regardless of partition order (the r5 double-sum rule
+    needs DECIMAL only when addends have fractional bits)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    brand = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avgq = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__lim")
+    )
+    small = li_b.drop("p_partkey").join(
+        avgq.withColumnRenamed("l_partkey", "__pk"),
+        F.col("l_partkey") == F.col("__pk"),
+    ).filter(F.col("l_quantity") < F.col("__lim"))
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.lit(7.0)
+        ).cast("double").alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    OR of three (brand, size-range, quantity-range) conjunctions that
+    straddles the join — the query optimizers historically fumbled by
+    evaluating the whole disjunction post-join.
+
+    Scale shape: each side's implied disjunction is factored out and
+    applied BELOW the join — part scans only the three (brand, size)
+    slices (predicate reaches the parquet scan), lineitem only
+    quantity ∈ [1, 30] — so the join's build side is ~3 brands' worth
+    of parts (broadcast) and the probe side is pre-shrunk; the full
+    cross-side disjunction then filters the survivors. The factored
+    prefilters are implied by the disjunction (no semantics change) —
+    this is the manual CNF extraction Q19 is the textbook case for."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    part_side = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    full = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.filter(F.col("l_quantity").between(1, 30))
+        .join(
+            F.broadcast(part.filter(part_side)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(full)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sole_late_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY 1
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders, the supplier whose line shipped late (>60 days
+    after the order date — the fixture's ship-lag stand-in for
+    commit/receipt lateness, as in `late_shipment_priority_counts`)
+    on a MULTI-supplier order where NO OTHER supplier was late: an
+    EXISTS (semi) and a NOT EXISTS (anti) against the same fact,
+    correlated on (same order, different supplier).
+
+    Scale shape: the late set reduces lineitem⨝orders once (status +
+    lag predicates pushed below the join; orderkey-keyed shuffle),
+    and both quantifiers join it on the SAME orderkey partitioning —
+    the semi probes raw lineitem pruned to (orderkey, suppkey), the
+    anti probes the late set itself. The late set is consumed by BOTH
+    l1 and l3, and Spark does not canonicalize the two branches into
+    one exchange (verified at runtime — no ReusedExchange), so it is
+    a LAZY localCheckpoint: the ~1% late slice materializes once
+    instead of running the lineitem⨝orders shuffle twice (the
+    graph.py/BPE shared-frame precedent). The inequality rides the
+    equi-join as a residual condition, never a cartesian. Supplier is
+    dim-sized: broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    late = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (F.col("__ok2") == F.col("l_orderkey"))
+            & (F.col("__sk2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("__ok3") == F.col("l_orderkey"))
+            & (F.col("__sk3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "dormant_customer_balances",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, t
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance who have LAPSED — no order since
+    2000-01-01 — a scalar aggregate threshold plus a NOT EXISTS
+    anti-join, grouped by market segment (the fixture's stand-in for
+    Q22's phone country code; "never ordered" is degenerate in this
+    fixture — every customer has at least one order — so the recency
+    cutoff keeps the anti-join populated while preserving the shape).
+
+    Scale shape: the threshold is a 1-row (sum, count) aggregate that
+    broadcasts into the filter as an exact cross-multiplied DECIMAL
+    comparison (bal·n > sum — never a double average, whose rounding
+    could flip boundary rows between engines); the anti-join shuffles
+    on the uniform custkey; the final aggregate is 5 segments wide
+    with map-side partials."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    t = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).cast("decimal(38,2)").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        cust.join(F.broadcast(t))
+        .filter(bal * F.col("__n") > F.col("__s"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "nation_trade_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations in either direction, by supplier nation × customer nation
+    × ship year — the star-shaped 6-way join with a cross-dimension
+    disjunction.
+
+    Scale shape: supplier and nation are dim-sized and BROADCAST —
+    the supplier side is pre-restricted to the two nations before it
+    broadcasts, so lineitem shrinks ~|nations|-fold at its FIRST
+    join, before the only two big shuffles (orderkey to reach orders,
+    custkey to reach customer). The either-direction disjunction
+    filters the surviving pairs post-join; the aggregate is
+    (2 × years) keys with map-side partials."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    names = ("NATION_1", "NATION_2")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__nk1"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin(*names))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__nk2"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin(*names))
+    s2 = supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("__nk1")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = cust.join(F.broadcast(n2), F.col("c_nationkey") == F.col("__nk2")).select(
+        "c_custkey", "cust_nation"
+    )
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    pair = (
+        (F.col("supp_nation") == names[0]) & (F.col("cust_nation") == names[1])
+    ) | ((F.col("supp_nation") == names[1]) & (F.col("cust_nation") == names[0]))
+    return (
+        li.join(F.broadcast(s2), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c2, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, returning the supplier(s) achieving the maximum — the
+    view-plus-scalar-max-subquery pattern, de-correlated into an
+    aggregate consumed twice (once for the max, once for the join).
+
+    Scale shape: the quarter filter pushes to the parquet scan; the
+    per-supplier aggregate is one uniform-key shuffle with map-side
+    partial DECIMAL sums (exact, so the max-equality comparison
+    cannot be split by double partial-sum order — ties are real
+    ties); the 1-row max broadcasts back into the filter and supplier
+    is dim-sized broadcast. The per-supplier aggregate feeds both the
+    max and the join, and Spark does not canonicalize the two
+    branches into one exchange (verified at runtime — no
+    ReusedExchange), so the supplier-sized frame is a LAZY
+    localCheckpoint: the quarter slice of lineitem is scanned and
+    shuffled exactly once."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    rev_expr = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_expr).alias("__tr"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("__tr").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("__tr") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("__tr").cast("double").alias("total_revenue")
+        )
+    )

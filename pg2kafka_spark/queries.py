@@ -51,6 +51,13 @@ _FRONT = [
     # NEW in r11 — no driver row exists yet
     "bpe_merge_steps",
     "bpe_compression_by_source",
+    "customer_order_distribution",
+    "small_quantity_revenue",
+    "disjunctive_part_revenue",
+    "sole_late_suppliers",
+    "dormant_customer_balances",
+    "nation_trade_volume",
+    "top_revenue_suppliers",
     # formula changed in r11 (exact-integral fixed point) — the r10
     # driver row predates the current code
     "economy_revenue_share",

@@ -494,3 +494,81 @@ def test_bpe_merge_steps_lineage_truncated_per_step(spark, sf_dir):
     assert "Union" in p
     assert p.count("Scan ExistingRDD") >= 8
     assert "Scan parquet" not in p
+
+
+def test_disjunctive_part_revenue_pushes_or_to_both_scans(spark, sf_dir):
+    """Q19 shape: the factored per-side disjunctions must reach BOTH
+    parquet scans (part's (brand, size) Or and lineitem's quantity
+    envelope), the part side broadcasts, and the cross-side
+    disjunction never degenerates into a cartesian."""
+    p = plan_of(spark, "disjunctive_part_revenue", sf_dir)
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in p.replace("\n", "")
+    assert "LessThanOrEqual(l_quantity,30.0)" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_sole_late_suppliers_semi_anti_no_cartesian(spark, sf_dir):
+    """Q21 shape: one LeftSemi (other-supplier EXISTS) and one
+    LeftAnti (no-other-late NOT EXISTS), the suppkey inequality
+    riding each equi-join as a residual — never a cartesian — and
+    the late set entering as a checkpoint-truncated RDD scan (it is
+    consumed by both quantifier branches; Spark does not dedup the
+    two subplans into one exchange)."""
+    p = plan_of(spark, "sole_late_suppliers", sf_dir)
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Scan ExistingRDD" in p
+
+
+def test_customer_order_distribution_aggregates_below_join(spark, sf_dir):
+    """Q13 shape: orders must pre-aggregate to per-customer counts
+    BEFORE the outer join (partial counts map-side), never
+    join-then-count; both aggregations and the join account for at
+    most three exchanges."""
+    p = plan_of(spark, "customer_order_distribution", sf_dir)
+    assert "partial_count" in p
+    assert p.count(" Exchange (") <= 3
+    # the outer join's right side is the aggregated frame: the orders
+    # scan must read only the two columns the aggregate needs
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*o_orderpriority[^>]*)>", p)
+    assert m and "o_totalprice" not in m.group(1)
+
+
+def test_dormant_customer_balances_threshold_and_anti(spark, sf_dir):
+    """Q22 shape: the 1-row (sum, count) threshold enters as a
+    broadcast nested-loop (a true scalar cross join), the NOT EXISTS
+    is a LeftAnti, and the order-recency predicate pushes to the
+    orders scan."""
+    p = plan_of(spark, "dormant_customer_balances", sf_dir)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in p
+
+
+def test_nation_trade_volume_broadcasts_dims(spark, sf_dir):
+    """Q7 shape: supplier and both nation sides broadcast (the fact
+    table shrinks ~|nations|-fold at its first join), the nation-name
+    In-filter pushes to the nation scans, and no cartesian appears
+    despite the either-direction disjunction."""
+    p = plan_of(spark, "nation_trade_volume", sf_dir)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "In(n_name, [NATION_1,NATION_2])" in p
+    assert "CartesianProduct" not in p
+
+
+def test_top_revenue_suppliers_single_quarter_scan(spark, sf_dir):
+    """Q15 shape: the per-supplier revenue frame feeds both the max
+    and the join through ONE checkpoint-truncated computation (no
+    double lineitem scan — Spark does not canonicalize the two
+    branches into a reused exchange, verified at runtime), and the
+    1-row max enters as a broadcast."""
+    p = plan_of(spark, "top_revenue_suppliers", sf_dir)
+    # the ONLY parquet scan is dim-sized supplier: lineitem is behind
+    # the checkpoint, read once
+    assert "supplier.parquet" in p and "lineitem.parquet" not in p
+    assert p.count("Scan ExistingRDD") >= 2  # rev reused on both branches
+    assert "BroadcastExchange" in p

@@ -512,6 +512,60 @@ COMMENTARY = {
         "and aggregates to |sources| rows. Ratio in DECIMAL(38) "
         "exact-multiple floor micros."
     ),
+    "customer_order_distribution": (
+        "TPC-H Q13 shape (r11): orders pre-aggregates to per-customer "
+        "counts BEFORE the outer join (map-side partial counts, one "
+        "uniform-key shuffle) — never join-then-count, which would "
+        "shuffle every order row through the join. The outer join "
+        "fills the zero bucket via coalesce; the second aggregate is "
+        "over the tiny k-domain. ReadSchema on orders is 2 columns."
+    ),
+    "small_quantity_revenue": (
+        "TPC-H Q17 shape (r11): the correlated per-part mean "
+        "de-correlates into aggregate-then-rejoin; the brand key set "
+        "broadcasts as a semi-filter FIRST so the average runs only "
+        "over the ~1/|brands| matching slice, and the per-part limits "
+        "rejoin on the same uniform partkey."
+    ),
+    "disjunctive_part_revenue": (
+        "TPC-H Q19 shape (r11): the cross-side disjunction's per-side "
+        "implications are factored below the join — the plan test "
+        "pins the Or(...) predicate INSIDE both parquet scans' "
+        "PushedFilters — so the broadcast build side is three brands' "
+        "slices, not the whole part table."
+    ),
+    "sole_late_suppliers": (
+        "TPC-H Q21 shape (r11): EXISTS -> LeftSemi, NOT EXISTS -> "
+        "LeftAnti, each an orderkey equi-join carrying the suppkey "
+        "inequality as a residual condition (never a cartesian). The "
+        "~1% late slice feeds BOTH quantifiers and Spark does not "
+        "dedup the branches into one exchange, so it is a lazy "
+        "localCheckpoint: lineitem⨝orders runs once."
+    ),
+    "dormant_customer_balances": (
+        "TPC-H Q22 shape (r11): the 1-row (sum, count) threshold "
+        "broadcasts as a nested-loop scalar join and the balance "
+        "comparison cross-multiplies DECIMALs (never a double average "
+        "— rounding could flip boundary rows between engines); the "
+        "NOT EXISTS is a custkey LeftAnti with the recency predicate "
+        "pushed to the orders scan."
+    ),
+    "nation_trade_volume": (
+        "TPC-H Q7 shape (r11): supplier and the two nation sides "
+        "broadcast with the nation-name In-filter pushed to the scan, "
+        "so lineitem shrinks ~|nations|-fold at its FIRST join, "
+        "before the only two big shuffles (orderkey, custkey). The "
+        "either-direction pair disjunction filters post-join."
+    ),
+    "top_revenue_suppliers": (
+        "TPC-H Q15 shape (r11): the quarter filter pushes to the "
+        "lineitem scan; the per-supplier DECIMAL revenue frame is a "
+        "lazy localCheckpoint consumed by both the scalar max and the "
+        "equality join (Spark does not canonicalize the branches into "
+        "a reused exchange — verified at runtime), so the quarter "
+        "slice is scanned and shuffled exactly once; the 1-row max "
+        "and dim-sized supplier broadcast."
+    ),
     "large_quantity_orders": (
         "TPC-H Q18 shape (r10): the over-threshold key set reduces via "
         "map-side partial DECIMAL sums, then BROADCASTS into a LeftSemi "
