@@ -1063,3 +1063,37 @@ def bpe_compression_by_source(
             ((q - q % F.col("n_chars")) / F.col("n_chars")).cast("bigint"),
         ).alias("compression_micros"),
     )
+
+
+def bpe_token_frequencies(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> DataFrame:
+    """Post-merge token frequency table — the artifact a tokenizer
+    vocab build actually ships alongside the merge list: every symbol
+    surviving ``n_merges`` BPE merges, weighted by corpus occurrence
+    (word count × within-word symbol multiplicity). Single-char words
+    never enter the trainer (nothing to merge) but ARE corpus tokens,
+    so they union in atomically — total frequency mass equals the
+    corpus character-grouped token count exactly.
+
+    Scale shape: training runs on the vocab-sized frames
+    (:func:`_bpe_train`); the frequency table is one explode of the
+    FINAL vocabulary (vocab-sized, never corpus-sized) plus a map-only
+    single-char count, aggregated on the tiny symbol domain."""
+    _steps, vocab = _bpe_train(df, text_col, int(n_merges))
+    toks = vocab.select(
+        F.explode(F.split(F.trim(F.col("w2")), "  ")).alias("token"), "c"
+    )
+    shorts = (
+        df.select(
+            F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.length("w") == 1)
+        .groupBy(F.col("w").alias("token"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        toks.unionByName(shorts)
+        .groupBy("token")
+        .agg(F.sum("c").cast("bigint").alias("freq"))
+    )

@@ -4101,3 +4101,31 @@ def bpe_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/text.bpe_compression_by_source``."""
     docs = load_table(spark, "documents", sf_dir)
     return X.bpe_compression_by_source(docs, n_merges=8)
+
+
+def _bpe_token_freq_oracle(n_merges: int = 8) -> str:
+    """Trainer chain + final-vocab symbol explode, plus atomic
+    single-char words (never trained, still tokens)."""
+    ctes, _picks = _bpe_cte_chain(n_merges)
+    return ctes + f""",
+    toks AS (
+      SELECT unnest(string_split(trim(w2), '  ')) AS token, c
+      FROM v{int(n_merges)}
+      UNION ALL
+      SELECT w AS token, count(*) AS c
+      FROM bwords WHERE length(w) = 1 GROUP BY 1
+    )
+    SELECT token, CAST(sum(c) AS BIGINT) AS freq
+    FROM toks GROUP BY 1
+    """
+
+
+@query("bpe_token_frequencies", oracle=_bpe_token_freq_oracle())
+def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency table after the 8-merge BPE training — the
+    vocab artifact a tokenizer ships: every surviving symbol weighted
+    by corpus occurrence, single-char words unioned in atomically.
+    One explode of the FINAL (vocab-sized) frame plus a map-only
+    short-word count. See ``operators/text.bpe_token_frequencies``."""
+    docs = load_table(spark, "documents", sf_dir)
+    return X.bpe_token_frequencies(docs, n_merges=8)

@@ -51,6 +51,7 @@ _FRONT = [
     # NEW in r11 — no driver row exists yet
     "bpe_merge_steps",
     "bpe_compression_by_source",
+    "bpe_token_frequencies",
     "customer_order_distribution",
     "small_quantity_revenue",
     "disjunctive_part_revenue",

@@ -2056,3 +2056,18 @@ def test_bpe_compression_by_source_hand_computed(spark):
     assert s1.compression_micros == 5_000_000 // 7
     assert (s2.n_words, s2.n_chars, s2.n_symbols) == (2, 4, 2)
     assert s2.compression_micros == 500_000
+
+
+def test_bpe_token_frequencies_hand_computed(spark):
+    """1-merge trace: 'aaab ab x' + 'ab ab'. Corpus pairs (a,a)=2,
+    (a,b)=4 -> merge (a,b). Tokens: 'aaab'->a,a,ab; 'ab'(x3)->ab;
+    'x' atomic. Totals: a=2, ab=4, x=1; mass = grouped char tokens."""
+    from pg2kafka_spark.operators.text import bpe_token_frequencies
+
+    df = spark.createDataFrame(
+        [(1, "aaab ab x"), (2, "ab ab")], ["doc_id", "text"]
+    )
+    rows = {r.token: r.freq for r in bpe_token_frequencies(df, n_merges=1).collect()}
+    assert rows == {"a": 2, "ab": 4, "x": 1}
+    # conservation: sum(freq * len(token)) == total corpus chars
+    assert sum(f * len(t) for t, f in rows.items()) == len("aaabab x abab".replace(" ", ""))

@@ -512,6 +512,14 @@ COMMENTARY = {
         "and aggregates to |sources| rows. Ratio in DECIMAL(38) "
         "exact-multiple floor micros."
     ),
+    "bpe_token_frequencies": (
+        "Post-merge token frequencies (r11): one explode of the FINAL "
+        "trained vocabulary (vocab-sized, never corpus-sized) weighted "
+        "by word counts, unioned with a map-only single-char word "
+        "count, aggregated on the tiny symbol domain. The corpus is "
+        "scanned twice (trainer vocab + short words) but never "
+        "re-paired."
+    ),
     "customer_order_distribution": (
         "TPC-H Q13 shape (r11): orders pre-aggregates to per-customer "
         "counts BEFORE the outer join (map-side partial counts, one "
