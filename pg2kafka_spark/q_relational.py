@@ -2026,3 +2026,124 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("__tr").cast("double").alias("total_revenue")
         )
     )
+
+
+@query(
+    "event_funnel_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click' AND epoch_us(ts) > t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
+      UNION ALL
+      SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+    )
+    """,
+)
+def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): users
+    completing each prefix IN TIMESTAMP ORDER — step k counts users
+    whose earliest step-k event is strictly after their earliest
+    qualifying step-(k-1) event. The sequential-pattern query every
+    product-analytics engine ships; timestamps compare as integer
+    epoch-µs (the qreg rule — never raw ts).
+
+    Scale shape: each stage filters events to ONE type at the scan
+    (predicate pushdown), aggregates to a user-sized min, and joins
+    the previous stage on the SAME user key — every exchange in the
+    chain hashes the one uniform key, and each stage's frame only
+    shrinks (funnels are monotone). No windows, no per-user sorts."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts_us") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(out_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+
+    def row(step: int, etype: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(step).alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        row(1, "view", s1)
+        .unionByName(row(2, "click", s2))
+        .unionByName(row(3, "purchase", s3))
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS f_us FROM events GROUP BY 1
+    )
+    SELECT CAST(f_us // 86400000000 AS BIGINT) AS cohort_day,
+           CAST((epoch_us(ts) - f_us) // 604800000000 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by their FIRST event's day,
+    counted distinct in each subsequent week offset — the classic
+    retention triangle. Week arithmetic is pure integer µs floor
+    division (positive epochs, so div == floor on both engines) —
+    no calendar-week truncation, whose week-start convention is an
+    engine-specific trap.
+
+    Scale shape: first-event frame is one user-keyed shuffle with
+    map-side partial mins; the rejoin hashes the same key; the
+    distinct count is the standard two-phase
+    (cohort, week, user)-keyed partial-dedup then count — uniform
+    keys throughout, no windows."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    f = ev.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+    j = ev.join(f, "user_id")
+    return (
+        j.select(
+            F.expr("f_us div 86400000000").cast("bigint").alias("cohort_day"),
+            F.expr("(ts_us - f_us) div 604800000000")
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -59,6 +59,8 @@ _FRONT = [
     "dormant_customer_balances",
     "nation_trade_volume",
     "top_revenue_suppliers",
+    "event_funnel_counts",
+    "weekly_retention_cohorts",
     # formula changed in r11 (exact-integral fixed point) — the r10
     # driver row predates the current code
     "economy_revenue_share",

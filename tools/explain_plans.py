@@ -574,6 +574,20 @@ COMMENTARY = {
         "slice is scanned and shuffled exactly once; the 1-row max "
         "and dim-sized supplier broadcast."
     ),
+    "event_funnel_counts": (
+        "Ordered funnel (r11): each stage filters events to one type "
+        "at the scan, reduces to a user-sized min, and joins the "
+        "previous stage on the SAME uniform user key — frames only "
+        "shrink down the funnel; no windows, no per-user sorts. "
+        "Timestamps compare as integer epoch-µs."
+    ),
+    "weekly_retention_cohorts": (
+        "Retention triangle (r11): first-event frame is one user-keyed "
+        "shuffle with map-side partial mins, rejoined on the same key; "
+        "the distinct count is the standard two-phase partial-dedup. "
+        "Week math is integer µs floor division — no engine-specific "
+        "calendar-week truncation."
+    ),
     "large_quantity_orders": (
         "TPC-H Q18 shape (r10): the over-threshold key set reduces via "
         "map-side partial DECIMAL sums, then BROADCASTS into a LeftSemi "

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-close checklist (the r10 verdict's item 3): run AFTER the
+# round's FINAL code commit, so the committed evidence matches HEAD.
+#
+#   ROUND=11 bash tools/round_close.sh
+#
+# 1. full test suite (must be green)
+# 2. full-surface parity vs DuckDB -> CORRECTNESS_LOCAL_r${ROUND}.json
+#    (every registered query, zero reds expected)
+# 3. bench at sf0.1 -> BENCH_LOCAL.json (+ sentinel sanity line)
+# 4. regenerate PLANS.md
+# 5. commit the artifacts
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${ROUND:?set ROUND=<n>}"
+
+echo "== [1/5] pytest"
+python -m pytest tests/ -x -q
+
+echo "== [2/5] full-surface parity -> CORRECTNESS_LOCAL_r${ROUND}.json"
+PARITY_OUT="CORRECTNESS_LOCAL_r${ROUND}.json" PYTHONPATH=. \
+  python tools/check_parity.py /root/testdata/sf0.01
+
+echo "== [3/5] bench (sf0.1)"
+python bench.py
+
+echo "== [4/5] PLANS.md"
+PYTHONPATH=. python tools/explain_plans.py > /dev/null
+
+echo "== [5/5] commit artifacts"
+git add "CORRECTNESS_LOCAL_r${ROUND}.json" BENCH_LOCAL.json PLANS.md
+git commit -m "round ${ROUND}: close-out artifacts (full-surface parity, bench, plans)"
+echo "round_close done"
