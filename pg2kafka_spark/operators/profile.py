@@ -1,0 +1,96 @@
+"""Single-pass table profiler: per-column null counts, exact distinct
+cardinality, and typed min/max — the DESCRIBE/SUMMARY surface an
+analytics engine exposes for data-quality dashboards and optimizer
+statistics (the reference's consumers see only what its triggers
+forward; an engine owning 100 TB of parquet must be able to profile
+it without N scans).
+
+Scale shape: ONE scan of the table computes every column's stats in a
+single aggregation — Spark plans the multi-distinct aggregate via an
+Expand (each input row fans out once per distinct-column, partial
+dedup map-side), so the cost is one shuffle of (n_cols × rows)
+partially-deduped keys, NOT n_cols separate jobs. The result pivots
+to one row per column via a stack projection on the 1-row aggregate
+(driver-side-tiny). At petabyte scale swap `countDistinct` for
+`approx_count_distinct` (HLL, no Expand) — exact here because the
+oracle must agree bit-for-bit.
+
+Typing: numeric min/max report as DOUBLE (bigint keys < 2^53 are
+exact; timestamps profile as integer epoch-µs — the qreg rule, raw
+timestamp RENDERING is engine-specific), string min/max as lexical
+VARCHAR; each column family leaves the other family's slots NULL so
+the output schema is uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def table_profile(
+    df: DataFrame,
+    numeric_cols: tuple[str, ...] = (),
+    string_cols: tuple[str, ...] = (),
+    ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Profile ``df``: one row per column — (column_name, n_rows,
+    n_nulls, n_distinct, min_num, max_num, min_str, max_str).
+    ``ts_cols`` are profiled as integer epoch-µs in the numeric
+    slots."""
+
+    def num(c: str) -> Column:
+        # NTZ-encoded parquet timestamps need the cast (session tz is
+        # pinned UTC, so the instant is unchanged)
+        return (
+            F.unix_micros(F.col(c).cast("timestamp"))
+            if c in ts_cols
+            else F.col(c).cast("double")
+        )
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in (*numeric_cols, *ts_cols):
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(num(c)).alias(f"__nd_{c}"),
+            F.min(num(c)).cast("double").alias(f"__mn_{c}"),
+            F.max(num(c)).cast("double").alias(f"__mx_{c}"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).alias(f"__mn_{c}"),
+            F.max(F.col(c)).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in (*numeric_cols, *ts_cols):
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_num"),
+                F.col(f"__mx_{c}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in string_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.*")

@@ -2147,3 +2147,60 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def _profile_col_sql(col: str, kind: str) -> str:
+    """One UNION branch of the orders-profile oracle. DuckDB scans per
+    branch; Spark computes every column in ONE pass (Expand-planned
+    multi-distinct) — same values, different engine idiom."""
+    if kind == "ts":
+        mn, mx = f"epoch_us(min({col}))", f"epoch_us(max({col}))"
+        nd = f"count(DISTINCT epoch_us({col}))"
+    elif kind == "num":
+        mn, mx = f"CAST(min({col}) AS DOUBLE)", f"CAST(max({col}) AS DOUBLE)"
+        nd = f"count(DISTINCT CAST({col} AS DOUBLE))"
+    else:
+        mn, mx, nd = f"min({col})", f"max({col})", f"count(DISTINCT {col})"
+    num = kind in ("ts", "num")
+    return f"""
+      SELECT '{col}' AS column_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             {nd} AS n_distinct,
+             {f'CAST({mn} AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+               AS min_num,
+             {f'CAST({mx} AS DOUBLE)' if num else 'CAST(NULL AS DOUBLE)'}
+               AS max_num,
+             {'CAST(NULL AS VARCHAR)' if num else mn} AS min_str,
+             {'CAST(NULL AS VARCHAR)' if num else mx} AS max_str
+      FROM orders"""
+
+
+@query(
+    "orders_table_profile",
+    oracle="\nUNION ALL\n".join(
+        [
+            _profile_col_sql("o_orderkey", "num"),
+            _profile_col_sql("o_custkey", "num"),
+            _profile_col_sql("o_totalprice", "num"),
+            _profile_col_sql("o_orderdate", "ts"),
+            _profile_col_sql("o_orderstatus", "str"),
+            _profile_col_sql("o_orderpriority", "str"),
+        ]
+    ),
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profile of ``orders``: per-column nulls, exact distinct
+    cardinality, typed min/max — DESCRIBE-surface data-quality stats
+    in ONE scan (Expand-planned multi-distinct aggregate; the oracle
+    unions per-column scans instead — same values, engine idiom
+    each). See ``operators/profile.table_profile``."""
+    from pg2kafka_spark.operators.profile import table_profile
+
+    orders = load_table(spark, "orders", sf_dir)
+    return table_profile(
+        orders,
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+        ts_cols=("o_orderdate",),
+    )

@@ -61,6 +61,7 @@ _FRONT = [
     "top_revenue_suppliers",
     "event_funnel_counts",
     "weekly_retention_cohorts",
+    "orders_table_profile",
     # formula changed in r11 (exact-integral fixed point) — the r10
     # driver row predates the current code
     "economy_revenue_share",

@@ -2071,3 +2071,28 @@ def test_bpe_token_frequencies_hand_computed(spark):
     assert rows == {"a": 2, "ab": 4, "x": 1}
     # conservation: sum(freq * len(token)) == total corpus chars
     assert sum(f * len(t) for t, f in rows.items()) == len("aaabab x abab".replace(" ", ""))
+
+
+def test_table_profile_hand_computed(spark):
+    """Profile of a 4-row frame with nulls in every family: exact
+    nulls/distincts/min/max per column, typed slots nulled for the
+    other family."""
+    from pg2kafka_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, None), (None, "b"), (2.0, "b")],
+        "x double, s string",
+    )
+    rows = {
+        r.column_name: r
+        for r in table_profile(
+            df, numeric_cols=("x",), string_cols=("s",)
+        ).collect()
+    }
+    x, s = rows["x"], rows["s"]
+    assert (x.n_rows, x.n_nulls, x.n_distinct) == (4, 1, 2)
+    assert (x.min_num, x.max_num) == (1.0, 2.0)
+    assert x.min_str is None and x.max_str is None
+    assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
+    assert (s.min_str, s.max_str) == ("a", "b")
+    assert s.min_num is None and s.max_num is None

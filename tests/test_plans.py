@@ -572,3 +572,41 @@ def test_top_revenue_suppliers_single_quarter_scan(spark, sf_dir):
     assert "supplier.parquet" in p and "lineitem.parquet" not in p
     assert p.count("Scan ExistingRDD") >= 2  # rev reused on both branches
     assert "BroadcastExchange" in p
+
+
+def test_orders_table_profile_single_scan_expand(spark, sf_dir):
+    """The whole-table profile computes every column's stats in ONE
+    scan: multi-distinct planned via Expand, exactly one orders scan
+    in the plan (the naive per-column union would scan 6×)."""
+    p = plan_of(spark, "orders_table_profile", sf_dir)
+    assert "Expand" in p
+    assert p.count("orders.parquet") == 1
+
+
+def test_event_funnel_counts_no_window_uniform_key(spark, sf_dir):
+    """Funnel stages chain user-keyed aggregates and joins — no
+    window (a per-user sort would globalize), every stage's events
+    scan filtered to ONE type at the parquet reader."""
+    p = plan_of(spark, "event_funnel_counts", sf_dir)
+    assert "Window" not in p
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,click)" in p
+    assert "EqualTo(event_type,purchase)" in p
+
+
+def test_weekly_retention_cohorts_partial_min_no_window(spark, sf_dir):
+    """First-event frame partial-aggregates map-side; no window; the
+    distinct count is the standard two-phase plan."""
+    p = plan_of(spark, "weekly_retention_cohorts", sf_dir)
+    assert "partial_min" in p
+    assert "Window" not in p
+
+
+def test_small_quantity_revenue_brand_semi_filter_first(spark, sf_dir):
+    """Q17: the brand key set must broadcast into lineitem BEFORE the
+    per-part average (so the mean runs over ~1/|brands| of the fact),
+    and the part scan must carry the brand predicate."""
+    p = plan_of(spark, "small_quantity_revenue", sf_dir)
+    assert "EqualTo(p_brand,Brand#23)" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

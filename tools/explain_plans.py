@@ -574,6 +574,15 @@ COMMENTARY = {
         "slice is scanned and shuffled exactly once; the 1-row max "
         "and dim-sized supplier broadcast."
     ),
+    "orders_table_profile": (
+        "Whole-table profile (r11): every column's nulls/distincts/"
+        "typed min-max in ONE scan — the multi-distinct aggregate "
+        "plans via Expand (row fans out once per distinct column, "
+        "partial dedup map-side), then a 1-row-to-6-row stack "
+        "projection. The naive per-column union would scan 6×; at "
+        "petabyte scale swap exact count_distinct for "
+        "approx_count_distinct (HLL, no Expand)."
+    ),
     "event_funnel_counts": (
         "Ordered funnel (r11): each stage filters events to one type "
         "at the scan, reduces to a user-sized min, and joins the "
