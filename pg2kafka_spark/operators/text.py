@@ -955,7 +955,11 @@ def _bpe_train(
     step_frames = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("w2")), "  ")
-        pairs = vocab.select(
+        # Words that collapsed to ONE symbol contribute no pairs.
+        # Must be an explicit guard: Spark's sequence(1, 0) yields a
+        # DESCENDING [1, 0] (not empty like the oracle's
+        # generate_series), and element_at(s, 0) then throws.
+        pairs = vocab.filter(F.size(syms) >= 2).select(
             syms.alias("s"),
             "c",
             F.explode(F.sequence(F.lit(1), F.size(syms) - 1)).alias("i"),

@@ -31,50 +31,37 @@ from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-# r11 window shaping (on top of the module rotation above): the
+# r12 window shaping (on top of the module rotation above): the
 # driver hash-checks only the first 50 entries. Per the standing
-# alternation (and the r10 verdict's item 2), q_cdc + q_relational
-# rotate to the front this round: CDC-core driver rows date from r9,
-# the r10 window was the pipeline surface. Order: (0) queries that
-# are NEW or whose FORMULA CHANGED this round (no driver row exists
-# for the current code), (1) the CDC core (SURVEY §2's operator
-# inventory), (2) the relational consumer surface minus the rows that
-# took fresh r10 driver evidence, (3) the r10-window names (freshest
-# evidence — outside the window this round), (4) the remaining
-# oracle-backed pipeline surface, (5) rows-only queries last (their
-# portable twins are oracle-backed and their rotation tranche of
-# rows-count evidence dates from r8/r9). Whatever falls outside the
-# window is always covered by the committed full-surface
-# CORRECTNESS_LOCAL artifact regenerated at round close.
-# r12 NOTE: rotate q_pipeline back to the front; keep alternating.
+# alternation (and the r11 verdict's item 4), q_pipeline rotates to
+# the front this round: the r11 window was CDC + relational, so the
+# pipeline surface's freshest driver rows date from r10 — and the
+# pipeline names OUTSIDE the r10 window last saw driver rows in r7.
+# Order: (0) queries that are NEW or whose FORMULA CHANGED this
+# round (no driver row exists for the current code), (1) pipeline
+# oracle-backed names outside BOTH recent windows (stalest driver
+# evidence, r7), (2) the r10-window pipeline names, (3) everything
+# else oracle-backed (CDC + relational — fresh r11 evidence),
+# (4) rows-only queries last (their portable twins are oracle-backed
+# and their rotation tranche of rows-count evidence dates from
+# r8/r9). Whatever falls outside the window is always covered by the
+# committed full-surface CORRECTNESS_LOCAL artifact regenerated at
+# round close. r13 NOTE: rotate q_cdc + q_relational back to the
+# front; keep alternating.
 _FRONT = [
-    # NEW in r11 — no driver row exists yet
+    # formula changed in r12 (single-symbol-vocab guard in the BPE
+    # pair explosion, per r11 ADVICE) — the r11 driver rows predate
+    # the current code
     "bpe_merge_steps",
     "bpe_compression_by_source",
     "bpe_token_frequencies",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "disjunctive_part_revenue",
-    "sole_late_suppliers",
-    "dormant_customer_balances",
-    "nation_trade_volume",
-    "top_revenue_suppliers",
-    "event_funnel_counts",
-    "weekly_retention_cohorts",
-    "orders_table_profile",
-    # formula changed in r11 (exact-integral fixed point) — the r10
-    # driver row predates the current code
-    "economy_revenue_share",
+    # NEW in r12 — no driver row exists yet
+    "bpe_encode_documents",
+    "event_funnel_windowed_counts",
+    "orders_table_profile_approx",
+    "bucketed_customer_order_stats",
 ]
-_CDC = [
-    "latest_state_per_user", "state_asof", "snapshot_part",
-    "update_diff_events", "update_diff_json", "unprocessed_page",
-    "unprocessed_pages_count", "wire_encode_nation", "topic_routing",
-    "event_asof_order", "order_event_attribution",
-    "replayed_state_from_diffs", "scd2_user_history",
-]
-# names that took a fresh r10 driver row (CORRECTNESS_r10.json keys):
-# they sort AFTER the stale relational surface.
+# names that took a fresh r10 driver row (CORRECTNESS_r10.json keys)
 _R10_WINDOW = {
     "corpus_vocabulary", "bpe_pair_counts", "source_minhash_overlap",
     "source_quality_drift", "props_key_profile",
@@ -98,26 +85,24 @@ _R10_WINDOW = {
     "media_frame_sample", "media_near_dup_by_frames",
     "multimodal_features", "multimodal_features_real",
 }
-from pg2kafka_spark.q_relational import __name__ as _qrel_mod  # noqa: E402
+from pg2kafka_spark.q_pipeline import __name__ as _qpipe_mod  # noqa: E402
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
-_rel_names = [
+_pipe_names = {
     n for n, fn in QUERIES.items()
-    if getattr(fn, "__module__", "") == _qrel_mod
-]
+    if getattr(fn, "__module__", "") == _qpipe_mod
+}
 
 
 def _tier(n: str) -> tuple:
     if n in _FRONT:
         return (0, _FRONT.index(n))
-    if n in _CDC:
-        return (1, _CDC.index(n))
     if n not in ORACLES:
-        return (5, _reg_pos[n])
-    if n in _rel_names and n not in _R10_WINDOW:
-        return (2, _reg_pos[n])
+        return (4, _reg_pos[n])
+    if n in _pipe_names and n not in _R10_WINDOW:
+        return (1, _reg_pos[n])
     if n in _R10_WINDOW:
-        return (3, _reg_pos[n])
-    return (4, _reg_pos[n])
+        return (2, _reg_pos[n])
+    return (3, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)

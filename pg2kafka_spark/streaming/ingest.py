@@ -69,8 +69,26 @@ def _store_or_empty(
     except AnalysisException as exc:
         # Directory exists but holds no parquet footers yet (e.g. only
         # a leftover _SUCCESS/_temporary): PATH_NOT_FOUND-class errors
-        # are the empty-store case; everything else propagates.
-        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+        # are the empty-store case; everything else propagates. Match
+        # on the STRUCTURED error class (stable across Spark
+        # versions/locales), falling back to the message substring only
+        # when the accessor is unavailable (older PySpark).
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if callable(fn):
+                try:
+                    cond = fn()
+                except Exception:
+                    cond = None
+                if cond is not None:
+                    break
+        empty_classes = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        if cond is not None:
+            if any(cond.startswith(c) for c in empty_classes):
+                return spark.createDataFrame([], like.schema)
+            raise
+        if any(c in str(exc) for c in empty_classes):
             return spark.createDataFrame([], like.schema)
         raise
 

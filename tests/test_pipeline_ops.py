@@ -2005,6 +2005,23 @@ def test_bpe_train_merges_two_steps_hand_computed(spark):
     assert (rows[2].pair_a, rows[2].pair_b, rows[2].total_count) == ("a", "b", 3)
 
 
+def test_bpe_train_merges_word_collapsed_to_single_symbol(spark):
+    """Regression (r11 ADVICE, high): a trained word that collapses
+    to ONE symbol after a merge (here 'ab' once (a,b) wins step 1)
+    must contribute no pairs to later steps. Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0] — unlike the oracle's
+    empty generate_series — so an unguarded explode throws
+    INVALID_INDEX_OF_ZERO in element_at. Corpus 'ab ab ab abc':
+    step 1 merges (a,b) -> 'ab' is now a single symbol; step 2 must
+    still run and pick (ab,c)=1 from 'abc'."""
+    from pg2kafka_spark.operators.text import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "ab ab ab abc")], ["doc_id", "text"])
+    rows = {r.step: r for r in bpe_train_merges(df, n_merges=2).collect()}
+    assert (rows[1].pair_a, rows[1].pair_b, rows[1].total_count) == ("a", "b", 4)
+    assert (rows[2].pair_a, rows[2].pair_b, rows[2].total_count) == ("ab", "c", 1)
+
+
 def test_bpe_train_merges_greedy_nonoverlapping(spark):
     """BPE's greedy left-to-right within-word merge order: 'aaa' with
     merge (a,a) pairs as (aa)(a) — the wrapped-literal replace must

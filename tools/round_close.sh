@@ -29,5 +29,8 @@ PYTHONPATH=. python tools/explain_plans.py > /dev/null
 
 echo "== [5/5] commit artifacts"
 git add "CORRECTNESS_LOCAL_r${ROUND}.json" BENCH_LOCAL.json PLANS.md
-git commit -m "round ${ROUND}: close-out artifacts (full-surface parity, bench, plans)"
+# guard: nothing staged (re-run after a green close) must not abort
+# the script under set -e
+git diff --cached --quiet || \
+  git commit -m "round ${ROUND}: close-out artifacts (full-surface parity, bench, plans)"
 echo "round_close done"
