@@ -32,11 +32,24 @@ def table_profile(
     numeric_cols: tuple[str, ...] = (),
     string_cols: tuple[str, ...] = (),
     ts_cols: tuple[str, ...] = (),
+    approximate: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Profile ``df``: one row per column — (column_name, n_rows,
     n_nulls, n_distinct, min_num, max_num, min_str, max_str).
     ``ts_cols`` are profiled as integer epoch-µs in the numeric
-    slots."""
+    slots.
+
+    ``approximate=True`` is the PB-scale mode the module docstring
+    names: ``approx_count_distinct`` (HyperLogLog++, ``rsd`` relative
+    error) replaces the exact multi-distinct, which removes the
+    Expand from the plan entirely — every column's sketch merges in
+    ONE ordinary partial aggregate, so the shuffle carries
+    O(n_cols × registers) bytes instead of n_cols partially-deduped
+    copies of the key stream. Exact stays the default because the
+    DuckDB oracle must agree bit-for-bit; the approx twin is
+    rows-only evidence plus a tolerance test against the exact
+    profile."""
 
     def num(c: str) -> Column:
         # NTZ-encoded parquet timestamps need the cast (session tz is
@@ -47,18 +60,23 @@ def table_profile(
             else F.col(c).cast("double")
         )
 
+    def nd(col: Column) -> Column:
+        if approximate:
+            return F.approx_count_distinct(col, float(rsd))
+        return F.count_distinct(col)
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in (*numeric_cols, *ts_cols):
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.count_distinct(num(c)).alias(f"__nd_{c}"),
+            nd(num(c)).alias(f"__nd_{c}"),
             F.min(num(c)).cast("double").alias(f"__mn_{c}"),
             F.max(num(c)).cast("double").alias(f"__mx_{c}"),
         ]
     for c in string_cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            nd(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).alias(f"__mn_{c}"),
             F.max(F.col(c)).alias(f"__mx_{c}"),
         ]

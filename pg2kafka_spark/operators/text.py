@@ -1101,3 +1101,90 @@ def bpe_token_frequencies(
         .groupBy("token")
         .agg(F.sum("c").cast("bigint").alias("freq"))
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to (possibly NEW) text — the
+    SERVING half of the tokenizer whose training half is
+    :func:`bpe_train_merges`. ``merges`` is the trainer's output
+    frame (step, pair_a, pair_b, ...); encoding replays the merges
+    in step order over each word's wrapped-symbol form (the same
+    " a  b  c " representation, so each merge is the same
+    non-overlapping left-to-right literal replace the trainer used —
+    greedy BPE application, byte-for-byte the trainer's semantics).
+
+    Returns one row per document: (id, n_words, n_tokens, encoded)
+    where ``encoded`` is the full space-joined token sequence in
+    original word order.
+
+    Scale shape: the merge table aggregates to ONE row holding the
+    step-ordered array of pairs, broadcast to every task; merges then
+    replay per DISTINCT word (``F.aggregate`` fold over the broadcast
+    array — vocab-sized work, never corpus-sized, exactly the
+    trainer's economy). The corpus-sized pass is word extraction
+    (posexplode, map-only) plus one join from occurrences to the
+    encoded vocabulary — skewed by common words, which AQE skew-join
+    handles; the per-doc reassembly groups on the uniform doc key.
+    A production encoder with a 30k-merge table replays merges via a
+    linear-scan pair-ranking kernel instead of 30k folds; the 8-merge
+    fold here keeps the whole path oracle-checkable."""
+    ms = merges.agg(
+        F.sort_array(
+            F.collect_list(F.struct("step", "pair_a", "pair_b"))
+        ).alias("ms")
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("i", "w"),
+    ).filter(F.length("w") >= 1)
+    dw = words.select("w").distinct()
+    wrapped = F.regexp_replace("w", "(.)", " $1 ")
+    enc = (
+        dw.crossJoin(F.broadcast(ms))
+        .select(
+            "w",
+            F.aggregate(
+                "ms",
+                wrapped,
+                lambda acc, m: F.replace(
+                    acc,
+                    F.concat(
+                        F.lit(" "), m["pair_a"],
+                        F.lit("  "), m["pair_b"], F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), m["pair_a"], m["pair_b"], F.lit(" ")
+                    ),
+                ),
+            ).alias("w2"),
+        )
+        .select(
+            "w",
+            F.replace(F.trim("w2"), F.lit("  "), F.lit(" ")).alias("toks"),
+            F.size(F.split(F.trim("w2"), "  ")).cast("bigint").alias(
+                "n_syms"
+            ),
+        )
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "toks"))),
+                    lambda x: x["toks"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+    )

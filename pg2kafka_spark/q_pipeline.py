@@ -4120,6 +4120,63 @@ def _bpe_token_freq_oracle(n_merges: int = 8) -> str:
     """
 
 
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Trainer chain + serving-path encode: every distinct corpus word
+    replays the merges in step order (nested scalar-subquery replaces
+    over the wrapped form — the oracle's unrolled twin of the Spark
+    side's fold over the broadcast merge array), then documents
+    reassemble in word order."""
+    ctes, _picks = _bpe_cte_chain(n_merges)
+    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
+    for k in range(1, int(n_merges) + 1):
+        expr = (
+            f"replace({expr},"
+            f" (SELECT ' ' || pair_a || '  ' || pair_b || ' ' FROM p{k}),"
+            f" (SELECT ' ' || pair_a || pair_b || ' ' FROM p{k}))"
+        )
+    return ctes + f""",
+    dwords AS (
+      SELECT doc_id, xs, unnest(generate_series(1, length(xs))) AS i
+      FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                            ' ') AS xs
+        FROM documents
+      )
+    ),
+    occ AS (
+      SELECT doc_id, xs[i] AS w, i FROM dwords WHERE length(xs[i]) >= 1
+    ),
+    encw AS (
+      SELECT w, {expr} AS w2 FROM (SELECT DISTINCT w FROM occ)
+    ),
+    enc AS (
+      SELECT w, replace(trim(w2), '  ', ' ') AS toks,
+             CAST(length(string_split(trim(w2), '  ')) AS BIGINT) AS n_syms
+      FROM encw
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+           string_agg(toks, ' ' ORDER BY i) AS encoded
+    FROM occ JOIN enc USING (w)
+    GROUP BY doc_id
+    """
+
+
+@query("bpe_encode_documents", oracle=_bpe_encode_oracle())
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING half of the tokenizer: train the 8-merge table,
+    then encode every document with it — per-doc word/token counts
+    and the full encoded token sequence in word order. Closes the
+    tokenizer loop (train -> frequencies -> compression -> ENCODE);
+    at production scale the same plan encodes NEW text against a
+    persisted merge table. See ``operators/text.bpe_encode``."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = X.bpe_train_merges(docs, n_merges=8)
+    return X.bpe_encode(docs, merges)
+
+
 @query("bpe_token_frequencies", oracle=_bpe_token_freq_oracle())
 def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token frequency table after the 8-merge BPE training — the

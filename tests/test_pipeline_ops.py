@@ -2022,6 +2022,23 @@ def test_bpe_train_merges_word_collapsed_to_single_symbol(spark):
     assert (rows[2].pair_a, rows[2].pair_b, rows[2].total_count) == ("ab", "c", 1)
 
 
+def test_bpe_encode_new_text_hand_computed(spark):
+    """Serving path: train on one corpus, encode DIFFERENT text.
+    Train 'aaab aaab ab' (2 merges: (a,a) then (a,b)); encode
+    'aaab ab x baa': aaab->aa|ab, ab->ab, x->x (untrained 1-char),
+    baa->b|aa — greedy in-order merge replay on unseen words."""
+    from pg2kafka_spark.operators.text import bpe_encode, bpe_train_merges
+
+    train = spark.createDataFrame([(1, "aaab aaab ab")], ["doc_id", "text"])
+    merges = bpe_train_merges(train, n_merges=2)
+    new = spark.createDataFrame([(7, "aaab ab x baa")], ["doc_id", "text"])
+    row = bpe_encode(new, merges).collect()[0]
+    assert row.doc_id == 7
+    assert row.n_words == 4
+    assert row.n_tokens == 6
+    assert row.encoded == "aa ab ab x b aa"
+
+
 def test_bpe_train_merges_greedy_nonoverlapping(spark):
     """BPE's greedy left-to-right within-word merge order: 'aaa' with
     merge (a,a) pairs as (aa)(a) — the wrapped-literal replace must
@@ -2113,3 +2130,32 @@ def test_table_profile_hand_computed(spark):
     assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
     assert (s.min_str, s.max_str) == ("a", "b")
     assert s.min_num is None and s.max_num is None
+
+
+def test_table_profile_approx_matches_exact_within_tolerance(spark):
+    """The approx profile (HLL, rsd 5%) must agree with the exact
+    twin on every non-sketch column EXACTLY (n_rows, n_nulls,
+    min/max) and land every n_distinct within a generous 3×rsd
+    band — the evidence contract orders_table_profile_approx's
+    docstring promises."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.profile import table_profile
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    kw = dict(
+        numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
+        string_cols=("o_orderstatus", "o_orderpriority"),
+        ts_cols=("o_orderdate",),
+    )
+    exact = {r.column_name: r for r in table_profile(orders, **kw).collect()}
+    approx = {
+        r.column_name: r
+        for r in table_profile(orders, approximate=True, **kw).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_nulls) == (e.n_rows, e.n_nulls), c
+        assert (a.min_num, a.max_num) == (e.min_num, e.max_num), c
+        assert (a.min_str, a.max_str) == (e.min_str, e.max_str), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.15 * e.n_distinct), c

@@ -610,3 +610,44 @@ def test_small_quantity_revenue_brand_semi_filter_first(spark, sf_dir):
     assert "EqualTo(p_brand,Brand#23)" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_event_funnel_windowed_same_shape_as_unwindowed(spark, sf_dir):
+    """The conversion-window band adds one map-side predicate per
+    stage — shape otherwise identical to the plain funnel: no window
+    operator, per-stage type filters at the scan."""
+    p = plan_of(spark, "event_funnel_windowed_counts", sf_dir)
+    assert "Window" not in p
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,click)" in p
+    assert "EqualTo(event_type,purchase)" in p
+
+
+def test_orders_table_profile_approx_no_expand(spark, sf_dir):
+    """The PB-scale approx profile replaces the exact multi-distinct:
+    the Expand disappears (one ordinary partial aggregate over HLL
+    sketches), still exactly one orders scan."""
+    p = plan_of(spark, "orders_table_profile_approx", sf_dir)
+    assert "Expand" not in p
+    assert p.count("orders.parquet") == 1
+
+
+def test_bucketed_customer_order_stats_join_and_agg_without_exchange(
+    spark, sf_dir
+):
+    """Both sides of the join read the shared (custkey, 16) bucketed
+    layout: with broadcast disabled, the join AND the per-customer
+    aggregate consume the scans in place — the ONLY shuffle left is
+    the 5-key segment rollup."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, "bucketed_customer_order_stats", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+    # exactly ONE plain shuffle: the final segment rollup. The join
+    # and the per-custkey aggregate ride the bucketed scans.
+    assert p.count(" Exchange (") == 1
+    assert "SelectedBucketsCount" in p
