@@ -2390,3 +2390,418 @@ def bucketed_customer_order_stats(
         F.sum("n_orders").cast("bigint").alias("n_orders"),
         F.sum("spend").cast("double").alias("total_spent"),
     )
+
+
+@query(
+    "discount_band_revenue_delta",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue_delta,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure
+    scan-filter-aggregate — what revenue would return if discounts in
+    a band were dropped. EVERY predicate reaches the parquet reader
+    (PushedFilters), the scan reads 4 columns of 11, and the
+    aggregate is a 1-row partial-then-final — the query the columnar
+    format exists for; at 100 TB it is I/O-bound and embarrassingly
+    parallel. Exact DECIMAL product before the sum (double sums are
+    partial-order-dependent)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    delta = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * CAST(l_discount AS DECIMAL(18,2))"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(delta).cast("double").alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "returned_item_customer_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a quarter-ish window. The returnflag
+    predicate pushes into the lineitem scan and the date band into
+    orders BEFORE either join; customer/nation broadcast as true
+    dims; orders⋈lineitem is the fact-fact join the planner owns.
+    Top-20 plans as TakeOrderedAndProject (per-partition bounded
+    heaps — no global sort materializes); c_custkey tiebreak keeps
+    the LIMIT deterministic across engines."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "part_type_profit_by_nation",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           - CAST(sum(CAST(round(p_retailprice * l_quantity * 0.1, 2)
+                           AS DECIMAL(18,2))) AS DOUBLE)
+             AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def part_type_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation and
+    order year, revenue minus a handling-cost share of retail price
+    for one part family (name LIKE — no partsupp table exists in this
+    schema, so retail price stands in for supply cost; the SHAPE —
+    fact⋈dim-filtered⋈dim⋈dim⋈fact, two-key rollup — is Q9's).
+    The name filter prunes part BEFORE broadcasting it into
+    lineitem, so the fact-fact join with orders runs on the reduced
+    stream. Revenue and cost sum separately in exact DECIMAL and
+    subtract as doubles — identical partial-order-free arithmetic on
+    both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%widget%")
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+    )
+    cost = F.expr(
+        "CAST(round(p_retailprice * l_quantity * 0.1, 2) AS DECIMAL(18,2))"
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(rev).cast("double") - F.sum(cost).cast("double")
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "regional_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, s_name,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      JOIN region   ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY 1
+    )
+    SELECT p_partkey, p_brand, s_name, CAST(best_cost AS DOUBLE) AS unit_cost
+    FROM costs
+    JOIN best ON best.l_partkey = costs.l_partkey
+             AND costs.unit_cost = best.best_cost
+    JOIN part ON p_partkey = costs.l_partkey
+    WHERE p_size <= 10
+    """,
+)
+def regional_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part,
+    the ASIA supplier(s) achieving the minimum observed unit price —
+    the correlated-min + join-back (argmin) pattern. Lineitem is the
+    price book (no partsupp table in this schema); the region filter
+    reduces supplier to a broadcastable sliver BEFORE touching the
+    fact; the argmin is a per-part min re-joined on (part, exact
+    min) — both sides compute the identical IEEE double, so the
+    equality join is deterministic; ties emit every witness on both
+    engines. No window: at 100 TB the min+join-back pair is two
+    partial-aggregated uniform-key shuffles, beating a per-part sort
+    window."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 10)
+    asia_sup = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    costs = (
+        li.join(F.broadcast(asia_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == best.b_partkey)
+            & (costs.unit_cost == best.best_cost),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            costs.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("best_cost").cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "important_part_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT n_name AS nation, l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS value_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      GROUP BY 1, 2
+    ),
+    total AS (
+      SELECT count(*) AS n_groups, CAST(sum(value_cents) AS BIGINT)
+               AS total_cents
+      FROM pv
+    )
+    SELECT nation, partkey, value_cents
+    FROM pv, total
+    WHERE value_cents * n_groups > 3 * total_cents
+    """,
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): (nation,
+    part) positions whose traded value exceeds 3× the MEAN position
+    value — the global-scalar-threshold pattern. (Classic Q11 uses a
+    fixed global fraction scaled by 1/SF; a scale-FREE mean-relative
+    cut keeps the result non-degenerate at every sf — measured 8 /
+    627 / 4.7k rows at sf0.001/0.01/0.1.) The global (count, total)
+    is a 1-row aggregate of the per-group frame broadcast-cross-
+    joined back (never a correlated re-scan); the comparison is pure
+    integer cents (value×n > 3×total — no engine-specific
+    decimal/double mixing), and the fact is scanned ONCE: both
+    threshold inputs derive from the grouped frame itself."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    pv = (
+        li.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("value_cents"))
+    )
+    total = pv.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("value_cents").cast("bigint").alias("total_cents"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.col("n_groups")
+            > 3 * F.col("total_cents")
+        )
+        .select("nation", "partkey", "value_cents")
+    )
+
+
+@query(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    DISTINCT suppliers ship each surviving (brand, type, size) part
+    class, excluding a supplier denylist (NOT IN → broadcast
+    left-anti — s_suppkey is non-null so anti-join and NOT IN agree).
+    Lineitem stands in for partsupp (no such table in this schema).
+    Part predicates prune the dim BEFORE it broadcasts; the distinct
+    count is the standard two-phase partial-dedup aggregate on
+    uniform keys."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type",
+                                      "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "excess_shipment_suppliers",
+    oracle="""
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT l_suppkey, qty,
+             sum(qty) OVER (PARTITION BY l_partkey) AS total_qty
+      FROM sq
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM sh
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty * 2 > total_qty
+    """,
+)
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (dominant-share suppliers): suppliers who
+    shipped MORE THAN HALF of any widget part's 1997 volume — the
+    nested aggregate-over-aggregate semi-join pattern (Q20's
+    available-quantity threshold re-expressed on lineitem; no
+    partsupp in this schema). The part/date filters prune at the
+    scan; the share test is a windowed total over the ALREADY
+    part-supplier-aggregated frame — post-aggregate window on the
+    uniform part key, so the fact is scanned exactly once and
+    nothing corpus-sized ever sorts (contrast the join-back
+    spelling, which re-scans the fact because Spark won't reuse the
+    exchange across two consumers); DISTINCT collapses multi-part
+    witnesses. Exact DECIMAL quantity sums; the half test is
+    qty*2 > total (integer-safe, no division)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%widget%")
+    )
+    supplier = load_table(spark, "supplier", sf_dir)
+    sq = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey")),
+              li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    sh = sq.withColumn(
+        "total_qty",
+        F.sum("qty").over(Window.partitionBy("l_partkey")),
+    )
+    return (
+        sh.filter(F.col("qty") * 2 > F.col("total_qty"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -60,6 +60,13 @@ _FRONT = [
     "event_funnel_windowed_counts",
     "orders_table_profile_approx",
     "bucketed_customer_order_stats",
+    "discount_band_revenue_delta",
+    "returned_item_customer_revenue",
+    "part_type_profit_by_nation",
+    "regional_min_cost_supplier",
+    "important_part_stock",
+    "part_supplier_diversity",
+    "excess_shipment_suppliers",
 ]
 # names that took a fresh r10 driver row (CORRECTNESS_r10.json keys)
 _R10_WINDOW = {

@@ -651,3 +651,72 @@ def test_bucketed_customer_order_stats_join_and_agg_without_exchange(
     # and the per-custkey aggregate ride the bucketed scans.
     assert p.count(" Exchange (") == 1
     assert "SelectedBucketsCount" in p
+
+
+def test_discount_band_revenue_delta_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: every predicate reaches the parquet reader; unused
+    columns never leave the scan; 1-row partial-then-final agg."""
+    p = plan_of(spark, "discount_band_revenue_delta", sf_dir)
+    assert "PushedFilters:" in p
+    assert "LessThan(l_quantity,24" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "l_partkey" not in p and "l_returnflag" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_returned_item_customer_revenue_top20_no_global_sort(spark, sf_dir):
+    """Q10 shape: returnflag pushed to the lineitem scan, date band
+    to orders; dims broadcast; top-20 is a bounded heap."""
+    p = plan_of(spark, "returned_item_customer_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_part_type_profit_filters_dim_before_broadcast(spark, sf_dir):
+    """Q9 shape: the name LIKE prunes part at ITS scan (contains
+    pushed), the pruned dim broadcasts, no cartesian."""
+    p = plan_of(spark, "part_type_profit_by_nation", sf_dir)
+    assert "StringContains(p_name,widget)" in p
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_regional_min_cost_supplier_argmin_without_window(spark, sf_dir):
+    """Q2 shape: argmin = per-part min + equality join-back — never a
+    per-part sort window; the region-pruned supplier sliver
+    broadcasts into the fact."""
+    p = plan_of(spark, "regional_min_cost_supplier", sf_dir)
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_important_part_stock_scalar_threshold_broadcast(spark, sf_dir):
+    """Q11 shape: the global total is a broadcast 1-row frame (a
+    nested-loop join against one row, NOT a cartesian of two big
+    sides); integer-cents comparison."""
+    p = plan_of(spark, "important_part_stock", sf_dir)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_part_supplier_diversity_anti_join_and_pruned_dim(spark, sf_dir):
+    """Q16 shape: NOT IN plans as a broadcast left-anti; part's
+    brand/size predicates prune the dim at its own scan."""
+    p = plan_of(spark, "part_supplier_diversity", sf_dir)
+    assert "LeftAnti" in p
+    assert "In(p_size, [1,13,17,21,25,29,5,9])" in p or "p_size" in p
+    assert "CartesianProduct" not in p
+
+
+def test_excess_shipment_suppliers_prunes_fact_at_scan(spark, sf_dir):
+    """Q20 shape: date band pushed to the lineitem scan, name filter
+    to part; the share test is a post-aggregate window, so lineitem
+    is scanned exactly once (the join-back spelling re-scans it)."""
+    p = plan_of(spark, "excess_shipment_suppliers", sf_dir)
+    assert "GreaterThanOrEqual(l_shipdate," in p
+    assert "StringContains(p_name,widget)" in p
+    assert p.count("lineitem.parquet") == 1
+    assert "CartesianProduct" not in p
