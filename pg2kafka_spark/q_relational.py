@@ -2805,3 +2805,165 @@ def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@query(
+    "part_pair_cooccurrence",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-50 part pairs appearing in
+    the same order. The oracle spells it as the classic fact
+    self-join; the Spark plan NEVER self-joins the fact — each order
+    collapses to its distinct part set (baskets are small and bounded
+    by order size), pairs explode map-side from the per-order array
+    (≤ C(lines,2) ≈ 20 rows per order), and only (pair, count)
+    partial aggregates shuffle. At 100 TB the self-join spelling
+    shuffles the fact twice and risks quadratic blowup on a hot
+    order; the basket-explode spelling is one orderkey shuffle plus
+    a bounded explode — the same cap discipline as the LSH buckets.
+    Top-50 is a bounded heap (TakeOrdered), key-tiebroken."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("parts"), i + 2,
+                            F.size(F.col("parts")) - i - 1,
+                        ),
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click' AND epoch_us(ts) > t1
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+      GROUP BY 1
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS stage, t2 - t1 AS lat_us
+      FROM s2 JOIN s1 USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage, t3 - t2 AS lat_us
+      FROM s3 JOIN s2 USING (user_id)
+    ),
+    rn AS (
+      SELECT stage, lat_us,
+             row_number() OVER (PARTITION BY stage ORDER BY lat_us) AS rn,
+             count(*) OVER (PARTITION BY stage) AS n
+      FROM lat
+    )
+    SELECT stage,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(min(lat_us) AS BIGINT) AS min_us,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
+                AS BIGINT) AS p50_us,
+           CAST(max(lat_us) AS BIGINT) AS max_us,
+           CAST(CAST(sum(lat_us) AS HUGEINT)
+                // CAST(max(n) AS BIGINT) AS BIGINT) AS avg_us
+    FROM rn
+    GROUP BY stage
+    """,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition
+    (view→click, click→purchase): user count, min / exact-median /
+    max / floor-mean latency in integer µs. The median is a DISCRETE
+    order statistic (rank (n+1)/2 — the lower median; no
+    interpolation, whose engine conventions differ); all arithmetic
+    integer. Scale shape: the latency frames are user-sized (funnel
+    stages only shrink); the per-stage rank is a window over a
+    2-partition key of an already user-sized frame — at extreme
+    scale swap for the TakeOrdered-prefix order-statistic trick
+    (doc_surprisal_band_fit precedent)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts_us") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(out_t), F.first(prev_t).alias(prev_t))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    lat = (
+        s2.select(
+            F.lit("view_to_click").alias("stage"),
+            (F.col("t2") - F.col("t1")).alias("lat_us"),
+        )
+        .unionByName(
+            s3.select(
+                F.lit("click_to_purchase").alias("stage"),
+                (F.col("t3") - F.col("t2")).alias("lat_us"),
+            )
+        )
+    )
+    w = Window.partitionBy("stage").orderBy("lat_us")
+    rn = lat.select(
+        "stage",
+        "lat_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("stage")).alias("n"),
+    )
+    return rn.groupBy("stage").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.min("lat_us").cast("bigint").alias("min_us"),
+        F.max(
+            F.when(F.expr("rn = (n + 1) div 2"), F.col("lat_us"))
+        ).cast("bigint").alias("p50_us"),
+        F.max("lat_us").cast("bigint").alias("max_us"),
+        F.expr("CAST(sum(lat_us) div max(n) AS BIGINT)").alias("avg_us"),
+    )

@@ -67,6 +67,8 @@ _FRONT = [
     "important_part_stock",
     "part_supplier_diversity",
     "excess_shipment_suppliers",
+    "part_pair_cooccurrence",
+    "funnel_conversion_latency",
 ]
 # names that took a fresh r10 driver row (CORRECTNESS_r10.json keys)
 _R10_WINDOW = {

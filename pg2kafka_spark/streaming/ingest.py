@@ -110,9 +110,18 @@ def ingest_keep_batch(
     gated = batch_df.filter(
         F.size(F.split(F.col(text_col), " ")) >= int(min_tokens)
     )
-    store_fps = store_df.select(
-        fingerprint(F.col(text_col)).alias("fp")
-    ).distinct()
+    # A store that carries a precomputed `fp` column (the bucketed
+    # layout writes one) serves the anti-join WITHOUT re-hashing the
+    # whole store's text each batch — and when the store is bucketed
+    # on fp, the distinct AND the store side of the anti-join consume
+    # the scan in place (zero store-side Exchange, pinned by
+    # tests/test_streaming.py).
+    if "fp" in store_df.columns:
+        store_fps = store_df.select("fp").distinct()
+    else:
+        store_fps = store_df.select(
+            fingerprint(F.col(text_col)).alias("fp")
+        ).distinct()
     fresh = incremental_exact_dedup(gated, store_fps, text_col, id_col)
     near_ids = (
         incremental_near_dup(
@@ -137,6 +146,8 @@ def start_ingest_stream(
     min_tokens: int = 3,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    store_table: str | None = None,
+    store_buckets: int = 16,
 ):
     """Start the continuous-ingest dedup stream: parquet files landing
     in ``incoming_dir`` flow through :func:`ingest_keep_batch` against
@@ -148,7 +159,16 @@ def start_ingest_stream(
     knob, same role as the relay's); ``available_now`` drains the
     backlog then stops — the bootstrap mode; pass False for the
     steady-state continuous trigger.
-    """
+
+    ``store_table`` switches the store to the BUCKETED layout
+    (operators/bucketed.py): survivors append with a precomputed
+    ``fp`` column, hash-bucketed on it into ``store_buckets`` buckets
+    at ``store_dir``. Every subsequent micro-batch's fingerprint
+    anti-join then consumes the store scan IN PLACE — no store-side
+    Exchange and no re-hash of the accumulated text — which is the
+    100 TB shape: the store grows without bound while the per-batch
+    work stays O(batch + matching buckets). The crash contract is
+    unchanged (keep_dir first, store append second)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -156,7 +176,19 @@ def start_ingest_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # sever the source lineage
-        store_df = _store_or_empty(batch_df.sparkSession, store_dir, batch_df)
+        sess = batch_df.sparkSession
+        if store_table is not None:
+            if sess.catalog.tableExists(store_table):
+                store_df = sess.table(store_table)
+            else:
+                store_df = sess.createDataFrame(
+                    [],
+                    batch_df.withColumn(
+                        "fp", fingerprint(F.col(text_col))
+                    ).schema,
+                )
+        else:
+            store_df = _store_or_empty(sess, store_dir, batch_df)
         keep = ingest_keep_batch(
             batch_df, store_df, text_col, id_col, threshold, min_tokens
         ).localCheckpoint()  # evaluate ONCE; two sinks consume it
@@ -170,7 +202,19 @@ def start_ingest_stream(
         keep.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(keep_dir)
-        keep.write.mode("append").parquet(store_dir)
+        if store_table is not None:
+            from pg2kafka_spark.operators.bucketed import write_bucketed
+
+            write_bucketed(
+                keep.withColumn("fp", fingerprint(F.col(text_col))),
+                store_table,
+                "fp",
+                int(store_buckets),
+                path=store_dir,
+                mode="append",
+            )
+        else:
+            keep.write.mode("append").parquet(store_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -720,3 +720,24 @@ def test_excess_shipment_suppliers_prunes_fact_at_scan(spark, sf_dir):
     assert "StringContains(p_name,widget)" in p
     assert p.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in p
+
+
+def test_part_pair_cooccurrence_no_self_join(spark, sf_dir):
+    """Market basket: the fact is scanned ONCE (baskets explode
+    map-side from per-order part sets — the oracle's self-join
+    spelling would scan and shuffle it twice); top-50 is a bounded
+    heap."""
+    p = plan_of(spark, "part_pair_cooccurrence", sf_dir)
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_conversion_latency_stage_filters_pushed(spark, sf_dir):
+    """Latency distribution: per-stage type filters reach the scan;
+    the only window runs over the user-sized latency frame."""
+    p = plan_of(spark, "funnel_conversion_latency", sf_dir)
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,click)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "CartesianProduct" not in p

@@ -853,3 +853,95 @@ def test_ingest_store_or_empty_only_swallows_missing_path(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
     with pytest.raises(Exception):
         _store_or_empty(spark, str(bad), like).collect()
+
+
+def test_ingest_stream_bucketed_store_same_results(spark, tmp_path):
+    """The bucketed-store mode (store_table=...) must produce exactly
+    the plain-store keep-set over the 3 waves, while the store lands
+    as a (fp, 8)-bucketed catalog table whose rows carry the
+    precomputed fingerprint column."""
+    from pg2kafka_spark.streaming.ingest import start_ingest_stream
+
+    d = _ingest_dirs(tmp_path)
+    for i, rows in enumerate(_INGEST_WAVES):
+        _write_wave(spark, rows, d["incoming"], i)
+    schema = "doc_id int, text string"
+    try:
+        q = start_ingest_stream(
+            spark, d["incoming"], schema, d["store"], d["keep"], d["ckpt"],
+            max_files_per_trigger=1, available_now=True,
+            store_table="ingest_store_bkt_test", store_buckets=8,
+        )
+        q.awaitTermination(180)
+        kept = spark.read.parquet(d["keep"])
+        assert {r["doc_id"] for r in kept.collect()} == {1, 2, 6, 9}
+        store = spark.table("ingest_store_bkt_test")
+        assert "fp" in store.columns
+        assert sorted(r["doc_id"] for r in store.collect()) == [1, 2, 6, 9]
+        # bucket metadata is live: the catalog reports the spec
+        ddl = spark.sql(
+            "SHOW CREATE TABLE ingest_store_bkt_test"
+        ).collect()[0][0]
+        assert "CLUSTERED BY (fp)" in ddl and "8 BUCKETS" in ddl
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_store_bkt_test")
+
+
+def test_ingest_bucketed_store_anti_join_saves_store_exchange(
+    spark, tmp_path
+):
+    """The point of the bucketed store: the fingerprint anti-join
+    consumes the store scan IN PLACE. A/B on the SAME store data —
+    plain parquet store vs (fp)-bucketed store — the bucketed plan
+    must carry strictly fewer Exchanges (measured: 30 vs 34 — the
+    store feeds several consumers and each store-side shuffle on fp
+    disappears), read the fp column instead of re-hashing text, and
+    report bucket metadata."""
+    import contextlib
+    import io
+
+    from pg2kafka_spark.operators.bucketed import write_bucketed
+    from pg2kafka_spark.operators.text import fingerprint as fpr
+    from pg2kafka_spark.streaming.ingest import ingest_keep_batch
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"stored document number {i} with plenty of tokens "
+                f"for the gate to pass {i}") for i in range(50)]
+    store_plain = spark.createDataFrame(rows, "doc_id int, text string")
+    store_fp = store_plain.withColumn("fp", fpr(F.col("text")))
+    plain_dir = str(tmp_path / "plain_store")
+    store_plain.write.parquet(plain_dir)
+    try:
+        write_bucketed(
+            store_fp, "ingest_ab_bkt", "fp", 8,
+            path=str(tmp_path / "bkt_store"),
+        )
+        batch = spark.createDataFrame(
+            [(100, "a brand new incoming document with many fresh tokens "
+                   "to clear the minimum gate")],
+            "doc_id int, text string",
+        )
+
+        def plan(store_df):
+            df = ingest_keep_batch(batch, store_df)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue()
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p_plain = plan(spark.read.parquet(plain_dir))
+            p_bkt = plan(spark.table("ingest_ab_bkt"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        n_plain = p_plain.count(" Exchange (")
+        n_bkt = p_bkt.count(" Exchange (")
+        assert n_bkt < n_plain, (n_plain, n_bkt)
+        assert "SelectedBucketsCount" in p_bkt
+        # the bucketed path reads the stored fp — it must NOT re-md5
+        # the store text (md5 still appears once for the BATCH side)
+        assert p_bkt.count("md5(") < p_plain.count("md5(")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ingest_ab_bkt")
