@@ -139,7 +139,12 @@ def main() -> None:
     # sketch is the map-side-mergeable replacement for a quadratic
     # cross-source join — its wall must track corpus size, with the
     # pairwise stage constant in |sources|².
-    if want("vocabulary") or want("bpe_pairs") or want("source_overlap"):
+    if (
+        want("vocabulary")
+        or want("bpe_pairs")
+        or want("bpe_encode")
+        or want("source_overlap")
+    ):
         from pg2kafka_spark.operators import text as X
 
         if want("vocabulary"):
@@ -151,6 +156,17 @@ def main() -> None:
             timed(
                 f"bpe_pair_counts ({scale}x corpus)",
                 X.bpe_pair_stats(corpus),
+            )
+        if want("bpe_encode"):
+            # full tokenizer loop: train 8 merges on the corpus, then
+            # encode every document with the trained table. Training
+            # is vocab-sized per iteration; encoding adds ONE
+            # corpus-sized word explode + the per-doc reassembly
+            # shuffle (the linear path under test here).
+            merges = X.bpe_train_merges(corpus, n_merges=8)
+            timed(
+                f"bpe_train_encode ({scale}x corpus)",
+                X.bpe_encode(corpus, merges),
             )
         if want("source_overlap"):
             src_corpus = corpus.withColumn(
