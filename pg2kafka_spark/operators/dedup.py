@@ -185,9 +185,22 @@ def shingle_sets(
     from pg2kafka_spark.operators.text import normalized_text
 
     t = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
-    return _spread(df.select(id_col, text_col)).select(
+    # Stage the token split as its OWN projection under the Generate
+    # (the minhash __hp precedent, test_plans.py): inlined, the
+    # split(text) sits INSIDE the shingle lambda and an interpreted
+    # (non-subexpression-eliminated) evaluation re-splits the whole
+    # document per element — O(tokens²) per doc, the 140×-CPU
+    # row-local stalls adjudicated in BASELINE.md (r12). Staged, every
+    # evaluation mode computes the split once per row; __tk is
+    # non-cheap and multiply-referenced, so CollapseProject keeps it.
+    base = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(t).alias("__tk")
+    )
+    return base.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(t), n))).alias("shingle"),
+        F.explode(
+            F.array_distinct(shingles(F.col("__tk"), n))
+        ).alias("shingle"),
     )
 
 
@@ -265,7 +278,14 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     building ~n_tokens shingle STRINGS per row in an interpreted HOF
     was ~10× the cost of everything else in the signature pass); kept
     as the string-faithful shingle-hash expression for exact/oracle
-    formulations."""
+    formulations.
+
+    CAUTION (r12): pass a pre-staged token COLUMN's text, or prefer
+    ``shingle_sets``/``shingle_hashes_from_pairs`` — calling this with
+    an inline text expression puts the ``split`` inside the shingle
+    lambda, which an interpreted (non-subexpression-eliminated)
+    evaluation re-runs per element: O(tokens²) per document (the
+    row-local stall mechanism adjudicated in BASELINE.md)."""
     return F.transform(
         F.array_distinct(shingles(tokens(text), shingle_n)),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_POW31)),
@@ -1360,10 +1380,9 @@ def decontamination_scrub(
     w = int(seg_words)
     ev = (
         eval_docs.select(
-            F.explode(
-                shingles(F.split(normalized_text(F.col(eval_text_col)), " "), w)
-            ).alias("g")
+            F.split(normalized_text(F.col(eval_text_col)), " ").alias("__ev_tk")
         )
+        .select(F.explode(shingles(F.col("__ev_tk"), w)).alias("g"))
         .select(F.md5(F.col("g")).alias("sfp"))
         .distinct()
     )

@@ -405,9 +405,13 @@ def lang_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level agg; the heavy shuffle is on uniform (lang, shingle)
     keys and the top-k runs as WindowGroupLimit."""
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
+    # stage the token split before the shingle HOF (the shingle_sets
+    # r12 fix): inlined, interpreted evaluation re-splits the doc per
+    # shingle — O(tokens²)
+    base = docs.select("lang", X.tokens(F.col("text")).alias("__tk"))
+    sh = base.select(
         "lang",
-        F.explode(X.shingles(X.tokens(F.col("text")))).alias("shingle"),
+        F.explode(X.shingles(F.col("__tk"))).alias("shingle"),
     )
     counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("shingle").asc())

@@ -741,3 +741,24 @@ def test_funnel_conversion_latency_stage_filters_pushed(spark, sf_dir):
     assert "EqualTo(event_type,click)" in p
     assert "EqualTo(event_type,purchase)" in p
     assert "CartesianProduct" not in p
+
+
+def test_shingle_token_split_staged_once(spark, sf_dir):
+    """Regression for the r11/r12 row-local stalls (BASELINE.md r12
+    adjudication): the token split feeding the shingle HOF must be
+    its OWN staged projection, never captured inside the lambda —
+    interpreted (non-subexpression-eliminated) evaluation re-splits
+    the document per shingle element, O(tokens²) per doc (measured:
+    ~140× task CPU, 16 s stages). Same class as the minhash __hp
+    guard above; pinned on every shingle-consuming registered query."""
+    for name in (
+        "cross_source_dup_matrix",
+        "shingle_jaccard_pairs",
+        "lang_ngram_profile",
+        "near_dup_keep_list",
+    ):
+        p = plan_of(spark, name, sf_dir)
+        assert p.count("split(") <= 1, (
+            f"{name}: split( appears {p.count('split(')}x — the token "
+            "split leaked back inside a lambda"
+        )
