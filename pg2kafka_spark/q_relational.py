@@ -2827,10 +2827,15 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to its distinct part set (baskets are small and bounded
     by order size), pairs explode map-side from the per-order array
     (≤ C(lines,2) ≈ 20 rows per order), and only (pair, count)
-    partial aggregates shuffle. At 100 TB the self-join spelling
-    shuffles the fact twice and risks quadratic blowup on a hot
-    order; the basket-explode spelling is one orderkey shuffle plus
-    a bounded explode — the same cap discipline as the LSH buckets.
+    partial aggregates shuffle. Measured trade
+    (tools/relational_stress.py, BASELINE.md r12): the self-join
+    plans as TWO fact scans + three exchanges (Spark does not reuse
+    the exchange across the inequality self-join), the basket
+    explode as ONE scan + two exchanges; on page-cached local data
+    the self-join's extra scan is cheap and it wins at 6 M rows
+    (6.4 vs 9.1 s), the explode takes the lead by 18 M rows
+    (23.4 vs 24.7 s), and at cluster scale — where the second scan
+    is real I/O — the one-scan spelling is the only defensible one.
     Top-50 is a bounded heap (TakeOrdered), key-tiebroken."""
     li = load_table(spark, "lineitem", sf_dir)
     baskets = (

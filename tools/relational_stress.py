@@ -1,0 +1,157 @@
+"""Relational-operator stress measurements for BASELINE.md: scale the
+fact tables by RELSTRESS_SCALE (orderkey-shifted copies of sf0.1
+lineitem/orders/customer keep join keys consistent) and measure the
+claims the r12 query docstrings make:
+
+1. part_pair_cooccurrence: basket-explode spelling vs the classic
+   fact self-join — the explode must win and the gap must WIDEN with
+   scale (the self-join shuffles the fact twice and blows up on hot
+   shingle-frequency orders; the explode shuffles bounded pairs).
+2. bucketed co-located join vs plain shuffled join on the same
+   custkey rollup — the bucketed read must beat re-shuffling the
+   fact, the gap widening with scale (the one-shuffle-at-ingest
+   trade).
+
+Usage: [RELSTRESS_SCALE=10] PYTHONPATH=. python tools/relational_stress.py
+(RELSTRESS_ONLY=cooccurrence,bucketed restricts measurements.)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def timed(label: str, df) -> None:
+    t0 = time.perf_counter()
+    n = df.count()
+    print(f"{label:52s} {time.perf_counter() - t0:7.2f} s   n={n}", flush=True)
+
+
+def main() -> None:
+    scale = int(os.environ.get("RELSTRESS_SCALE", "10"))
+    only = [t for t in os.environ.get("RELSTRESS_ONLY", "").split(",") if t]
+
+    def want(label: str) -> bool:
+        return not only or any(t in label for t in only)
+
+    spark = get_spark("relational-stress")
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_partkey"
+    )
+    copies = spark.range(scale).select(F.col("id").alias("__c"))
+    # orderkey-shifted copies: same basket contents per order, disjoint
+    # order keys — pair counts scale exactly ×scale
+    fact = li.crossJoin(F.broadcast(copies)).select(
+        (F.col("l_orderkey") + F.col("__c") * 100_000_000).alias("l_orderkey"),
+        "l_partkey",
+    )
+    print(f"lineitem rows: {fact.count()}", flush=True)
+
+    if want("cooccurrence"):
+        baskets = (
+            fact.groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+            .filter(F.size("parts") >= 2)
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda a, i: F.transform(
+                            F.slice(
+                                F.col("parts"), i + 2,
+                                F.size(F.col("parts")) - i - 1,
+                            ),
+                            lambda b: F.struct(
+                                a.alias("part_a"), b.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.part_a", "p.part_b")
+        timed(
+            f"cooccurrence basket-explode ({scale}x)",
+            pairs.groupBy("part_a", "part_b").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+        d = fact.distinct()
+        a, b = d.alias("a"), d.alias("b")
+        selfjoin = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        timed(f"cooccurrence fact self-join ({scale}x)", selfjoin)
+
+    if want("bucketed"):
+        import tempfile
+
+        orders = load_table(spark, "orders", SF_DIR).select(
+            "o_custkey", "o_totalprice"
+        )
+        big_orders = orders.crossJoin(F.broadcast(copies)).select(
+            (F.col("o_custkey") + F.col("__c") * 10_000_000).alias("c_custkey"),
+            "o_totalprice",
+        )
+        customer = load_table(spark, "customer", SF_DIR).select(
+            "c_custkey", "c_mktsegment"
+        )
+        big_cust = customer.crossJoin(F.broadcast(copies)).select(
+            (F.col("c_custkey") + F.col("__c") * 10_000_000).alias("c_custkey"),
+            "c_mktsegment",
+        )
+        root = tempfile.mkdtemp(prefix="relstress_bkt_")
+        from pg2kafka_spark.operators.bucketed import (
+            cocluster_join,
+            write_bucketed,
+        )
+
+        t0 = time.perf_counter()
+        write_bucketed(big_cust, "rs_cust", "c_custkey", 32,
+                       path=f"{root}/cust")
+        write_bucketed(big_orders, "rs_ord", "c_custkey", 32,
+                       path=f"{root}/ord")
+        print(f"bucketed ingest write ({scale}x)               "
+              f"{time.perf_counter() - t0:7.2f} s", flush=True)
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            agg = (
+                cocluster_join(spark, "rs_cust", "rs_ord", "c_custkey")
+                .groupBy("c_custkey", "c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+            )
+            timed(f"bucketed join+agg ({scale}x, no shuffle)", agg)
+            plain = (
+                big_cust.join(big_orders, "c_custkey")
+                .groupBy("c_custkey", "c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+            )
+            timed(f"plain shuffled join+agg ({scale}x)", plain)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            for t in ("rs_cust", "rs_ord"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+if __name__ == "__main__":
+    main()
