@@ -1877,6 +1877,70 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "component_id", "comp_size", "is_canonical")
 
 
+def _leakage_free_split_oracle() -> str:
+    from pg2kafka_spark.operators.sketch import portable_int_hash_sql
+
+    bucket = f"({portable_int_hash_sql('component_id')} % 1000)"
+    return (
+        "WITH RECURSIVE "
+        + _JACCARD_EDGES
+        + f"""
+    , labeled AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT doc_id, component_id,
+             CAST({bucket} AS BIGINT) AS split_bucket
+      FROM labeled
+    )
+    SELECT doc_id, component_id, split_bucket,
+           CASE WHEN split_bucket < 900 THEN 'train'
+                WHEN split_bucket < 950 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """
+    )
+
+
+@query("leakage_free_split", oracle=_leakage_free_split_oracle())
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split: the leakage unit is the
+    near-duplicate CLUSTER, not the document. Hashing the doc id
+    (``doc_train_val_test_split``) puts near-duplicates of training
+    documents into eval — the contamination path behind inflated
+    benchmark numbers (the Lee et al. ACL'22 dedup-eval argument);
+    hashing the connected-component id keeps every cluster in ONE
+    split by construction. Pipeline: exact Jaccard pairs (at 100 TB:
+    the LSH candidate set, same downstream shape) → min-label
+    components → portable-mixer hash of the component id → 900/50/50
+    per-mille bands. The component loop runs on the pair list (tiny
+    vs the corpus); the split assignment itself is map-side. The
+    oracle reproduces components via the recursive-CTE closure and
+    the band math from the shared mixer constants."""
+    from pg2kafka_spark.operators.sketch import portable_int_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    comps = G.connected_components(pairs, node_col="doc_id")
+    labeled = G.components_with_isolates(
+        comps, docs.select("doc_id"), node_col="doc_id"
+    )
+    bucket = F.pmod(
+        portable_int_hash(F.col("component_id")), F.lit(1000)
+    ).cast("bigint")
+    return labeled.select(
+        "doc_id",
+        "component_id",
+        bucket.alias("split_bucket"),
+    ).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < 900, F.lit("train"))
+        .when(F.col("split_bucket") < 950, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 @query(
     "doc_duplicate_ngrams",
     oracle=r"""

@@ -69,6 +69,7 @@ _FRONT = [
     "excess_shipment_suppliers",
     "part_pair_cooccurrence",
     "funnel_conversion_latency",
+    "leakage_free_split",
 ]
 # names that took a fresh r10 driver row (CORRECTNESS_r10.json keys)
 _R10_WINDOW = {

@@ -2159,3 +2159,29 @@ def test_table_profile_approx_matches_exact_within_tolerance(spark):
         assert (a.min_num, a.max_num) == (e.min_num, e.max_num), c
         assert (a.min_str, a.max_str) == (e.min_str, e.max_str), c
         assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.15 * e.n_distinct), c
+
+
+def test_leakage_free_split_keeps_clusters_together(spark, tmp_path):
+    """Planted near-dup cluster (4 docs differing by one token) must
+    land in ONE split, while a doc-id-keyed split would scatter it
+    (ids chosen so portable_int_hash(id) % 1000 crosses a band
+    boundary). Singleton docs split independently."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(i, base + f" v{i}") for i in (1, 2, 3, 4)]
+    rows += [(100 + i, f"totally unrelated document number {i} "
+                       f"with plenty of distinct tokens {i * 7}")
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/documents.parquet")
+    from pg2kafka_spark.queries import QUERIES
+
+    out = QUERIES["leakage_free_split"](spark, d).toPandas()
+    assert len(out) == 10
+    cluster = out[out.doc_id.isin([1, 2, 3, 4])]
+    # one component, one split — the leakage invariant
+    assert cluster.component_id.nunique() == 1
+    assert cluster.split.nunique() == 1
+    # every component maps to exactly one split corpus-wide
+    assert (out.groupby("component_id").split.nunique() > 1).sum() == 0
