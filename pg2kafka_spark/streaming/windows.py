@@ -269,3 +269,87 @@ def change_stats_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: Output schema of :func:`funnel_state_stream`.
+_FUNNEL_SCHEMA = "user_id bigint, t1 bigint, t2 bigint, t3 bigint, stage int"
+_FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
+
+
+def _funnel_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel state machine: three scalars (earliest view,
+    earliest qualifying click, earliest qualifying purchase),
+    folded vectorized per micro-batch."""
+    t1 = t2 = t3 = None
+    if state.exists:
+        t1, t2, t3 = state.get
+    for pdf in batches:
+        pdf = pdf.sort_values("ts_us")
+        views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+        if len(views):
+            v = int(views.min())
+            t1 = v if t1 is None else min(t1, v)
+        if t1 is not None and t2 is None:
+            clicks = pdf.loc[
+                (pdf["event_type"] == "click") & (pdf["ts_us"] > t1), "ts_us"
+            ]
+            if len(clicks):
+                t2 = int(clicks.min())
+        if t2 is not None and t3 is None:
+            buys = pdf.loc[
+                (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t2),
+                "ts_us",
+            ]
+            if len(buys):
+                t3 = int(buys.min())
+    state.update((t1, t2, t3))
+    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "t1": [t1],
+            "t2": [t2],
+            "t3": [t3],
+            "stage": [stage],
+        }
+    )
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming ordered funnel (view → click → purchase): the
+    incremental twin of the batch ``event_funnel_counts`` — per-user
+    conversion state maintained live instead of recomputed per query.
+
+    State per user is THREE integers (earliest view, earliest click
+    after it, earliest purchase after that), updated vectorized per
+    micro-batch and emitted in update mode — a live product-analytics
+    dashboard reads the emitted stage transitions directly.
+
+    Delivery contract (documented, and what makes 3 scalars exact):
+    each user's events arrive in event-time order across micro-batches
+    — the CDC outbox delivers in commit order (``id``/``created_at``,
+    eventqueue/event_queue.go:60-75), and the relay's pages preserve
+    it. Under reordering ACROSS batches a later-arriving EARLIER view
+    could retroactively qualify a click already seen and discarded;
+    handling that exactly requires keeping each user's full event
+    horizon (watermark-bounded) in state — the 3-scalar machine is
+    the right trade on an ordered feed. Within a batch, order is
+    irrelevant (the fold sorts and takes mins).
+
+    At 100 TB state is O(live users) × 24 bytes, hash-partitioned on
+    the user key; stream-vs-batch parity is pinned by
+    tests/test_streaming.py."""
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

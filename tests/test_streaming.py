@@ -945,3 +945,64 @@ def test_ingest_bucketed_store_anti_join_saves_store_exchange(
         assert p_bkt.count("md5(") < p_plain.count("md5(")
     finally:
         spark.sql("DROP TABLE IF EXISTS ingest_ab_bkt")
+
+
+def test_funnel_state_stream_matches_batch_funnel(spark, tmp_path):
+    """Streaming funnel = batch funnel: drive the sf0.001 events
+    table through funnel_state_stream in 4-file micro-batches (the
+    parquet is one file per partition — per-user event-time order is
+    preserved within a partitioned re-write sorted by ts) and compare
+    every user's FINAL (t1, t2, t3, stage) against the batch
+    formulation's stage frames."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.streaming.windows import funnel_state_stream
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev_src")
+    # one file per ts-range slice => micro-batches replay in event-time
+    # order (the outbox delivery contract the operator documents)
+    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        funnel_state_stream(stream)
+        .writeStream.queryName("funnel_stream")
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("funnel_stream").collect()
+    final = {}
+    for r in rows:  # update mode appends; last emission per user wins
+        final[r.user_id] = (r.t1, r.t2, r.t3, r.stage)
+
+    # batch reference: the event_funnel_counts stage logic, per user
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    s1 = (e.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("us").alias("t1")))
+    s2 = (e.filter(F.col("event_type") == "click").join(s1, "user_id")
+          .filter(F.col("us") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("us").alias("t2")))
+    s3 = (e.filter(F.col("event_type") == "purchase").join(s2, "user_id")
+          .filter(F.col("us") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("us").alias("t3")))
+    want = {}
+    for r in s1.collect():
+        want[r.user_id] = [r.t1, None, None, 1]
+    for r in s2.collect():
+        want[r.user_id][1] = r.t2
+        want[r.user_id][3] = 2
+    for r in s3.collect():
+        want[r.user_id][2] = r.t3
+        want[r.user_id][3] = 3
+    got_staged = {u: v for u, v in final.items() if v[3] > 0}
+    assert got_staged == {u: tuple(v) for u, v in want.items()}
+    # users with no view at all never pass stage 0
+    assert all(v[3] == 0 for u, v in final.items() if u not in want)
+    assert len(want) > 0
