@@ -153,5 +153,56 @@ def main() -> None:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+
+
+def events_axis() -> None:
+    """Funnel-family scaling: user-shifted copies of sf0.1 events
+    (each copy is an independent user population, so stage counts
+    scale exactly ×scale). Run via RELSTRESS_ONLY=funnel."""
+    scale = int(os.environ.get("RELSTRESS_SCALE", "10"))
+    spark = get_spark("relational-stress")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    copies = spark.range(scale).select(F.col("id").alias("__c"))
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("user_id") + F.col("__c") * 1_000_000_000).alias("user_id"),
+        "event_type",
+        "ts_us",
+    )
+    print(f"events rows: {big.count()}", flush=True)
+
+    def stage(prev, etype, prev_t, out_t):
+        return (
+            big.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts_us") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts_us").alias(out_t))
+        )
+
+    s1 = (big.filter(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+    s2 = stage(s1, "click", "t1", "t2")
+    s3 = stage(s2, "purchase", "t2", "t3")
+    timed(f"funnel 3-stage ({scale}x events)", s3)
+
+    f = big.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+    ret = (
+        big.join(f, "user_id")
+        .select(
+            F.expr("f_us div 86400000000").alias("cohort_day"),
+            F.expr("(ts_us - f_us) div 604800000000").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    timed(f"weekly retention cohorts ({scale}x events)", ret)
+
+
 if __name__ == "__main__":
-    main()
+    if "funnel" in os.environ.get("RELSTRESS_ONLY", ""):
+        events_axis()
+    else:
+        main()
