@@ -961,9 +961,27 @@ def test_funnel_state_stream_matches_batch_funnel(spark, tmp_path):
         "user_id", "event_type", "ts"
     )
     src = str(tmp_path / "ev_src")
-    # one file per ts-range slice => micro-batches replay in event-time
-    # order (the outbox delivery contract the operator documents)
-    ev.repartitionByRange(4, "ts").sortWithinPartitions("ts").write.parquet(src)
+    # four ts-quartile slices written as SEQUENTIAL appends: the file
+    # stream source orders files by modification time, so separate
+    # writes (not one multi-file write, whose files share an mtime and
+    # tie-break arbitrarily) replay the slices in event-time order —
+    # the outbox delivery contract the operator documents
+    import time as _time
+
+    bounds = ev.agg(
+        *[F.expr(f"percentile(unix_micros(ts), {q})").alias(f"q{i}")
+          for i, q in enumerate((0.25, 0.5, 0.75))]
+    ).collect()[0]
+    cuts = [None, bounds.q0, bounds.q1, bounds.q2, None]
+    for i in range(4):
+        sl = ev.filter(
+            (F.lit(True) if cuts[i] is None
+             else F.unix_micros("ts") > F.lit(int(cuts[i])))
+            & (F.lit(True) if cuts[i + 1] is None
+               else F.unix_micros("ts") <= F.lit(int(cuts[i + 1])))
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
 
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
