@@ -142,7 +142,20 @@ def main() -> int:
         run(df)
         return round(time.perf_counter() - t0, 4)
 
-    sentinel_run()  # warm the sentinel plan itself (JIT is plan-keyed)
+    # Settle before the first timed reading: the first run warms the
+    # sentinel plan itself (JIT is plan-keyed), but right after the
+    # concurrent warmup pool the JVM is still digesting (GC of the
+    # warmup garbage, code-cache churn) — the r12 driver artifact read
+    # 1.12 s for a 0.16–0.45 s plan on exactly that edge. Run untimed
+    # reps until two consecutive ones agree within 25% (≤5 reps), so
+    # the artifact's [first, last] pair reads clean without a
+    # BASELINE.md exclusion footnote.
+    prev = sentinel_run()
+    for _ in range(4):
+        cur = sentinel_run()
+        if abs(cur - prev) <= 0.25 * max(cur, prev):
+            break
+        prev = cur
     sentinel_first = sentinel_run()
 
     timings: dict[str, float] = {}

@@ -45,20 +45,25 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | tuple[str, ...],
     n_buckets: int,
     sort_cols: tuple[str, ...] = (),
     path: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Materialize ``df`` hash-bucketed by ``key`` into ``n_buckets``
-    as catalog table ``table`` (external at ``path`` if given).
+    """Materialize ``df`` hash-bucketed by ``key`` (one column or a
+    tuple — composite join keys like (band, bkey) bucket on the
+    combined hash) into ``n_buckets`` as catalog table ``table``
+    (external at ``path`` if given).
 
     One shuffle-equivalent pass at write time buys every future
     key-joined read a shuffle-free plan. ``sort_cols`` orders within
     buckets (pass the key itself to enable sort-skipping merge
     joins)."""
-    writer = df.write.mode(mode).format("parquet").bucketBy(int(n_buckets), key)
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        int(n_buckets), keys[0], *keys[1:]
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     if path is not None:

@@ -1257,6 +1257,7 @@ def incremental_near_dup(
     band_rows: int = 2,
     n: int = 3,
     max_bucket_size: int | None = 64,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup discovery: find incoming-batch documents
     that are near-duplicates of the already-ingested corpus — the
@@ -1271,6 +1272,20 @@ def incremental_near_dup(
     so the join co-locates and only the day's keys shuffle) → distinct
     candidate pairs → exact Jaccard verification restricted to the
     candidates (the quadratic step pays only for LSH survivors).
+
+    ``store_bands`` IS that maintained table: an (``id_col``, band,
+    bkey) frame of the store's already-computed band keys (the
+    streaming ingest loop appends survivors' keys each batch,
+    streaming/ingest.py). When given, the store's TEXT is touched
+    only for verification — and only for the docs the band join
+    actually hit (a semi-join restricts the shingle pass to candidate
+    store ids) — so per-batch work is O(batch + band table join +
+    matching docs), not O(store text). Band rows for ids absent from
+    ``store`` (the crash-replay phantom window) are harmless: the
+    verification join finds no store shingles, so the pair drops out.
+    Without ``store_bands`` the keys are recomputed from store text —
+    correct, and what the batch oracle checks, but linear in the
+    accumulated corpus.
 
     ``max_bucket_size`` is the hot-band guard on the STORE side (the
     same boilerplate failure mode as ``minhash_lsh_pairs``: a
@@ -1288,9 +1303,14 @@ def incremental_near_dup(
     behavior — is reproducible in SQL and hash-checked, not just
     rows-counted like the xxhash discovery path.
     """
-    bs = portable_band_keys(store, text_col, id_col, k, band_rows).select(
-        F.col(id_col).alias("store_id"), "band", "bkey"
-    )
+    if store_bands is not None:
+        bs = store_bands.select(
+            F.col(id_col).alias("store_id"), "band", "bkey"
+        )
+    else:
+        bs = portable_band_keys(store, text_col, id_col, k, band_rows).select(
+            F.col(id_col).alias("store_id"), "band", "bkey"
+        )
     if max_bucket_size is not None:
         hot = (
             bs.groupBy("band", "bkey")
@@ -1310,10 +1330,24 @@ def incremental_near_dup(
     # contract as the band keys (round-7 advice fix: raw-text shingles
     # under-scored pairs that are near-dups only after case/whitespace
     # normalization, which is exactly what the LSH stage recalls on).
-    shb = shingle_sets(batch, text_col, id_col, n, normalize=True).select(
+    # Shingle only the docs the band join actually hit: a semi-join
+    # on the candidate ids keeps the verification pass O(matching
+    # docs) on BOTH sides instead of O(corpus) — same result (pairs
+    # outside `cand` never reach the common/sizes joins anyway).
+    store_hit = store.join(
+        cand.select(F.col("store_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    batch_hit = batch.join(
+        cand.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    shb = shingle_sets(batch_hit, text_col, id_col, n, normalize=True).select(
         F.col(id_col).alias("batch_id"), "shingle"
     )
-    shs = shingle_sets(store, text_col, id_col, n, normalize=True).select(
+    shs = shingle_sets(store_hit, text_col, id_col, n, normalize=True).select(
         F.col(id_col).alias("store_id"), "shingle"
     )
     sizes_b = shb.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n_batch"))

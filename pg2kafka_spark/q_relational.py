@@ -2068,40 +2068,15 @@ def event_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (predicate pushdown), aggregates to a user-sized min, and joins
     the previous stage on the SAME user key — every exchange in the
     chain hashes the one uniform key, and each stage's frame only
-    shrinks (funnels are monotone). No windows, no per-user sorts."""
+    shrinks (funnels are monotone). No windows, no per-user sorts.
+    Since r13 the chain is the generic N-stage fold
+    (operators/funnel.py) — identical composition, any length."""
+    from pg2kafka_spark.operators.funnel import ordered_funnel
+
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-
-    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(F.col("ts_us") > F.col(prev_t))
-            .groupBy("user_id")
-            .agg(F.min("ts_us").alias(out_t))
-        )
-
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
-    )
-    s2 = stage(s1, "click", "t1", "t2")
-    s3 = stage(s2, "purchase", "t2", "t3")
-
-    def row(step: int, etype: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.lit(step).alias("step"),
-            F.lit(etype).alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-
-    return (
-        row(1, "view", s1)
-        .unionByName(row(2, "click", s2))
-        .unionByName(row(3, "purchase", s3))
-    )
+    return ordered_funnel(ev, ("view", "click", "purchase"))
 
 
 @query(
@@ -2145,44 +2120,45 @@ def event_funnel_windowed_counts(
     one band predicate per stage; window arithmetic is integer µs.
 
     Scale shape unchanged: per-stage scan-pushed type filter →
-    user-sized min → same-key join; the band filter is map-side."""
+    user-sized min → same-key join; the band filter is map-side.
+    Since r13 the chain is the generic N-stage fold
+    (operators/funnel.py) — identical composition, any length."""
+    from pg2kafka_spark.operators.funnel import ordered_funnel
+
     week_us = 604_800_000_000
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-
-    def stage(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .filter(
-                (F.col("ts_us") > F.col(prev_t))
-                & (F.col("ts_us") <= F.col(prev_t) + F.lit(week_us))
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts_us").alias(out_t))
-        )
-
-    s1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t1"))
+    return ordered_funnel(
+        ev, ("view", "click", "purchase"), window_us=week_us
     )
-    s2 = stage(s1, "click", "t1", "t2")
-    s3 = stage(s2, "purchase", "t2", "t3")
 
-    def row(step: int, etype: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.lit(step).alias("step"),
-            F.lit(etype).alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
 
-    return (
-        row(1, "view", s1)
-        .unionByName(row(2, "click", s2))
-        .unionByName(row(3, "purchase", s3))
+_STAGES_4 = ("signup", "view", "click", "purchase")
+_WEEK_US = 604_800_000_000
+
+
+def _stages4_oracle() -> str:
+    from pg2kafka_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(_STAGES_4, window_us=_WEEK_US)
+
+
+@query("event_funnel_stages", oracle=_stages4_oracle())
+def event_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-stage windowed funnel (signup → view → click → purchase,
+    7-day band per step) through the generic N-stage fold
+    (operators/funnel.py) — the generalization the 3-stage queries now
+    share: same plan shape at any funnel length (scan-pushed type
+    filter → user-sized min → same-key join per stage), and the DuckDB
+    oracle is GENERATED from the same stage list, so query and oracle
+    cannot drift."""
+    from pg2kafka_spark.operators.funnel import ordered_funnel
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
+    return ordered_funnel(ev, _STAGES_4, window_us=_WEEK_US)
 
 
 @query(
@@ -2228,6 +2204,64 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "weekly_retention_incremental",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS f_us FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT DISTINCT
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS ingest_day,
+             CAST(f_us // 86400000000 AS BIGINT) AS cohort_day,
+             CAST((epoch_us(ts) - f_us) // 604800000000 AS BIGINT)
+               AS week_offset,
+             e.user_id
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
+    FROM p GROUP BY 1, 2
+    """,
+)
+def weekly_retention_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The retention triangle read through the PER-INGEST-DAY
+    pre-aggregate (operators/retention.py) — the at-scale twin of
+    ``weekly_retention_cohorts``, whose (cohort, week, user) distinct
+    is the one measured linear-at-100M-events shuffle (BASELINE.md
+    r12). Here the distinct happens per ingest day FIRST (one row per
+    active (user, week) per day — the table the daily job maintains
+    incrementally via ``retention_day_partial``), and the query-time
+    merge carries only those partials: ~8× the triangle size at most,
+    independent of per-user event volume.
+
+    This one-pass batch spelling builds all day-partials in a single
+    aggregation so DuckDB can hash-check it; the day-by-day
+    maintenance fold is pinned equal by tests/test_retention.py, and
+    the stress axis measures the query-from-partials vs
+    query-from-events gap at the events decades."""
+    from pg2kafka_spark.operators.retention import retention_from_partials
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    f = ev.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+    partials = (
+        ev.join(f, "user_id")
+        .select(
+            F.expr("ts_us div 86400000000").cast("bigint").alias("ingest_day"),
+            F.expr("f_us div 86400000000").cast("bigint").alias("cohort_day"),
+            F.expr("(ts_us - f_us) div 604800000000")
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return retention_from_partials(partials)
 
 
 def _profile_col_sql(col: str, kind: str) -> str:
@@ -2315,7 +2349,11 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     shared contract) once per session per sf_dir — the ingest-time
     shuffle that every downstream key join then skips. Idempotent:
     catalog-existence check makes re-runs (bench best-of-N) read the
-    at-rest layout instead of re-paying the write."""
+    at-rest layout instead of re-paying the write — but catalog
+    existence alone is not proof the DATA is there (the tempdir
+    warehouse can be cleaned while the session catalog persists), so
+    the skip also requires both external paths to still hold files;
+    write_bucketed's overwrite mode makes the rebuild safe."""
     import hashlib
     import os
     import tempfile
@@ -2325,7 +2363,22 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tc, to = f"bkt_customer_{h}", f"bkt_orders_{h}"
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_bucketed_{h}")
-    if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
+
+    def _has_data(sub: str) -> bool:
+        d = os.path.join(root, sub)
+        return os.path.isdir(d) and any(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+
+    fresh = (
+        spark.catalog.tableExists(tc)
+        and spark.catalog.tableExists(to)
+        and _has_data("customer")
+        and _has_data("orders")
+    )
+    if not fresh:
+        for t in (tc, to):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         customer = load_table(spark, "customer", sf_dir).select(
             "c_custkey", "c_mktsegment"
         )

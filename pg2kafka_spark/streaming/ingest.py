@@ -93,6 +93,49 @@ def _store_or_empty(
         raise
 
 
+def _reattach_bucketed_store(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema,
+    n_buckets: int,
+    key: str | tuple[str, ...] = "fp",
+) -> bool:
+    """Re-attach the external bucketed store after a driver restart.
+
+    Bucket metadata lives in the session catalog (non-persistent by
+    default), so a restarted driver sees data files at ``path`` but no
+    table — and treating that window as "empty store" would let every
+    historical duplicate through the dedup gate PERMANENTLY (they'd be
+    appended to the store as fresh survivors). Recreate the catalog
+    pointer over the existing files instead: bucket ids are encoded in
+    the file names (``..._00003.c000``), so the re-registered scan
+    keeps the shuffle-free plan, and the crash contract stays what the
+    module docstring promises. Returns True when a table was attached,
+    False when ``path`` genuinely holds no data yet (first-ever batch).
+
+    On a real deployment a persistent metastore makes this a no-op —
+    the guard costs one directory listing either way.
+    """
+    if not os.path.isdir(path) or not any(
+        name.endswith(".parquet")
+        for name in os.listdir(path)
+        if not name.startswith(("_", "."))
+    ):
+        return False
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    key_ddl = ", ".join(f"`{k}`" for k in keys)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_ddl}) INTO {int(n_buckets)} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return True
+
+
 def ingest_keep_batch(
     batch_df: DataFrame,
     store_df: DataFrame,
@@ -100,12 +143,21 @@ def ingest_keep_batch(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     min_tokens: int = 3,
+    store_bands: DataFrame | None = None,
 ) -> DataFrame:
     """One micro-batch of the ingest pipeline against the current
     store: short-doc gate → within-batch exact dedup + store
     fingerprint anti-join → near-dup verification against the store.
     Pure (no writes) — the streaming wrapper owns the store append,
     and the sequential-batch equivalence test drives this directly.
+
+    ``store_bands`` is the maintained (id, band, bkey) LSH-key table
+    (the ``band_table`` mode of :func:`start_ingest_stream`): with it,
+    the near-dup stage joins the batch's band keys against
+    already-computed store keys and touches store TEXT only for the
+    docs the join hit — per-batch work O(batch + matches). Without
+    it the near-dup stage re-minhashes the accumulated store's text
+    every batch (correct, but O(store) per batch).
     """
     gated = batch_df.filter(
         F.size(F.split(F.col(text_col), " ")) >= int(min_tokens)
@@ -125,7 +177,8 @@ def ingest_keep_batch(
     fresh = incremental_exact_dedup(gated, store_fps, text_col, id_col)
     near_ids = (
         incremental_near_dup(
-            store_df, fresh, text_col, id_col, threshold=threshold
+            store_df, fresh, text_col, id_col, threshold=threshold,
+            store_bands=store_bands,
         )
         .select(F.col("batch_id").alias(id_col))
         .distinct()
@@ -148,6 +201,9 @@ def start_ingest_stream(
     available_now: bool = True,
     store_table: str | None = None,
     store_buckets: int = 16,
+    band_table: str | None = None,
+    band_dir: str | None = None,
+    band_buckets: int = 16,
 ):
     """Start the continuous-ingest dedup stream: parquet files landing
     in ``incoming_dir`` flow through :func:`ingest_keep_batch` against
@@ -165,10 +221,29 @@ def start_ingest_stream(
     ``fp`` column, hash-bucketed on it into ``store_buckets`` buckets
     at ``store_dir``. Every subsequent micro-batch's fingerprint
     anti-join then consumes the store scan IN PLACE — no store-side
-    Exchange and no re-hash of the accumulated text — which is the
-    100 TB shape: the store grows without bound while the per-batch
-    work stays O(batch + matching buckets). The crash contract is
-    unchanged (keep_dir first, store append second)."""
+    Exchange and no re-hash of the accumulated text.
+
+    ``band_table`` (+ ``band_dir``) additionally maintains the
+    (id, band, bkey) LSH-key table alongside — survivors' band keys
+    append each batch, bucketed on the (band, bkey) join key — so the
+    NEAR-dup stage also stops re-reading the accumulated store's text:
+    discovery joins the maintained keys, verification touches only the
+    store docs the join hit. With both tables the 100 TB shape holds
+    end to end: the store grows without bound while per-batch work
+    stays O(batch + matching buckets). With only ``store_table`` the
+    exact-fingerprint side has that shape but near-dup discovery
+    remains O(store text) per batch.
+
+    Crash contract (extends the keep-first ordering): writes go
+    keep_dir → band_table → store. A replay after the band append but
+    before the store append re-gates the batch against the UNGROWN
+    store; its own band rows are already present but verify against
+    nothing (no store text yet), so survivors pass again — at worst
+    duplicate (id, band, bkey) rows land, which the discovery join's
+    candidate `.distinct()` absorbs. The reverse order would leave
+    store docs permanently invisible to near-dup discovery."""
+    if band_table is not None and band_dir is None:
+        raise ValueError("band_table requires band_dir (external location)")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -178,19 +253,36 @@ def start_ingest_stream(
         batch_df = batch_df.localCheckpoint()  # sever the source lineage
         sess = batch_df.sparkSession
         if store_table is not None:
-            if sess.catalog.tableExists(store_table):
+            store_schema = batch_df.withColumn(
+                "fp", fingerprint(F.col(text_col))
+            ).schema
+            if sess.catalog.tableExists(store_table) or _reattach_bucketed_store(
+                sess, store_table, store_dir, store_schema,
+                int(store_buckets),
+            ):
                 store_df = sess.table(store_table)
             else:
-                store_df = sess.createDataFrame(
-                    [],
-                    batch_df.withColumn(
-                        "fp", fingerprint(F.col(text_col))
-                    ).schema,
-                )
+                store_df = sess.createDataFrame([], store_schema)
         else:
             store_df = _store_or_empty(sess, store_dir, batch_df)
+        store_bands_df = None
+        if band_table is not None:
+            band_schema = (
+                batch_df.select(F.col(id_col))
+                .withColumn("band", F.lit(0).cast("long"))
+                .withColumn("bkey", F.lit("").cast("string"))
+                .schema
+            )
+            if sess.catalog.tableExists(band_table) or _reattach_bucketed_store(
+                sess, band_table, band_dir, band_schema,
+                int(band_buckets), key=("band", "bkey"),
+            ):
+                store_bands_df = sess.table(band_table)
+            else:
+                store_bands_df = sess.createDataFrame([], band_schema)
         keep = ingest_keep_batch(
-            batch_df, store_df, text_col, id_col, threshold, min_tokens
+            batch_df, store_df, text_col, id_col, threshold, min_tokens,
+            store_bands=store_bands_df,
         ).localCheckpoint()  # evaluate ONCE; two sinks consume it
         # Write ORDER is the crash contract: keep_dir (batch_id-stamped)
         # FIRST, store append second. A crash between the two replays the
@@ -202,6 +294,18 @@ def start_ingest_stream(
         keep.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(keep_dir)
+        if band_table is not None:
+            from pg2kafka_spark.operators.bucketed import write_bucketed
+            from pg2kafka_spark.operators.dedup import portable_band_keys
+
+            write_bucketed(
+                portable_band_keys(keep, text_col, id_col),
+                band_table,
+                ("band", "bkey"),
+                int(band_buckets),
+                path=band_dir,
+                mode="append",
+            )
         if store_table is not None:
             from pg2kafka_spark.operators.bucketed import write_bucketed
 

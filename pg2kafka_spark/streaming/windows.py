@@ -276,53 +276,75 @@ _FUNNEL_SCHEMA = "user_id bigint, t1 bigint, t2 bigint, t3 bigint, stage int"
 _FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
 
 
-def _funnel_fn(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user funnel state machine: three scalars (earliest view,
-    earliest qualifying click, earliest qualifying purchase),
-    folded vectorized per micro-batch."""
-    t1 = t2 = t3 = None
-    if state.exists:
-        t1, t2, t3 = state.get
-    for pdf in batches:
-        pdf = pdf.sort_values("ts_us")
-        views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
-        if len(views):
-            v = int(views.min())
-            t1 = v if t1 is None else min(t1, v)
-        if t1 is not None and t2 is None:
-            clicks = pdf.loc[
-                (pdf["event_type"] == "click") & (pdf["ts_us"] > t1), "ts_us"
-            ]
-            if len(clicks):
-                t2 = int(clicks.min())
-        if t2 is not None and t3 is None:
-            buys = pdf.loc[
-                (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t2),
-                "ts_us",
-            ]
-            if len(buys):
-                t3 = int(buys.min())
-    state.update((t1, t2, t3))
-    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "t1": [t1],
-            "t2": [t2],
-            "t3": [t3],
-            "stage": [stage],
-        }
-    )
+def _build_funnel_fn(window_us: int | None = None):
+    """Per-user funnel state machine factory: three scalars (earliest
+    view, earliest qualifying click, earliest qualifying purchase),
+    folded vectorized per micro-batch. ``window_us`` adds the
+    max-conversion-window band (the batch
+    ``event_funnel_windowed_counts`` semantics): step k qualifies only
+    within ``window_us`` µs of step k−1's conversion instant.
+
+    The whole micro-batch group is concatenated BEFORE the fold:
+    Arrow hands the group over as ~10k-row chunks, and folding chunks
+    sequentially would let a view in a later chunk miss a click
+    already discarded in an earlier one — batch-wide order
+    independence only holds over the concatenated frame."""
+
+    def _funnel_fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        t1 = t2 = t3 = None
+        if state.exists:
+            t1, t2, t3 = state.get
+        chunks = [c for c in batches if len(c)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
+            if len(views):
+                v = int(views.min())
+                t1 = v if t1 is None else min(t1, v)
+            if t1 is not None and t2 is None:
+                qual = (pdf["event_type"] == "click") & (pdf["ts_us"] > t1)
+                if window_us is not None:
+                    qual &= pdf["ts_us"] <= t1 + window_us
+                clicks = pdf.loc[qual, "ts_us"]
+                if len(clicks):
+                    t2 = int(clicks.min())
+            if t2 is not None and t3 is None:
+                qual = (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t2)
+                if window_us is not None:
+                    qual &= pdf["ts_us"] <= t2 + window_us
+                buys = pdf.loc[qual, "ts_us"]
+                if len(buys):
+                    t3 = int(buys.min())
+        state.update((t1, t2, t3))
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "t1": [t1],
+                "t2": [t2],
+                "t3": [t3],
+                "stage": [stage],
+            }
+        )
+
+    return _funnel_fn
 
 
-def funnel_state_stream(events: DataFrame) -> DataFrame:
+def funnel_state_stream(
+    events: DataFrame, window_us: int | None = None
+) -> DataFrame:
     """Streaming ordered funnel (view → click → purchase): the
     incremental twin of the batch ``event_funnel_counts`` — per-user
     conversion state maintained live instead of recomputed per query.
+    ``window_us`` switches to the max-conversion-window semantics
+    (the incremental twin of ``event_funnel_windowed_counts``): step
+    k counts only within ``window_us`` µs of step k−1 — the state
+    shape is unchanged (the band check is a predicate on the same
+    three scalars).
 
     State per user is THREE integers (earliest view, earliest click
     after it, earliest purchase after that), updated vectorized per
@@ -338,7 +360,11 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
     handling that exactly requires keeping each user's full event
     horizon (watermark-bounded) in state — the 3-scalar machine is
     the right trade on an ordered feed. Within a batch, order is
-    irrelevant (the fold sorts and takes mins).
+    irrelevant: the fold concatenates every Arrow chunk of the group
+    before taking mins, so a view arriving in a later chunk still
+    qualifies a click from an earlier one (chunk-sequential folding
+    would re-introduce order sensitivity at the ~10k-row Arrow
+    chunk boundary).
 
     At 100 TB state is O(live users) × 24 bytes, hash-partitioned on
     the user key; stream-vs-batch parity is pinned by
@@ -347,7 +373,7 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn,
+        _build_funnel_fn(None if window_us is None else int(window_us)),
         outputStructType=_FUNNEL_SCHEMA,
         stateStructType=_FUNNEL_STATE,
         outputMode="update",
