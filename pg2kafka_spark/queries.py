@@ -31,75 +31,85 @@ from pg2kafka_spark import q_pipeline as _q_pipeline  # noqa: F401
 from pg2kafka_spark import q_cdc as _q_cdc  # noqa: F401
 from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 
-# r12 window shaping (on top of the module rotation above): the
-# driver hash-checks only the first 50 entries. Per the standing
-# alternation (and the r11 verdict's item 4), q_pipeline rotates to
-# the front this round: the r11 window was CDC + relational, so the
-# pipeline surface's freshest driver rows date from r10 — and the
-# pipeline names OUTSIDE the r10 window last saw driver rows in r7.
-# Order: (0) queries that are NEW or whose FORMULA CHANGED this
-# round (no driver row exists for the current code), (1) pipeline
-# oracle-backed names outside BOTH recent windows (stalest driver
-# evidence, r7), (2) the r10-window pipeline names, (3) everything
-# else oracle-backed (CDC + relational — fresh r11 evidence),
-# (4) rows-only queries last (their portable twins are oracle-backed
-# and their rotation tranche of rows-count evidence dates from
-# r8/r9). Whatever falls outside the window is always covered by the
-# committed full-surface CORRECTNESS_LOCAL artifact regenerated at
-# round close. r13 NOTE: rotate q_cdc + q_relational back to the
-# front; keep alternating.
+
+# Window shaping history: the driver hash-checks only the FIRST 50
+# registered entries, so coverage rotates across rounds (standing
+# alternation since r5; whatever falls outside the window is always
+# covered by the committed full-surface CORRECTNESS_LOCAL artifact
+# regenerated at round close). r10 + r12 ran pipeline-fronted
+# windows; r11 ran CDC + relational. r13 (this round) rotates the
+# CDC core + relational consumer surface back to the front per the
+# r12 verdict's item 5. Order:
+#   (0) queries NEW this round or whose FORMULA CHANGED this round
+#       (no driver row exists for the current code),
+#   (1) the CDC core (SURVEY §2's actual operator inventory —
+#       freshest driver evidence r11),
+#   (2) relational oracle-backed names OUTSIDE the r12 window
+#       (evidence r11),
+#   (3) relational names the r12 window covered (fresh r12 rows),
+#   (4) pipeline oracle-backed (fresh r12 rows for most; the rest
+#       have r10 rows plus the committed local artifact),
+#   (5) rows-only queries last (their portable twins are
+#       oracle-backed).
+# r14 NOTE: rotate q_pipeline back to the front; keep alternating.
 _FRONT = [
-    # formula changed in r12 (single-symbol-vocab guard in the BPE
-    # pair explosion, per r11 ADVICE) — the r11 driver rows predate
-    # the current code
-    "bpe_merge_steps",
-    "bpe_compression_by_source",
-    "bpe_token_frequencies",
-    # NEW in r12 — no driver row exists yet
-    "bpe_encode_documents",
+    # NEW in r13 — no driver row exists yet
+    "event_funnel_stages",
+    "weekly_retention_incremental",
+    "bpe_encode_production",
+    "session_top_paths",
+    "session_path_conversion",
+    # formula changed in r13 (3-stage funnels rewired onto the
+    # generic N-stage fold in operators/funnel.py; bucketed-table
+    # rebuild guard; incremental near-dup band-table path) — the r12
+    # driver rows predate the current code
+    "event_funnel_counts",
     "event_funnel_windowed_counts",
-    "orders_table_profile_approx",
-    "bucketed_customer_order_stats",
-    "discount_band_revenue_delta",
-    "returned_item_customer_revenue",
-    "part_type_profit_by_nation",
-    "regional_min_cost_supplier",
-    "important_part_stock",
-    "part_supplier_diversity",
-    "excess_shipment_suppliers",
-    "part_pair_cooccurrence",
     "funnel_conversion_latency",
-    "leakage_free_split",
+    "bucketed_customer_order_stats",
+    "incremental_near_dup_batch",
 ]
-# names that took a fresh r10 driver row (CORRECTNESS_r10.json keys)
-_R10_WINDOW = {
-    "corpus_vocabulary", "bpe_pair_counts", "source_minhash_overlap",
-    "source_quality_drift", "props_key_profile",
-    "large_quantity_orders", "late_shipment_priority_counts",
-    "doc_segment_scrub", "source_capped_sample", "zorder_layout_stats",
-    "doc_pack_spans_strict", "incremental_near_dup_batch",
-    "embedding_ann_ivf_sq8", "daily_ingest_keep_list",
-    "embedding_ann_pq", "doc_bigram_surprisal",
-    "embedding_topk_filtered", "dsir_importance_weights",
-    "embedding_prototype_prune", "doc_quality_classifier",
-    "hilbert_layout_stats", "corpus_report", "exact_dedup_documents",
-    "bow_dedup_documents", "shingle_jaccard_pairs",
-    "cross_source_dup_matrix", "doc_token_stats", "doc_quality",
-    "lang_id_heuristic", "doc_fingerprint", "doc_quality_extended",
-    "doc_rolling_hash", "lang_ngram_profile", "embedding_topk",
-    "embedding_topk_quantized", "embedding_near_dup_pairs",
-    "incremental_dedup_batch", "doc_char_ngram_stats",
-    "doc_repetition", "embedding_near_dup_lsh_portable",
-    "doc_pii_scrub", "embedding_ann_ivf", "semantic_dedup_embeddings",
-    "near_dup_keep_list", "media_frame_fingerprints",
-    "media_frame_sample", "media_near_dup_by_frames",
-    "multimodal_features", "multimodal_features_real",
+# names that took a fresh r12 driver row (CORRECTNESS_r12.json keys)
+_R12_WINDOW = {
+    "bpe_merge_steps", "bpe_compression_by_source",
+    "bpe_token_frequencies", "bpe_encode_documents",
+    "event_funnel_windowed_counts", "orders_table_profile_approx",
+    "bucketed_customer_order_stats", "discount_band_revenue_delta",
+    "returned_item_customer_revenue", "part_type_profit_by_nation",
+    "regional_min_cost_supplier", "important_part_stock",
+    "part_supplier_diversity", "excess_shipment_suppliers",
+    "part_pair_cooccurrence", "funnel_conversion_latency",
+    "leakage_free_split", "embedding_ann_lsh",
+    "multimodal_decode_parity", "media_near_dup_real",
+    "doc_chunk_windows", "doc_train_val_test_split",
+    "doc_stratified_sample", "source_mix_rebalance",
+    "doc_pack_assignments", "tfidf_top_terms",
+    "doc_unigram_surprisal", "decontamination_check",
+    "near_dup_components", "near_dup_components_star",
+    "near_dup_canonical", "doc_duplicate_ngrams",
+    "minhash_signatures_portable", "simhash_portable",
+    "training_corpus_assembly", "decontamination_scrub",
+    "source_temperature_sample", "doc_training_order",
+    "embedding_ann_ivf_sampled", "embedding_ann_ivf_incremental",
+    "embedding_ann_ivf_pq", "embedding_ann_pq_sampled",
+    "embedding_knn_graph", "doc_weighted_sample", "dsir_resample",
+    "doc_surprisal_band_fit", "doc_surprisal_band_stratified",
+    "source_epoch_allocation", "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable",
 }
-from pg2kafka_spark.q_pipeline import __name__ as _qpipe_mod  # noqa: E402
+from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
+from pg2kafka_spark.q_relational import (  # noqa: E402
+    __name__ as _qrel_mod,
+)
+
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
-_pipe_names = {
+_cdc_names = {
     n for n, fn in QUERIES.items()
-    if getattr(fn, "__module__", "") == _qpipe_mod
+    if getattr(fn, "__module__", "") == _qcdc_mod
+}
+_rel_names = {
+    n for n, fn in QUERIES.items()
+    if getattr(fn, "__module__", "") == _qrel_mod
 }
 
 
@@ -107,12 +117,14 @@ def _tier(n: str) -> tuple:
     if n in _FRONT:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
-        return (4, _reg_pos[n])
-    if n in _pipe_names and n not in _R10_WINDOW:
+        return (5, _reg_pos[n])
+    if n in _cdc_names:
         return (1, _reg_pos[n])
-    if n in _R10_WINDOW:
+    if n in _rel_names and n not in _R12_WINDOW:
         return (2, _reg_pos[n])
-    return (3, _reg_pos[n])
+    if n in _rel_names:
+        return (3, _reg_pos[n])
+    return (4, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)

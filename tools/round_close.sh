@@ -9,7 +9,8 @@
 #    (every registered query, zero reds expected)
 # 3. bench at sf0.1 -> BENCH_LOCAL.json (+ sentinel sanity line)
 # 4. regenerate PLANS.md
-# 5. commit the artifacts
+# 5. fail unless PLANS.md covers every registered query
+# 6. commit the artifacts
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${ROUND:?set ROUND=<n>}"
@@ -24,10 +25,23 @@ PARITY_OUT="CORRECTNESS_LOCAL_r${ROUND}.json" PYTHONPATH=. \
 echo "== [3/5] bench (sf0.1)"
 python bench.py
 
-echo "== [4/5] PLANS.md"
+echo "== [4/6] PLANS.md"
 PYTHONPATH=. python tools/explain_plans.py > /dev/null
 
-echo "== [5/5] commit artifacts"
+echo "== [5/6] PLANS.md coverage guard"
+# FAIL when any registered query lacks a '## name' section (r12
+# verdict item 1 — the plan document must never trail the round).
+PYTHONPATH=. python - <<'EOF'
+import re, sys
+from pg2kafka_spark.queries import QUERIES
+have = set(re.findall(r"^## (\S+)$", open("PLANS.md").read(), re.M))
+missing = [n for n in QUERIES if n not in have]
+if missing:
+    sys.exit(f"PLANS.md missing sections for {len(missing)} queries: {missing}")
+print(f"PLANS.md covers all {len(QUERIES)} registered queries")
+EOF
+
+echo "== [6/6] commit artifacts"
 git add "CORRECTNESS_LOCAL_r${ROUND}.json" BENCH_LOCAL.json PLANS.md
 # guard: nothing staged (re-run after a green close) must not abort
 # the script under set -e
