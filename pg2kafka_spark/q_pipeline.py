@@ -4245,6 +4245,22 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode(docs, merges)
 
 
+@query("bpe_encode_production", oracle=_bpe_encode_oracle())
+def bpe_encode_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION encode kernel under the SAME oracle as
+    ``bpe_encode_documents``: the linear-scan pair-ranking replay
+    (operators/text.bpe_encode_production — O(len × merges_that_fire)
+    per word, merge-table-size-independent, the machine a 30 k-merge
+    tokenizer actually ships) must reproduce the fold replay
+    byte-for-byte. A hash match here plus the fold's own ⊙ proves the
+    two kernels are the same function on real corpus text; the
+    trained-table equivalence is additionally pinned at 64 merges in
+    tests/test_bpe_production.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges = X.bpe_train_merges(docs, n_merges=8)
+    return X.bpe_encode_production(docs, merges)
+
+
 @query("bpe_token_frequencies", oracle=_bpe_token_freq_oracle())
 def bpe_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token frequency table after the 8-merge BPE training — the
