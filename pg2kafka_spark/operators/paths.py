@@ -1,0 +1,155 @@
+"""Session path analysis — the product-analytics classic on top of
+gap-based sessionization: what ordered event paths do users walk, and
+which entry events convert.
+
+Reference parity: the reference's consumers sessionize the outbox
+feed downstream (SURVEY.md §2.1 window surface); funnels
+(operators/funnel.py) answer "did the user pass these stages EVER",
+paths answer "what did sessions actually look like". Same event feed,
+same one-key shuffle discipline.
+
+Scale shape (the whole module rides ONE user_id exchange):
+- session assignment is lag + running-sum windows on user_id;
+- the per-session path aggregation groups on (user_id, session_id),
+  which hash-partitioning on user_id already satisfies
+  (ClusteredDistribution over a superset key) — Catalyst inserts a
+  sort, NOT a second exchange;
+- per-session state is a ≤ ``max_steps``-slice of the event-type
+  array (paths are bounded by construction, sessions are human-sized;
+  the slice caps the degenerate bot-session tail);
+- only (path, count) partials shuffle into the final tiny path-key
+  aggregation; top-k is a bounded heap (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+GAP_US = 30 * 60 * 1_000_000  # 30-min session gap, integer µs
+
+
+def _ts_us(ev: DataFrame) -> DataFrame:
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+
+
+def assign_sessions(ev: DataFrame, gap_us: int = GAP_US) -> DataFrame:
+    """Events → (user_id, session_id, ts_us, event_id, event_type).
+
+    session_id is the running count of gap-exceeding boundaries per
+    user — deterministic because the window order carries the unique
+    event_id tiebreak. Both windows partition on user_id, so the
+    whole assignment is one exchange + one sort."""
+    ev = _ts_us(ev)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    ).drop("is_new")
+
+
+def session_paths(
+    ev: DataFrame, gap_us: int = GAP_US, max_steps: int = 5
+) -> DataFrame:
+    """One row per session: (user_id, session_id, path, n_events,
+    entry_type, converted). ``path`` joins the first ``max_steps``
+    event types with '>'; ``converted`` = a 'purchase' occurs at step
+    ≥ 2 (a session ENTERED on purchase hasn't converted from
+    anything — entry purchases count as their own entry_type
+    instead).
+
+    Per-session aggregation state is BOUNDED: the collect is gated to
+    ``step <= max_steps`` (collect_list drops the NULLs the gate
+    emits), and conversion is an aggregate flag, not a scan of a
+    collected array — a degenerate bot session costs the same ≤
+    max_steps structs as a human one. The step window shares the
+    session-assignment exchange (same user_id clustering)."""
+    sess = assign_sessions(ev, gap_us)
+    wstep = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    stepped = sess.withColumn("step", F.row_number().over(wstep))
+    head = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("step") <= max_steps,
+                F.struct("ts_us", "event_id", "event_type"),
+            )
+        )
+    )
+    per = stepped.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(head, lambda x: x["event_type"]), ">"
+        ).alias("path"),
+        F.max(F.when(F.col("step") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+        (
+            F.sum(
+                F.when(
+                    (F.col("step") >= 2)
+                    & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            > 0
+        ).alias("converted"),
+    )
+    return per.select(
+        "user_id", "session_id", "path", "n_events", "entry_type",
+        "converted",
+    )
+
+
+def top_paths(
+    ev: DataFrame,
+    gap_us: int = GAP_US,
+    max_steps: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session paths by frequency (path-asc tiebreak keeps the
+    LIMIT deterministic across engines)."""
+    paths = session_paths(ev, gap_us, max_steps)
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def entry_conversion(
+    ev: DataFrame, gap_us: int = GAP_US, max_steps: int = 5
+) -> DataFrame:
+    """Conversion by session entry event: sessions, converted
+    sessions (purchase at step ≥ 2), and the conversion share in
+    exact integer micros (truncating integer division — both engines
+    floor positives identically)."""
+    paths = session_paths(ev, gap_us, max_steps)
+    agg = paths.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.col("converted").cast("bigint"))
+        .cast("bigint")
+        .alias("n_converted"),
+    )
+    return agg.select(
+        "entry_type",
+        "n_sessions",
+        "n_converted",
+        F.expr("(n_converted * 1000000) div n_sessions").alias(
+            "conversion_micros"
+        ),
+    )

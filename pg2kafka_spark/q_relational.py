@@ -444,6 +444,114 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared sessionization CTE chain for the path-analysis oracles —
+# IDENTICAL gap/order semantics to the sessionize_events oracle
+# (30-min gap, (ts, event_id) order), extended with session ids and
+# step numbers. Generated from the same constants operators/paths.py
+# uses so query and oracle cannot drift.
+def _session_steps_cte(gap_us: int, max_steps: int) -> str:
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {gap_us}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_ts
+        FROM events
+      )
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts_us,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM flagged
+    ),
+    stepped AS (
+      SELECT user_id, session_id, event_type, ts_us, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, session_id
+               ORDER BY ts_us, event_id
+             ) AS step
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY step)
+               FILTER (WHERE step <= {max_steps}) AS path,
+             max(CASE WHEN step = 1 THEN event_type END) AS entry_type,
+             CAST(sum(CASE WHEN step >= 2 AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) > 0 AS BOOLEAN)
+               AS converted
+      FROM stepped
+      GROUP BY user_id, session_id
+    )
+    """
+
+
+@query(
+    "session_top_paths",
+    oracle=_session_steps_cte(30 * 60 * 1_000_000, 5)
+    + """
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ordered session paths (first 5 event types per 30-min
+    session) — "what do sessions actually look like", the
+    product-analytics classic next to the funnel
+    (operators/paths.py).
+
+    Scale shape: the whole pipeline rides ONE user_id exchange
+    (session assignment, step numbering, and the per-session path
+    aggregation all cluster on user_id — ClusteredDistribution over a
+    superset key, so Catalyst adds sorts, not exchanges); per-session
+    state is capped at 5 structs; only (path, count) partials shuffle
+    into the final tiny aggregation; top-20 is a bounded heap."""
+    from pg2kafka_spark.operators.paths import top_paths
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_paths(ev, max_steps=5, k=20)
+
+
+@query(
+    "session_path_conversion",
+    oracle=_session_steps_cte(30 * 60 * 1_000_000, 5)
+    + """
+    SELECT entry_type,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           CAST((CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END)
+                      AS BIGINT) * 1000000) // count(*) AS BIGINT)
+             AS conversion_micros
+    FROM paths
+    GROUP BY entry_type
+    """,
+)
+def session_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by session ENTRY event: which landing events lead
+    to a purchase later in the same session (purchase at step ≥ 2 —
+    a session that OPENS with a purchase converted from nothing).
+    Share in exact integer micros: truncating integer division on
+    both engines, no double ratios in the hash.
+
+    Same one-exchange session pipeline as ``session_top_paths``; the
+    entry aggregation is a handful of event-type keys."""
+    from pg2kafka_spark.operators.paths import entry_conversion
+
+    ev = load_table(spark, "events", sf_dir)
+    return entry_conversion(ev, max_steps=5)
+
+
 # ---------------------------------------------------------------------------
 # Set ops / grouping sets (SURVEY §2.1 "Set ops", "Aggregations")
 # ---------------------------------------------------------------------------

@@ -1,0 +1,155 @@
+"""Session path analysis (operators/paths.py): gap/order semantics,
+path truncation, conversion definition, and the one-exchange plan
+shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.operators.paths import (
+    GAP_US,
+    assign_sessions,
+    entry_conversion,
+    session_paths,
+    top_paths,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, user_id, offset_seconds, event_type)."""
+    data = [
+        (eid, BASE + dt.timedelta(seconds=off), uid, et, 1.0, "{}")
+        for eid, uid, off, et in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+class TestSessionAssignment:
+    def test_gap_splits_exactly_beyond_30min(self, spark):
+        # 1800s gap = SAME session (strictly-greater boundary);
+        # 1801s gap = new session.
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 1800, "view"),
+            (3, 1, 3601, "view"),
+        ])
+        sess = assign_sessions(ev).orderBy("event_id").collect()
+        assert [r["session_id"] for r in sess] == [1, 1, 2]
+
+    def test_sessions_are_per_user(self, spark):
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 2, 5, "view"),
+            (3, 1, 10, "view"),
+        ])
+        sess = assign_sessions(ev).collect()
+        by_user = {(r["user_id"], r["event_id"]): r["session_id"] for r in sess}
+        assert by_user[(1, 1)] == by_user[(1, 3)] == 1
+        assert by_user[(2, 2)] == 1
+
+    def test_event_id_breaks_timestamp_ties(self, spark):
+        ev = _ev(spark, [
+            (2, 1, 0, "b"),
+            (1, 1, 0, "a"),
+        ])
+        p = session_paths(ev).collect()[0]
+        assert p["path"] == "a>b"
+
+
+class TestSessionPaths:
+    def test_path_truncates_but_conversion_sees_whole_session(self, spark):
+        # 7 events; purchase at step 7 — beyond the 5-step path, but
+        # the session still counts as converted.
+        rows = [(i, 1, i * 10, "view") for i in range(1, 7)]
+        rows.append((7, 1, 70, "purchase"))
+        p = session_paths(_ev(spark, rows)).collect()[0]
+        assert p["path"] == "view>view>view>view>view"
+        assert p["n_events"] == 7
+        assert p["converted"] is True
+
+    def test_entry_purchase_is_not_conversion(self, spark):
+        p = session_paths(
+            _ev(spark, [(1, 1, 0, "purchase"), (2, 1, 10, "view")])
+        ).collect()[0]
+        assert p["entry_type"] == "purchase"
+        assert p["converted"] is False
+
+    def test_purchase_at_step2_converts(self, spark):
+        p = session_paths(
+            _ev(spark, [(1, 1, 0, "view"), (2, 1, 10, "purchase")])
+        ).collect()[0]
+        assert p["converted"] is True
+
+    def test_single_event_session(self, spark):
+        p = session_paths(_ev(spark, [(1, 1, 0, "click")])).collect()[0]
+        assert p["path"] == "click"
+        assert p["entry_type"] == "click"
+        assert p["converted"] is False
+
+    def test_conversion_does_not_cross_sessions(self, spark):
+        # purchase in the user's SECOND session must not convert the
+        # first.
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 4000, "view"),
+            (3, 1, 4010, "purchase"),
+        ])
+        rows = {r["session_id"]: r for r in session_paths(ev).collect()}
+        assert rows[1]["converted"] is False
+        assert rows[2]["converted"] is True
+
+
+class TestAggregates:
+    def test_top_paths_orders_count_desc_then_path(self, spark):
+        ev = _ev(spark, [
+            (1, 1, 0, "a"),
+            (2, 2, 0, "b"),
+            (3, 3, 0, "b"),
+            (4, 4, 0, "a"),
+        ])
+        rows = top_paths(ev, k=10).collect()
+        assert [(r["path"], r["n_sessions"]) for r in rows] == [
+            ("a", 2), ("b", 2),
+        ]
+
+    def test_entry_conversion_micros_exact(self, spark):
+        # 3 'view'-entry sessions, 1 converts → 333333 µ (truncated).
+        ev = _ev(spark, [
+            (1, 1, 0, "view"), (2, 1, 10, "purchase"),
+            (3, 2, 0, "view"),
+            (4, 3, 0, "view"),
+        ])
+        r = {x["entry_type"]: x for x in entry_conversion(ev).collect()}
+        assert r["view"]["n_sessions"] == 3
+        assert r["view"]["n_converted"] == 1
+        assert r["view"]["conversion_micros"] == 333333
+
+
+class TestPlanShape:
+    def test_single_user_exchange_feeds_whole_session_pipeline(
+        self, spark, sf_dir
+    ):
+        """Session assignment, step numbering, AND the per-session
+        aggregation must all ride ONE user_id exchange — the step
+        window and session groupBy cluster on a superset key, so
+        Catalyst may only add sorts. Total exchanges: user_id + the
+        tiny path-key aggregation."""
+        from pg2kafka_spark.catalog import load_table
+
+        ev = load_table(spark, "events", sf_dir)
+        plan = (
+            top_paths(ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "TakeOrderedAndProject" in plan

@@ -1164,6 +1164,30 @@ COMMENTARY.update({
         "handled join. Measured through the 1000× decade with "
         "per-krow cost falling."
     ),
+    "bpe_encode_production": (
+        "The 30 k-merge serving kernel: merge ranks ship via "
+        "SparkContext broadcast, and the linear-scan pair-ranking "
+        "replay (O(len × merges_that_fire) per word, table-size-"
+        "independent) runs Arrow-batched over DISTINCT words only — "
+        "one ArrowEvalPython in the plan, everything else identical "
+        "to the fold twin. Same oracle as the fold: a hash match "
+        "proves the two kernels are the same function."
+    ),
+    "session_top_paths": (
+        "Session path mining: ONE user_id exchange carries the lag/"
+        "running-sum session windows, the step window, AND the per-"
+        "session aggregation (superset-key clustering — Catalyst adds "
+        "sorts, not exchanges); per-session state is capped at 5 "
+        "structs by the step-gated collect; only (path, count) "
+        "partials shuffle; top-20 is `TakeOrderedAndProject`."
+    ),
+    "session_path_conversion": (
+        "Entry-event conversion over the same one-exchange session "
+        "pipeline: conversion is an aggregate flag (purchase at step "
+        "≥ 2), never a collected-array scan, and the share is exact "
+        "integer micros — truncating division on both engines, no "
+        "double ratios in the hash."
+    ),
 })
 
 
