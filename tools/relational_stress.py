@@ -201,8 +201,85 @@ def events_axis() -> None:
     timed(f"weekly retention cohorts ({scale}x events)", ret)
 
 
+def retention_partials_axis() -> None:
+    """The r12 verdict's named scale-killer measured against its fix
+    (operators/retention.py): event VOLUME scales ×scale via
+    µs-jittered copies of every event — same users, same
+    (cohort, week, user) triples — so the raw-events query's distinct
+    must carry ×scale rows through its shuffle while the maintained
+    day-partials table is INVARIANT. The from-partials query reads the
+    materialized parquet (what the daily job writes), isolating the
+    recurring query cost from the one-time build. Run via
+    RELSTRESS_ONLY=retention."""
+    import shutil
+    import tempfile
+
+    from pg2kafka_spark.operators.retention import retention_from_partials
+
+    scale = int(os.environ.get("RELSTRESS_SCALE", "10"))
+    spark = get_spark("relational-stress")
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    copies = spark.range(scale).select(F.col("id").alias("__c"))
+    # +__c µs jitter: distinct rows, identical day/week bucketing
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        "user_id", (F.col("ts_us") + F.col("__c")).alias("ts_us")
+    )
+    print(f"events rows: {big.count()}", flush=True)
+
+    f = big.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+    ret = (
+        big.join(f, "user_id")
+        .select(
+            F.expr("f_us div 86400000000").alias("cohort_day"),
+            F.expr("(ts_us - f_us) div 604800000000").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    timed(f"weekly retention from raw events ({scale}x volume)", ret)
+
+    tmp = tempfile.mkdtemp(prefix="retpart-")
+    try:
+        parts = (
+            big.join(f, "user_id")
+            .select(
+                F.expr("ts_us div 86400000000").alias("ingest_day"),
+                F.expr("f_us div 86400000000")
+                .cast("bigint")
+                .alias("cohort_day"),
+                F.expr("(ts_us - f_us) div 604800000000")
+                .cast("bigint")
+                .alias("week_offset"),
+                "user_id",
+            )
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        parts.write.mode("overwrite").parquet(tmp)
+        build_s = time.perf_counter() - t0
+        pr = spark.read.parquet(tmp)
+        n_parts = pr.count()
+        print(
+            f"retention partials build ({scale}x volume)          "
+            f"{build_s:7.2f} s   n={n_parts} partial rows",
+            flush=True,
+        )
+        timed(
+            f"weekly retention from day-partials ({scale}x volume)",
+            retention_from_partials(pr),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    if "funnel" in os.environ.get("RELSTRESS_ONLY", ""):
+    only = os.environ.get("RELSTRESS_ONLY", "")
+    if "funnel" in only:
         events_axis()
+    elif "retention" in only:
+        retention_partials_axis()
     else:
         main()
