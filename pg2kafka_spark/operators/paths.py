@@ -131,6 +131,45 @@ def top_paths(
     )
 
 
+def transition_matrix(ev: DataFrame, gap_us: int = GAP_US) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    steps: (from_type, to_type, n_transitions, prob_micros). The
+    probability is row-normalized per from_type in exact integer
+    micros (truncating integer division — portable).
+
+    Scale shape: the lead() window rides the session-assignment
+    user_id exchange (same clustering); transitions aggregate
+    map-side onto the tiny |types|² key domain, and the
+    row-normalizing window runs over that already-aggregated frame —
+    nothing event-sized ever sorts globally. Session boundaries are
+    respected by construction: lead() partitions on (user_id,
+    session_id), so the last event of a session transitions to
+    nothing."""
+    sess = assign_sessions(ev, gap_us)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    trans = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    agg = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    tot = agg.withColumn(
+        "__tot",
+        F.sum("n_transitions").over(Window.partitionBy("from_type")),
+    )
+    return tot.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("(n_transitions * 1000000) div __tot").alias(
+            "prob_micros"
+        ),
+    )
+
+
 def entry_conversion(
     ev: DataFrame, gap_us: int = GAP_US, max_steps: int = 5
 ) -> DataFrame:

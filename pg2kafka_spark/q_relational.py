@@ -449,7 +449,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (30-min gap, (ts, event_id) order), extended with session ids and
 # step numbers. Generated from the same constants operators/paths.py
 # uses so query and oracle cannot drift.
-def _session_steps_cte(gap_us: int, max_steps: int) -> str:
+def _session_cte(gap_us: int) -> str:
     return f"""
     WITH flagged AS (
       SELECT user_id, event_id, event_type, ts_us,
@@ -470,7 +470,12 @@ def _session_steps_cte(gap_us: int, max_steps: int) -> str:
                ROWS UNBOUNDED PRECEDING
              ) AS session_id
       FROM flagged
-    ),
+    )
+    """
+
+
+def _session_steps_cte(gap_us: int, max_steps: int) -> str:
+    return _session_cte(gap_us) + f""",
     stepped AS (
       SELECT user_id, session_id, event_type, ts_us, event_id,
              row_number() OVER (
@@ -550,6 +555,50 @@ def session_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return entry_conversion(ev, max_steps=5)
+
+
+@query(
+    "session_transition_matrix",
+    oracle=_session_cte(30 * 60 * 1_000_000)
+    + """,
+    trans AS (
+      SELECT from_type, to_type FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id, session_id
+                 ORDER BY ts_us, event_id
+               ) AS to_type
+        FROM sess
+      ) WHERE to_type IS NOT NULL
+    ),
+    agg AS (
+      SELECT from_type, to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions
+      FROM trans GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST((n_transitions * 1000000) //
+                CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                     AS BIGINT) AS BIGINT) AS prob_micros
+    FROM agg
+    """,
+)
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of within-session event
+    steps (operators/paths.py::transition_matrix) — which event
+    follows which, row-normalized per from_type in exact integer
+    micros. Session boundaries respected by construction (lead()
+    partitions on the session), so cross-session "transitions" never
+    appear.
+
+    Scale shape: the lead() window rides the same single user_id
+    exchange as the rest of the path family; transitions aggregate
+    map-side onto the |types|² key domain; the normalizing window
+    runs over that already-tiny frame."""
+    from pg2kafka_spark.operators.paths import transition_matrix
+
+    ev = load_table(spark, "events", sf_dir)
+    return transition_matrix(ev)
 
 
 # ---------------------------------------------------------------------------

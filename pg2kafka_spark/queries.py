@@ -59,6 +59,7 @@ _FRONT = [
     "bpe_encode_production",
     "session_top_paths",
     "session_path_conversion",
+    "session_transition_matrix",
     # formula changed in r13 (3-stage funnels rewired onto the
     # generic N-stage fold in operators/funnel.py; bucketed-table
     # rebuild guard; incremental near-dup band-table path) — the r12

@@ -153,3 +153,58 @@ class TestPlanShape:
         )
         assert plan.count("Exchange hashpartitioning") == 2
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTransitionMatrix:
+    def test_transitions_do_not_cross_sessions(self, spark):
+        from pg2kafka_spark.operators.paths import transition_matrix
+
+        # view→(gap)→purchase: the purchase opens a NEW session, so
+        # NO view→purchase transition may appear.
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 4000, "purchase"),
+            (3, 1, 4010, "error"),
+        ])
+        rows = {(r["from_type"], r["to_type"]): r
+                for r in transition_matrix(ev).collect()}
+        assert ("view", "purchase") not in rows
+        assert rows[("purchase", "error")]["n_transitions"] == 1
+
+    def test_row_normalization_exact_micros(self, spark):
+        from pg2kafka_spark.operators.paths import transition_matrix
+
+        # from 'a': 2× to 'b', 1× to 'c' → 666666 / 333333 µ.
+        ev = _ev(spark, [
+            (1, 1, 0, "a"), (2, 1, 1, "b"),
+            (3, 2, 0, "a"), (4, 2, 1, "b"),
+            (5, 3, 0, "a"), (6, 3, 1, "c"),
+        ])
+        rows = {(r["from_type"], r["to_type"]): r["prob_micros"]
+                for r in transition_matrix(ev).collect()}
+        assert rows[("a", "b")] == 666666
+        assert rows[("a", "c")] == 333333
+
+    def test_event_id_tiebreak_orders_transitions(self, spark):
+        from pg2kafka_spark.operators.paths import transition_matrix
+
+        ev = _ev(spark, [(2, 1, 0, "b"), (1, 1, 0, "a")])
+        rows = {(r["from_type"], r["to_type"])
+                for r in transition_matrix(ev).collect()}
+        assert rows == {("a", "b")}
+
+    def test_matrix_aggregates_on_tiny_domain(self, spark, sf_dir):
+        """The event-sized stage must end at the (from,to) partial
+        aggregation: one user_id exchange, one (from,to) exchange,
+        one from_type window exchange over the aggregated frame."""
+        from pg2kafka_spark.catalog import load_table
+        from pg2kafka_spark.operators.paths import transition_matrix
+
+        ev = load_table(spark, "events", sf_dir)
+        plan = (
+            transition_matrix(ev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 3

@@ -1181,6 +1181,14 @@ COMMENTARY.update({
         "structs by the step-gated collect; only (path, count) "
         "partials shuffle; top-20 is `TakeOrderedAndProject`."
     ),
+    "session_transition_matrix": (
+        "First-order Markov transitions: lead() rides the session "
+        "pipeline's user_id exchange; the event-sized stage ends at "
+        "the map-side (from, to) partial aggregation onto the "
+        "|types|² domain, and the row-normalizing window runs over "
+        "that already-tiny frame. Probabilities in exact integer "
+        "micros."
+    ),
     "session_path_conversion": (
         "Entry-event conversion over the same one-exchange session "
         "pipeline: conversion is an aggregate flag (purchase at step "
