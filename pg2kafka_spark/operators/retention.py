@@ -109,3 +109,50 @@ def retention_from_partials(
     return partials.groupBy("cohort_day", "week_offset").agg(
         F.countDistinct(user_col).alias("n_users")
     )
+
+
+def retention_day_sketch(
+    day_events: DataFrame,
+    first_seen: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    lg_k: int = 12,
+) -> DataFrame:
+    """PB-scale twin of :func:`retention_day_partial`: the day's
+    contribution as ONE Datasketches HLL sketch per
+    (cohort_day, week_offset) cell — O(2^lg_k) bytes per cell instead
+    of one row per active (user, week). The user key is gone from the
+    maintained table entirely, which is the trade: merging is
+    duplicate-blind by construction (HLL union is idempotent), so the
+    ≤8-day recurrence the exact partial re-dedups at query time costs
+    the sketch variant nothing — but the count becomes an estimate
+    (~1.6% rsd at lg_k=12). Same correctness precondition as the
+    exact fold: days processed ascending so first_seen is final."""
+    j = day_events.join(first_seen, user_col)
+    return (
+        j.select(
+            F.expr("f_us div 86400000000").cast("bigint").alias("cohort_day"),
+            F.expr(f"({ts_col} - f_us) div 604800000000")
+            .cast("bigint")
+            .alias("week_offset"),
+            user_col,
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.hll_sketch_agg(user_col, lg_k).alias("sketch"))
+    )
+
+
+def retention_from_sketches(sketches: DataFrame) -> DataFrame:
+    """The retention triangle estimated from maintained day sketches:
+    union-merge per cell, then estimate. Query-time state is
+    O(cells × 2^lg_k) bytes — independent of users AND events; the
+    merge is the mergeable-aggregate shape every warehouse rollup
+    wants at PB scale."""
+    return (
+        sketches.groupBy("cohort_day", "week_offset")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("n_users_approx")
+        )
+    )

@@ -2421,6 +2421,43 @@ def weekly_retention_incremental(
     return retention_from_partials(partials)
 
 
+@query("weekly_retention_hll")  # rows-only BY DESIGN: HLL estimates
+def weekly_retention_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH mode of the incremental retention family
+    (operators/retention.py::retention_day_sketch /
+    retention_from_sketches) — the rows-only twin the module
+    docstring names, registered for real per the approx-profiler
+    precedent (orders_table_profile_approx). Maintained state is one
+    Datasketches HLL sketch per (ingest_day, cohort, week) cell —
+    O(2^lg_k) bytes, NO user key anywhere — and the query-time merge
+    is `hll_union_agg` + estimate: independent of users and events
+    both. No oracle (sketch estimates are engine-specific by
+    construction); the exact twins carry the hash evidence, and
+    tests/test_retention.py pins every cell's estimate within
+    tolerance of the exact triangle plus the exact (cohort, week)
+    cell set EQUAL."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    f = ev.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+    day_sketches = (
+        ev.join(f, "user_id")
+        .select(
+            F.expr("ts_us div 86400000000").cast("bigint").alias("ingest_day"),
+            F.expr("f_us div 86400000000").cast("bigint").alias("cohort_day"),
+            F.expr("(ts_us - f_us) div 604800000000")
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("ingest_day", "cohort_day", "week_offset")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("sketch"))
+    )
+    from pg2kafka_spark.operators.retention import retention_from_sketches
+
+    return retention_from_sketches(day_sketches)
+
+
 def _profile_col_sql(col: str, kind: str) -> str:
     """One UNION branch of the orders-profile oracle. DuckDB scans per
     branch; Spark computes every column in ONE pass (Expand-planned

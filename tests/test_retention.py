@@ -128,3 +128,78 @@ def test_registered_incremental_query_equals_batch(spark):
 
     inc = _triangle_rows(QUERIES["weekly_retention_incremental"](spark, SF))
     assert inc == _batch_triangle(spark)
+
+
+def test_hll_sketch_mode_within_tolerance_of_exact(spark):
+    """The rows-only sketch query: exact (cohort, week) CELL SET and
+    every estimate within HLL tolerance of the exact count (lg_k=12
+    → ~1.6% rsd; the fixture's per-cell cardinalities are far below
+    the sketch's dense threshold, so estimates are near-exact)."""
+    from pg2kafka_spark.queries import QUERIES
+
+    exact = {
+        (r.cohort_day, r.week_offset): r.n_users
+        for r in QUERIES["weekly_retention_cohorts"](spark, SF).collect()
+    }
+    approx = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in QUERIES["weekly_retention_hll"](spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for cell, n in exact.items():
+        est = approx[cell]
+        assert abs(est - n) <= max(2, 0.05 * n), (cell, n, est)
+
+
+def test_hll_day_sketch_fold_matches_one_pass(spark):
+    """Day-by-day sketch maintenance (retention_day_sketch per slice,
+    union-merged) estimates every cell identically to the one-pass
+    registered query — HLL union is associative over the day split."""
+    from pg2kafka_spark.operators.retention import (
+        retention_day_sketch,
+        retention_from_sketches,
+    )
+    from pg2kafka_spark.queries import QUERIES
+
+    ev = _events(spark)
+    slices = _day_slices(ev, 4)
+    first_seen = spark.createDataFrame([], "user_id bigint, f_us bigint")
+    sketches = None
+    for lo, hi in slices:
+        day = ev.filter(
+            (F.col("ts_us") >= F.lit(lo * DAY_US))
+            & (F.col("ts_us") < F.lit(hi * DAY_US))
+        )
+        first_seen = first_seen_update(first_seen, day).localCheckpoint()
+        ds = retention_day_sketch(day, first_seen)
+        sketches = ds if sketches is None else sketches.unionByName(ds)
+        sketches = sketches.localCheckpoint()
+    folded = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in retention_from_sketches(sketches).collect()
+    }
+    one_pass = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in QUERIES["weekly_retention_hll"](spark, SF).collect()
+    }
+    assert folded == one_pass
+
+
+def test_hll_plan_has_no_user_keyed_aggregation(spark):
+    """The scale property: after the first_seen join, NO aggregation
+    keys on user_id — the shuffle carries sketch bytes per (day,
+    cohort, week) cell, never per-user rows. (first_seen itself is a
+    user-keyed min — that's the cohort definition, shared with every
+    retention variant.)"""
+    from pg2kafka_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["weekly_retention_hll"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+    # exactly one user-keyed hash aggregation pair (partial+final for
+    # first_seen's min) — the distinct-style Expand/dedup never appears
+    assert plan.count("Exchange hashpartitioning(user_id") == 1

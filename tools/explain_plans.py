@@ -914,6 +914,14 @@ COMMENTARY.update({
         "`weekly_retention_incremental` is the at-scale twin that "
         "reads day partials instead."
     ),
+    "weekly_retention_hll": (
+        "The sketch mode of the retention family: maintained state is "
+        "one Datasketches HLL sketch per (ingest_day, cohort, week) "
+        "cell — no user key anywhere after the first_seen join — and "
+        "the query merge is `hll_union_agg` + estimate, independent "
+        "of users and events both. Rows-only by design; the exact "
+        "twins carry the oracle, a tolerance test binds the estimate."
+    ),
     "weekly_retention_incremental": (
         "Retention through the PER-INGEST-DAY pre-aggregate "
         "(operators/retention.py): the user-distinct happens per day "
