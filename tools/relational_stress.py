@@ -158,8 +158,10 @@ def main() -> None:
 def events_axis() -> None:
     """Funnel-family scaling: user-shifted copies of sf0.1 events
     (each copy is an independent user population, so stage counts
-    scale exactly ×scale). Run via RELSTRESS_ONLY=funnel."""
+    scale exactly ×scale). Run via RELSTRESS_ONLY=funnel
+    (RELSTRESS_ONLY=paths runs only the r13 session-path rows)."""
     scale = int(os.environ.get("RELSTRESS_SCALE", "10"))
+    only = os.environ.get("RELSTRESS_ONLY", "")
     spark = get_spark("relational-stress")
     ev = load_table(spark, "events", SF_DIR).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
@@ -170,7 +172,8 @@ def events_axis() -> None:
         "event_type",
         "ts_us",
     )
-    print(f"events rows: {big.count()}", flush=True)
+    if "paths" not in only:
+        print(f"events rows: {big.count()}", flush=True)
 
     def stage(prev, etype, prev_t, out_t):
         return (
@@ -181,24 +184,45 @@ def events_axis() -> None:
             .agg(F.min("ts_us").alias(out_t))
         )
 
-    s1 = (big.filter(F.col("event_type") == "view")
-          .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
-    s2 = stage(s1, "click", "t1", "t2")
-    s3 = stage(s2, "purchase", "t2", "t3")
-    timed(f"funnel 3-stage ({scale}x events)", s3)
+    if "paths" not in only:
+        s1 = (big.filter(F.col("event_type") == "view")
+              .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+        s2 = stage(s1, "click", "t1", "t2")
+        s3 = stage(s2, "purchase", "t2", "t3")
+        timed(f"funnel 3-stage ({scale}x events)", s3)
 
-    f = big.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
-    ret = (
-        big.join(f, "user_id")
-        .select(
-            F.expr("f_us div 86400000000").alias("cohort_day"),
-            F.expr("(ts_us - f_us) div 604800000000").alias("week_offset"),
-            "user_id",
+        f = big.groupBy("user_id").agg(F.min("ts_us").alias("f_us"))
+        ret = (
+            big.join(f, "user_id")
+            .select(
+                F.expr("f_us div 86400000000").alias("cohort_day"),
+                F.expr("(ts_us - f_us) div 604800000000").alias("week_offset"),
+                "user_id",
+            )
+            .groupBy("cohort_day", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
         )
-        .groupBy("cohort_day", "week_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        timed(f"weekly retention cohorts ({scale}x events)", ret)
+
+    # session path family (r13): needs event_id + event_type; the
+    # user-shifted copies keep per-user event counts constant, so
+    # per-session state stays bounded while session count scales ×scale.
+    ev2 = load_table(spark, "events", SF_DIR).select(
+        "event_id", "user_id", "event_type", "ts",
     )
-    timed(f"weekly retention cohorts ({scale}x events)", ret)
+    big2 = ev2.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("__c") * 10_000_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("__c") * 1_000_000_000).alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    from pg2kafka_spark.operators.paths import top_paths, transition_matrix
+
+    timed(f"session top paths ({scale}x events)", top_paths(big2))
+    timed(
+        f"session transition matrix ({scale}x events)",
+        transition_matrix(big2),
+    )
 
 
 def retention_partials_axis() -> None:
@@ -277,7 +301,7 @@ def retention_partials_axis() -> None:
 
 if __name__ == "__main__":
     only = os.environ.get("RELSTRESS_ONLY", "")
-    if "funnel" in only:
+    if "funnel" in only or "paths" in only:
         events_axis()
     elif "retention" in only:
         retention_partials_axis()
