@@ -112,3 +112,98 @@ def kafka_sink_options(
 
 
 __all__ = ["read_postgres_table", "read_kafka_event_stream", "kafka_sink_options"]
+
+
+# ---------------------------------------------------------------------------
+# Text-format corpus sources (JSONL / CSV) — the training-data
+# interchange formats. Two rules make these safe at 100 TB:
+#
+# 1. ALWAYS pass the schema. Inference is a full extra scan of the
+#    data before the real one (and for JSON it can widen types by
+#    shard, making the answer depend on which files an executor saw).
+# 2. Never let one malformed line kill a 10-hour job OR silently
+#    vanish: PERMISSIVE mode + a corrupt-record column turns bad
+#    lines into quarantinable rows the pipeline can count, sample,
+#    and alert on.
+# ---------------------------------------------------------------------------
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _parse_text(
+    raw: DataFrame, parser, schema: str, opts: dict
+) -> DataFrame:
+    full = f"{schema}, {CORRUPT_COL} string"
+    return raw.select(parser("value", full, opts).alias("__r")).select(
+        "__r.*"
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Schema-pinned JSONL reader with quarantine capture: returns
+    rows of ``schema`` plus ``_corrupt_record`` (NULL for clean rows,
+    the raw line for malformed ones).
+
+    Implementation is a TEXT scan + ``from_json`` rather than the
+    native ``.json()`` reader: the native reader's internal corrupt
+    column cannot be counted or selected on its own
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — and Spark's suggested
+    workaround, caching the parsed frame, is exactly what a 100 TB
+    scan must not do), while ``from_json`` with the corrupt column in
+    its struct has no such restriction. Same JVM-side JacksonParser,
+    splits by newline like any text source. Trade (documented, not
+    hidden): the native reader prunes unread fields inside the
+    parser; this reader parses the declared struct per line — for the
+    ingest path this serves (read once → quarantine → land columnar),
+    the very next step writes parquet, where pruning lives."""
+    from pyspark.sql import functions as F
+
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    return _parse_text(spark.read.text(path), F.from_json, schema, opts)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema-pinned CSV reader, same quarantine contract and text-
+    scan rationale as :func:`read_jsonl` (``from_csv`` is the same
+    UnivocityParser the native reader uses). ``header=True`` drops
+    lines equal to the schema's header row — byte-what Spark's own
+    csv writer emits for these columns. Quoted-NEWLINE fields are out
+    of contract (a multiLine CSV cannot split inside a file and
+    single-threads the scan at 100 TB — convert such corpora, don't
+    read them); in-field quoted separators and quotes parse fine.
+
+    PERMISSIVE keeps whatever prefix of a malformed line parsed —
+    consumers must gate on ``_corrupt_record IS NULL`` (what
+    :func:`split_quarantine` does), not on field nullness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        "sep": sep,
+    }
+    raw = spark.read.text(path)
+    if header:
+        hdr = sep.join(StructType.fromDDL(schema).names)
+        raw = raw.filter(F.col("value") != F.lit(hdr))
+    return _parse_text(raw, F.from_csv, schema, opts)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean rows with the corrupt column
+    dropped, and the malformed rows (raw line in ``_corrupt_record``;
+    schema columns carry whatever prefix parsed) for counting,
+    sampling, and alerting. Both are filters over the same text
+    scan."""
+    clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    bad = df.filter(df[CORRUPT_COL].isNotNull())
+    return clean, bad

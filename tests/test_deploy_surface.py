@@ -118,3 +118,89 @@ def test_daemon_bootstraps_outbox_with_perform_migrations(spark, tmp_path):
     )
     assert rc == 0
     assert (tmp_path / "outbox" / MANIFEST_NAME).exists()
+
+
+class TestTextFormatSources:
+    """JSONL/CSV corpus sources (sources.py): schema-pinned reads
+    must reproduce the parquet table exactly, and malformed lines
+    must quarantine instead of killing the job or vanishing."""
+
+    DOC_SCHEMA = (
+        "doc_id bigint, source string, lang string, text string"
+    )
+
+    def _docs(self, spark):
+        from pg2kafka_spark.catalog import load_table
+
+        return load_table(
+            spark, "documents", "/root/testdata/sf0.001"
+        ).select("doc_id", "source", "lang", "text")
+
+    def test_jsonl_roundtrips_parquet_table(self, spark, tmp_path):
+        from pg2kafka_spark.sources import read_jsonl, split_quarantine
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "docs_jsonl")
+        docs.write.json(p)
+        clean, bad = split_quarantine(
+            read_jsonl(spark, p, self.DOC_SCHEMA)
+        )
+        assert bad.count() == 0
+        a = sorted(map(tuple, docs.collect()))
+        b = sorted(map(tuple, clean.select(*docs.columns).collect()))
+        assert a == b
+
+    def test_csv_roundtrips_parquet_table(self, spark, tmp_path):
+        from pg2kafka_spark.sources import read_csv, split_quarantine
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "docs_csv")
+        # corpus text is space-separated tokens (no quoting needed for
+        # the fixture, but write with defaults so quoting is exercised
+        # if present)
+        docs.write.option("header", "true").csv(p)
+        clean, bad = split_quarantine(
+            read_csv(spark, p, self.DOC_SCHEMA)
+        )
+        assert bad.count() == 0
+        a = sorted(map(tuple, docs.collect()))
+        b = sorted(map(tuple, clean.select(*docs.columns).collect()))
+        assert a == b
+
+    def test_malformed_jsonl_lines_quarantine_not_crash(
+        self, spark, tmp_path
+    ):
+        from pg2kafka_spark.sources import read_jsonl, split_quarantine
+
+        p = tmp_path / "mixed.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "source": "s", "lang": "en", "text": "ok"}\n'
+            "{this is not json at all\n"
+            '{"doc_id": 2, "source": "s", "lang": "en", "text": "ok2"}\n'
+        )
+        clean, bad = split_quarantine(
+            read_jsonl(spark, str(p), self.DOC_SCHEMA)
+        )
+        assert clean.count() == 2
+        bad_rows = bad.collect()
+        assert len(bad_rows) == 1
+        assert "not json" in bad_rows[0]["_corrupt_record"]
+        assert bad_rows[0]["doc_id"] is None
+
+    def test_jsonl_parse_stays_jvm_side(self, spark, tmp_path):
+        """The parse must run as a JVM projection over the text scan
+        (JacksonParser in codegen), never as a Python stage — no
+        ArrowEvalPython/BatchEvalPython in the plan."""
+        from pg2kafka_spark.sources import read_jsonl
+
+        p = str(tmp_path / "docs_plan")
+        self._docs(spark).limit(10).write.json(p)
+        plan = (
+            read_jsonl(spark, p, self.DOC_SCHEMA)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+        assert "FileScan text" in plan
+        assert "from_json" in plan
