@@ -111,7 +111,14 @@ def kafka_sink_options(
     return opts
 
 
-__all__ = ["read_postgres_table", "read_kafka_event_stream", "kafka_sink_options"]
+__all__ = [
+    "read_postgres_table",
+    "read_kafka_event_stream",
+    "kafka_sink_options",
+    "read_jsonl",
+    "read_csv",
+    "split_quarantine",
+]
 
 
 # ---------------------------------------------------------------------------

@@ -1313,3 +1313,62 @@ def test_funnel_fold_is_chunk_order_independent():
     st_w = _FakeState()
     list(fn_w((7,), iter([chunk_click, chunk_view]), st_w))
     assert st_w.value == (100, None, None)
+
+
+def test_jsonl_source_composes_into_a_stream_with_quarantine(
+    spark, tmp_path
+):
+    """The r13 JSONL source is a text scan + from_json projection, so
+    the SAME parse composes into readStream.text unchanged — arriving
+    JSONL shards parse, quarantine, and gate in a stream exactly as in
+    batch (stream-vs-batch parity incl. the malformed-line count)."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.sources import (
+        CORRUPT_COL,
+        read_jsonl,
+        split_quarantine,
+    )
+
+    schema = "doc_id bigint, source string, lang string, text string"
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "source", "lang", "text"
+    )
+    src = str(tmp_path / "docs_jsonl")
+    docs.write.json(src)
+    # inject a malformed shard
+    (tmp_path / "docs_jsonl" / "bad-shard.json").write_text(
+        "{definitely not json\n"
+        '{"doc_id": 9000001, "source": "s9", "lang": "en",'
+        ' "text": "late arrival"}\n'
+    )
+
+    def parse(raw):
+        opts = {
+            "mode": "PERMISSIVE",
+            "columnNameOfCorruptRecord": CORRUPT_COL,
+        }
+        return raw.select(
+            F.from_json(
+                "value", f"{schema}, {CORRUPT_COL} string", opts
+            ).alias("__r")
+        ).select("__r.*")
+
+    stream = parse(spark.readStream.text(src))
+    q = (
+        stream.writeStream.queryName("jsonl_stream")
+        .format("memory")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from jsonl_stream")
+    clean_s, bad_s = (
+        got.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL),
+        got.filter(F.col(CORRUPT_COL).isNotNull()),
+    )
+    clean_b, bad_b = split_quarantine(read_jsonl(spark, src, schema))
+    assert bad_s.count() == bad_b.count() == 1
+    assert sorted(map(tuple, clean_s.collect())) == sorted(
+        map(tuple, clean_b.collect())
+    )
+    assert clean_s.count() == docs.count() + 1
