@@ -62,12 +62,14 @@ _FRONT = [
     "session_transition_matrix",
     # formula changed in r13 (3-stage funnels rewired onto the
     # generic N-stage fold in operators/funnel.py; bucketed-table
-    # rebuild guard; incremental near-dup band-table path) — the r12
-    # driver rows predate the current code
+    # rebuild guard) — the r12 driver rows predate the current code
     "event_funnel_counts",
     "event_funnel_windowed_counts",
     "funnel_conversion_latency",
     "bucketed_customer_order_stats",
+    # shared operator touched in r13 (incremental_near_dup grew the
+    # optional band-table path; the registered query still runs the
+    # default recompute path — re-evidence it against the new code)
     "incremental_near_dup_batch",
 ]
 # names that took a fresh r12 driver row (CORRECTNESS_r12.json keys)
