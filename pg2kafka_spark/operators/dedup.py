@@ -1258,6 +1258,7 @@ def incremental_near_dup(
     n: int = 3,
     max_bucket_size: int | None = 64,
     store_bands: DataFrame | None = None,
+    _materialize_candidates: bool = True,
 ) -> DataFrame:
     """Daily-ingest NEAR-dup discovery: find incoming-batch documents
     that are near-duplicates of the already-ingested corpus — the
@@ -1324,7 +1325,24 @@ def incremental_near_dup(
     )
     cand = (
         bb.join(bs, ["band", "bkey"]).select("batch_id", "store_id").distinct()
+        # MATERIALIZE the candidate list (it's tiny — the whole point
+        # of LSH). Discovery → candidates → verification is a real
+        # pipeline boundary, and the checkpoint is load-bearing for
+        # the DRIVER, not the executors: `cand` feeds FIVE downstream
+        # consumers (store_hit, batch_hit, common, and through the
+        # shingle frames both sizes), and Catalyst tree traversals
+        # (AQE's per-stage `replaceWithQueryStagesInLogicalPlan` runs
+        # TreeNode.exists over the LOGICAL tree) expand that DAG
+        # sharing into tree copies — the band-key subtree (itself
+        # holding the hot-cap's second copy of `bs`) multiplied out
+        # to minutes of single-threaded driver CPU per action
+        # (r13 root-cause: jstack showed 40+ min in TreeNode.exists/
+        # collectFirst across the suite). As a leaf, the plan is
+        # linear again. `_materialize_candidates=False` keeps the
+        # lazy transparent plan — ONLY for plan-introspection tests.
     )
+    if _materialize_candidates:
+        cand = cand.localCheckpoint()
 
     # Verification shingles over NORMALIZED text — the same token
     # contract as the band keys (round-7 advice fix: raw-text shingles

@@ -1098,7 +1098,12 @@ def test_store_bands_skips_store_minhash_in_plan(spark, tmp_path):
     def plan(**kw):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            incremental_near_dup(store, batch, **kw).explain("formatted")
+            # lazy candidate list: the production default materializes
+            # it (severing this very subtree from the final plan), so
+            # the discovery shape is only visible un-checkpointed
+            incremental_near_dup(
+                store, batch, _materialize_candidates=False, **kw
+            ).explain("formatted")
         return buf.getvalue()
 
     p_recompute = plan()
