@@ -1377,3 +1377,35 @@ def test_jsonl_source_composes_into_a_stream_with_quarantine(
         map(tuple, clean_b.collect())
     )
     assert clean_s.count() == docs.count() + 1
+
+
+def test_candidate_materialization_bounds_plan_size(spark):
+    """Regression pin for the r13 driver planning blowup (BASELINE.md
+    root cause): the candidate list MUST be a plan leaf in production
+    mode. The lazy plan embeds the discovery subtree under five
+    consumers (~3x the node count here, multiplying further with each
+    nesting level — AQE re-traverses the logical tree per stage); the
+    materialized plan stays small and, critically, contains no band-
+    key computation at all."""
+    from pg2kafka_spark.operators.dedup import incremental_near_dup
+
+    rows = [(i, f"doc {i} alpha beta gamma delta") for i in range(30)]
+    store = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta fresh")], "doc_id int, text string"
+    )
+
+    def plan_lines(materialize):
+        df = incremental_near_dup(
+            store, batch, _materialize_candidates=materialize
+        )
+        return (
+            df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+
+    prod = plan_lines(True)
+    lazy = plan_lines(False)
+    assert len(prod) < 100, len(prod)
+    assert len(lazy) > 2 * len(prod), (len(lazy), len(prod))
+    # the discovery math is fully severed from the production plan
+    assert not any("xxhash" in ln or "__hp" in ln for ln in prod)
