@@ -28,32 +28,36 @@ def funnel_stage_frames(
     ev: DataFrame,
     stages: list[str] | tuple[str, ...],
     window_us: int | None = None,
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
 ) -> list[DataFrame]:
-    """One user-keyed frame per funnel stage: frame k holds
-    (user, t{k+1}) — each user's earliest stage-k event strictly after
-    (and, when ``window_us`` is set, within the band of) their
-    stage-(k−1) conversion instant."""
+    """One keyed frame per funnel stage: frame k holds
+    (key…, t{k+1}) — each key's earliest stage-k event strictly after
+    (and, when ``window_us`` is set, within the band of) its
+    stage-(k−1) conversion instant. ``user_col`` may be a LIST of
+    columns for composite funnel units (e.g. (user_id, session_id)
+    for the in-session funnel) — the fold is identical, every
+    exchange just hashes the composite key."""
     if len(stages) < 1:
         raise ValueError("funnel needs at least one stage")
+    keys = [user_col] if isinstance(user_col, str) else list(user_col)
     frames: list[DataFrame] = []
     prev: DataFrame | None = None
     for i, etype in enumerate(stages):
         typed = ev.filter(F.col(type_col) == etype)
         out_t = f"t{i + 1}"
         if prev is None:
-            f = typed.groupBy(user_col).agg(F.min(ts_col).alias(out_t))
+            f = typed.groupBy(*keys).agg(F.min(ts_col).alias(out_t))
         else:
             prev_t = f"t{i}"
             cond = F.col(ts_col) > F.col(prev_t)
             if window_us is not None:
                 cond &= F.col(ts_col) <= F.col(prev_t) + F.lit(int(window_us))
             f = (
-                typed.join(prev, user_col)
+                typed.join(prev, keys)
                 .filter(cond)
-                .groupBy(user_col)
+                .groupBy(*keys)
                 .agg(F.min(ts_col).alias(out_t))
             )
         frames.append(f)
@@ -62,16 +66,19 @@ def funnel_stage_frames(
 
 
 def funnel_counts(
-    frames: list[DataFrame], stages: list[str] | tuple[str, ...]
+    frames: list[DataFrame],
+    stages: list[str] | tuple[str, ...],
+    count_alias: str = "n_users",
 ) -> DataFrame:
     """(step, event_type, n_users) — one row per stage, the classic
     funnel report. Each count is a 1-row aggregate of an already
-    user-sized frame."""
+    key-sized frame. ``count_alias`` names the count for non-user
+    funnel units (n_sessions for the in-session funnel)."""
     rows = [
         frame.agg(
             F.lit(i + 1).alias("step"),
             F.lit(etype).alias("event_type"),
-            F.count(F.lit(1)).alias("n_users"),
+            F.count(F.lit(1)).alias(count_alias),
         )
         for i, (etype, frame) in enumerate(zip(stages, frames))
     ]
@@ -82,45 +89,63 @@ def ordered_funnel(
     ev: DataFrame,
     stages: list[str] | tuple[str, ...],
     window_us: int | None = None,
-    user_col: str = "user_id",
+    user_col: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
+    count_alias: str = "n_users",
 ) -> DataFrame:
-    """The full funnel report for ``stages`` over an
-    (user, event_type, ts_us) frame."""
+    """The full funnel report for ``stages`` over a
+    (key…, event_type, ts_us) frame."""
     return funnel_counts(
         funnel_stage_frames(ev, stages, window_us, user_col, type_col, ts_col),
         stages,
+        count_alias,
     )
 
 
 def funnel_oracle_sql(
-    stages: list[str] | tuple[str, ...], window_us: int | None = None
+    stages: list[str] | tuple[str, ...],
+    window_us: int | None = None,
+    source: str = "events",
+    keys: tuple[str, ...] = ("user_id",),
+    ts_expr: str = "epoch_us(ts)",
+    count_alias: str = "n_users",
+    with_prefix: str | None = None,
 ) -> str:
     """The DuckDB spelling of the same fold — generated from the SAME
-    stage list so query and oracle cannot drift."""
+    stage list so query and oracle cannot drift. ``source``/``keys``/
+    ``ts_expr`` parameterize the funnel unit (the in-session funnel
+    folds over a sessionized CTE on (user_id, session_id));
+    ``with_prefix`` chains the generated CTEs onto an existing WITH
+    block instead of opening one."""
+    key_list = ", ".join(keys)
     ctes = []
     for i, etype in enumerate(stages):
         if i == 0:
             ctes.append(
-                f"s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 "
-                f"FROM events WHERE event_type = '{etype}' GROUP BY 1)"
+                f"s1 AS (SELECT {key_list}, min({ts_expr}) AS t1 "
+                f"FROM {source} WHERE event_type = '{etype}' "
+                f"GROUP BY {key_list})"
             )
         else:
             band = (
-                f" AND epoch_us(ts) <= t{i} + {int(window_us)}"
+                f" AND {ts_expr} <= t{i} + {int(window_us)}"
                 if window_us is not None
                 else ""
             )
+            on = " AND ".join(f"e.{k} = s{i}.{k}" for k in keys)
+            sel = ", ".join(f"e.{k}" for k in keys)
             ctes.append(
-                f"s{i + 1} AS (SELECT e.user_id, min(epoch_us(ts)) AS "
-                f"t{i + 1} FROM events e JOIN s{i} ON e.user_id = "
-                f"s{i}.user_id WHERE event_type = '{etype}' AND "
-                f"epoch_us(ts) > t{i}{band} GROUP BY 1)"
+                f"s{i + 1} AS (SELECT {sel}, min({ts_expr}) AS "
+                f"t{i + 1} FROM {source} e JOIN s{i} ON {on} "
+                f"WHERE event_type = '{etype}' AND "
+                f"{ts_expr} > t{i}{band} GROUP BY {sel})"
             )
     selects = " UNION ALL ".join(
         f"SELECT {i + 1} AS step, '{etype}' AS event_type, "
-        f"count(*) AS n_users FROM s{i + 1}"
+        f"count(*) AS {count_alias} FROM s{i + 1}"
         for i, etype in enumerate(stages)
     )
-    return f"WITH {', '.join(ctes)} SELECT * FROM ({selects})"
+    body = ", ".join(ctes)
+    head = f"{with_prefix}, {body}" if with_prefix else f"WITH {body}"
+    return f"{head} SELECT * FROM ({selects})"

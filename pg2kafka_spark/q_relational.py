@@ -557,6 +557,46 @@ def session_path_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entry_conversion(ev, max_steps=5)
 
 
+def _session_funnel_oracle() -> str:
+    from pg2kafka_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(
+        ["view", "click", "purchase"],
+        source="sess",
+        keys=("user_id", "session_id"),
+        ts_expr="ts_us",
+        count_alias="n_sessions",
+        with_prefix=_session_cte(30 * 60 * 1_000_000),
+    )
+
+
+@query("session_funnel_counts", oracle=_session_funnel_oracle())
+def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel WITHIN sessions: how many SESSIONS (not
+    users) walk view → click → purchase in order before the 30-min
+    gap closes them — the in-visit conversion report, stricter than
+    the lifetime funnel (`event_funnel_counts`) and the third corner
+    of the session-analytics family (paths, transitions, funnel).
+
+    Same generic fold (operators/funnel.py), composite funnel unit:
+    every stage's min and join hash the (user_id, session_id) key —
+    which the session-assignment exchange already clusters, so the
+    funnel stages add sorts and tiny aggregations, never a second
+    event-sized shuffle. The oracle is GENERATED from the same stage
+    list over the shared sessionization CTE."""
+    from pg2kafka_spark.operators.funnel import ordered_funnel
+    from pg2kafka_spark.operators.paths import assign_sessions
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = assign_sessions(ev)
+    return ordered_funnel(
+        sess,
+        ["view", "click", "purchase"],
+        user_col=["user_id", "session_id"],
+        count_alias="n_sessions",
+    )
+
+
 @query(
     "session_transition_matrix",
     oracle=_session_cte(30 * 60 * 1_000_000)

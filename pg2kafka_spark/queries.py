@@ -60,6 +60,7 @@ _FRONT = [
     "session_top_paths",
     "session_path_conversion",
     "session_transition_matrix",
+    "session_funnel_counts",
     # formula changed in r13 (3-stage funnels rewired onto the
     # generic N-stage fold in operators/funnel.py; bucketed-table
     # rebuild guard) — the r12 driver rows predate the current code

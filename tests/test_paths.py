@@ -208,3 +208,59 @@ class TestTransitionMatrix:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 3
+
+
+class TestSessionFunnel:
+    def test_conversion_must_complete_within_one_session(self, spark):
+        """view→click split across a session gap must NOT count: the
+        in-session funnel is stricter than the lifetime funnel."""
+        from pg2kafka_spark.operators.funnel import ordered_funnel
+
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 4000, "click"),      # next session — lifetime-only
+            (3, 2, 0, "view"),
+            (4, 2, 10, "click"),         # same session — counts
+            (5, 2, 20, "purchase"),
+        ])
+        sess = assign_sessions(ev)
+        rows = {
+            r["event_type"]: r["n_sessions"]
+            for r in ordered_funnel(
+                sess,
+                ["view", "click", "purchase"],
+                user_col=["user_id", "session_id"],
+                count_alias="n_sessions",
+            ).collect()
+        }
+        # sessions containing a view: user1-session1 + user2-session1
+        # (user1's click landed in a view-less second session)
+        assert rows == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_composite_key_fold_matches_single_key_when_one_session(
+        self, spark
+    ):
+        """With every user in a single session the composite fold must
+        equal the plain per-user funnel."""
+        from pg2kafka_spark.operators.funnel import ordered_funnel
+
+        ev = _ev(spark, [
+            (1, 1, 0, "view"), (2, 1, 5, "click"), (3, 1, 9, "purchase"),
+            (4, 2, 0, "view"), (5, 2, 3, "click"),
+        ])
+        sess = assign_sessions(ev)
+        by_session = {
+            (r["step"], r["n_sessions"])
+            for r in ordered_funnel(
+                sess, ["view", "click", "purchase"],
+                user_col=["user_id", "session_id"],
+                count_alias="n_sessions",
+            ).collect()
+        }
+        by_user = {
+            (r["step"], r["n_users"])
+            for r in ordered_funnel(
+                sess, ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert by_session == by_user

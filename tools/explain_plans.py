@@ -1189,6 +1189,13 @@ COMMENTARY.update({
         "structs by the step-gated collect; only (path, count) "
         "partials shuffle; top-20 is `TakeOrderedAndProject`."
     ),
+    "session_funnel_counts": (
+        "In-session funnel over the composite (user_id, session_id) "
+        "key: the session-assignment exchange already clusters it, so "
+        "each stage's min and join add sorts and key-sized frames, "
+        "never a second event-sized shuffle. Oracle GENERATED from "
+        "the same stage list over the shared sessionization CTE."
+    ),
     "session_transition_matrix": (
         "First-order Markov transitions: lead() rides the session "
         "pipeline's user_id exchange; the event-sized stage ends at "
