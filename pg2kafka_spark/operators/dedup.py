@@ -1342,7 +1342,9 @@ def incremental_near_dup(
         # lazy transparent plan — ONLY for plan-introspection tests.
     )
     if _materialize_candidates:
-        cand = cand.localCheckpoint()
+        from pg2kafka_spark.operators.graph import guarded_local_checkpoint
+
+        cand = guarded_local_checkpoint(cand)
 
     # Verification shingles over NORMALIZED text — the same token
     # contract as the band keys (round-7 advice fix: raw-text shingles

@@ -336,3 +336,17 @@ def canonical_per_component(
         "__rk", F.row_number().over(w.orderBy(*order_cols))
     ).withColumn("comp_size", F.count(F.lit(1)).over(w))
     return ranked.withColumn("is_canonical", F.col("__rk") == 1).drop("__rk")
+
+
+def guarded_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` under the SAME lock as :func:`_checkpoint`,
+    WITHOUT tracking — for operator-internal materializations (the
+    dedup LSH candidate list) whose lifetime is the returned plan,
+    not graph round state. The lock keeps the new RDD ids out of a
+    concurrent ``_checkpoint``'s before/after id-diff: without it, a
+    graph query in another thread (bench warms queries from a pool)
+    adopts the ids into ``_TRACKED`` and a later release unpersists
+    them mid-query — observed as CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in
+    the r13 bench warmup."""
+    with _CKPT_LOCK:
+        return df.localCheckpoint()

@@ -1409,3 +1409,39 @@ def test_candidate_materialization_bounds_plan_size(spark):
     assert len(lazy) > 2 * len(prod), (len(lazy), len(prod))
     # the discovery math is fully severed from the production plan
     assert not any("xxhash" in ln or "__hp" in ln for ln in prod)
+
+
+def test_candidate_checkpoint_waits_for_graph_diff_window(spark):
+    """Lock-discipline pin for the r13 bench-warmup flake: the
+    candidate materialization must take graph._CKPT_LOCK, so its RDD
+    ids can never land inside a concurrent graph _checkpoint's
+    before/after diff (which would adopt them into _TRACKED and
+    unpersist them mid-query on the next release)."""
+    import threading
+    import time as _t
+
+    import pg2kafka_spark.operators.graph as G
+    from pg2kafka_spark.operators.dedup import incremental_near_dup
+
+    rows = [(i, f"doc {i} alpha beta gamma delta") for i in range(10)]
+    store = spark.createDataFrame(rows, "doc_id int, text string")
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta fresh")], "doc_id int, text string"
+    )
+    done: list[bool] = []
+
+    def build():
+        incremental_near_dup(store, batch)
+        done.append(True)
+
+    assert G._CKPT_LOCK.acquire(timeout=10)
+    try:
+        t = threading.Thread(target=build)
+        t.start()
+        _t.sleep(3)
+        # the candidate checkpoint must be BLOCKED on the lock
+        assert not done
+    finally:
+        G._CKPT_LOCK.release()
+    t.join(120)
+    assert done
