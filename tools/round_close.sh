@@ -15,14 +15,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${ROUND:?set ROUND=<n>}"
 
-echo "== [1/5] pytest"
+echo "== [1/6] pytest"
 python -m pytest tests/ -x -q
 
-echo "== [2/5] full-surface parity -> CORRECTNESS_LOCAL_r${ROUND}.json"
+echo "== [2/6] full-surface parity -> CORRECTNESS_LOCAL_r${ROUND}.json"
 PARITY_OUT="CORRECTNESS_LOCAL_r${ROUND}.json" PYTHONPATH=. \
   python tools/check_parity.py /root/testdata/sf0.01
 
-echo "== [3/5] bench (sf0.1)"
+echo "== [3/6] bench (sf0.1)"
 python bench.py
 
 echo "== [4/6] PLANS.md"
