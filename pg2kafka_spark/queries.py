@@ -37,69 +37,54 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
 # regenerated at round close). r10 + r12 ran pipeline-fronted
-# windows; r11 ran CDC + relational. r13 (this round) rotates the
-# CDC core + relational consumer surface back to the front per the
-# r12 verdict's item 5. Order:
+# windows; r11 + r13 ran CDC + relational. r14 (this round) rotates
+# the PIPELINE families back to the front per the r13 verdict's
+# item 6 — the ANN family, dedup portable twins, multimodal, and the
+# text gates last saw driver rows in r12. Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) the CDC core (SURVEY §2's actual operator inventory —
-#       freshest driver evidence r11),
-#   (2) relational oracle-backed names OUTSIDE the r12 window
-#       (evidence r11),
-#   (3) relational names the r12 window covered (fresh r12 rows),
-#   (4) pipeline oracle-backed (fresh r12 rows for most; the rest
-#       have r10 rows plus the committed local artifact),
-#   (5) rows-only queries last (their portable twins are
+#   (1) pipeline oracle-backed names OUTSIDE the r13 window
+#       (freshest driver evidence r12),
+#   (2) pipeline oracle-backed names the r13 window covered,
+#   (3) CDC core + relational oracle-backed (fresh r13 rows),
+#   (4) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r14 NOTE: rotate q_pipeline back to the front; keep alternating.
+# r15 NOTE: rotate q_cdc + q_relational to the front; keep
+# alternating.
 _FRONT = [
-    # NEW in r13 — no driver row exists yet
-    "event_funnel_stages",
-    "weekly_retention_incremental",
+    # NEW in r14 — no driver row exists yet
+    "weekly_retention_served",
+    "session_path_conversion_windowed",
+    # shared kernel touched in r14 (bpe_encode_production's rank
+    # broadcast is now cached per merge-table identity; the r13 row
+    # predates the current code)
     "bpe_encode_production",
-    "session_top_paths",
-    "session_path_conversion",
-    "session_transition_matrix",
-    "session_funnel_counts",
-    # formula changed in r13 (3-stage funnels rewired onto the
-    # generic N-stage fold in operators/funnel.py; bucketed-table
-    # rebuild guard) — the r12 driver rows predate the current code
-    "event_funnel_counts",
-    "event_funnel_windowed_counts",
-    "funnel_conversion_latency",
-    "bucketed_customer_order_stats",
-    # shared operator touched in r13 (incremental_near_dup grew the
-    # optional band-table path; the registered query still runs the
-    # default recompute path — re-evidence it against the new code)
-    "incremental_near_dup_batch",
 ]
-# names that took a fresh r12 driver row (CORRECTNESS_r12.json keys)
-_R12_WINDOW = {
-    "bpe_merge_steps", "bpe_compression_by_source",
-    "bpe_token_frequencies", "bpe_encode_documents",
-    "event_funnel_windowed_counts", "orders_table_profile_approx",
-    "bucketed_customer_order_stats", "discount_band_revenue_delta",
-    "returned_item_customer_revenue", "part_type_profit_by_nation",
-    "regional_min_cost_supplier", "important_part_stock",
-    "part_supplier_diversity", "excess_shipment_suppliers",
-    "part_pair_cooccurrence", "funnel_conversion_latency",
-    "leakage_free_split", "embedding_ann_lsh",
-    "multimodal_decode_parity", "media_near_dup_real",
-    "doc_chunk_windows", "doc_train_val_test_split",
-    "doc_stratified_sample", "source_mix_rebalance",
-    "doc_pack_assignments", "tfidf_top_terms",
-    "doc_unigram_surprisal", "decontamination_check",
-    "near_dup_components", "near_dup_components_star",
-    "near_dup_canonical", "doc_duplicate_ngrams",
-    "minhash_signatures_portable", "simhash_portable",
-    "training_corpus_assembly", "decontamination_scrub",
-    "source_temperature_sample", "doc_training_order",
-    "embedding_ann_ivf_sampled", "embedding_ann_ivf_incremental",
-    "embedding_ann_ivf_pq", "embedding_ann_pq_sampled",
-    "embedding_knn_graph", "doc_weighted_sample", "dsir_resample",
-    "doc_surprisal_band_fit", "doc_surprisal_band_stratified",
-    "source_epoch_allocation", "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable",
+# names that took a fresh r13 driver row (CORRECTNESS_r13.json keys)
+_R13_WINDOW = {
+    "event_funnel_stages", "weekly_retention_incremental",
+    "bpe_encode_production", "session_top_paths",
+    "session_path_conversion", "session_transition_matrix",
+    "session_funnel_counts", "event_funnel_counts",
+    "event_funnel_windowed_counts", "funnel_conversion_latency",
+    "bucketed_customer_order_stats", "incremental_near_dup_batch",
+    "latest_state_per_user", "state_asof", "snapshot_part",
+    "update_diff_events", "update_diff_json", "unprocessed_page",
+    "unprocessed_pages_count", "wire_encode_nation", "topic_routing",
+    "event_asof_order", "order_event_attribution",
+    "replayed_state_from_diffs", "scd2_user_history",
+    "pricing_summary", "top_orders", "events_hourly",
+    "revenue_by_region", "customer_order_stats",
+    "customers_without_orders", "customers_with_orders",
+    "brand_supplier_revenue", "shipping_priority",
+    "order_rank_per_customer", "order_gap_days",
+    "running_customer_total", "sessionize_events",
+    "finished_only_customers", "both_status_customers",
+    "union_segments", "rollup_returns", "cube_priority_status",
+    "user_event_type_pivot", "order_line_arrays",
+    "order_value_percentiles", "user_value_sketches_portable",
+    "bloom_semijoin_prune", "user_heavy_hitters_cm",
+    "customer_event_activity",
 }
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
@@ -107,13 +92,9 @@ from pg2kafka_spark.q_relational import (  # noqa: E402
 )
 
 _reg_pos = {n: i for i, n in enumerate(QUERIES)}
-_cdc_names = {
+_cdc_rel_names = {
     n for n, fn in QUERIES.items()
-    if getattr(fn, "__module__", "") == _qcdc_mod
-}
-_rel_names = {
-    n for n, fn in QUERIES.items()
-    if getattr(fn, "__module__", "") == _qrel_mod
+    if getattr(fn, "__module__", "") in (_qcdc_mod, _qrel_mod)
 }
 
 
@@ -121,14 +102,12 @@ def _tier(n: str) -> tuple:
     if n in _FRONT:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
-        return (5, _reg_pos[n])
-    if n in _cdc_names:
+        return (4, _reg_pos[n])
+    if n not in _cdc_rel_names and n not in _R13_WINDOW:
         return (1, _reg_pos[n])
-    if n in _rel_names and n not in _R12_WINDOW:
+    if n not in _cdc_rel_names:
         return (2, _reg_pos[n])
-    if n in _rel_names:
-        return (3, _reg_pos[n])
-    return (4, _reg_pos[n])
+    return (3, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)

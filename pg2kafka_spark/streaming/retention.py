@@ -1,0 +1,179 @@
+"""Self-maintaining retention pre-aggregate: the missing loop the r13
+verdict named — `first_seen_update` + `retention_day_partial`
+(operators/retention.py) wired into a Structured Streaming job with
+the same shape as the dedup store's `start_ingest_stream`
+(streaming/ingest.py), so a user gets the measured 105×
+query-from-partials speedup (BASELINE.md, 0.41 s vs 43 s at 100 M
+events) without hand-rolling the daily fold.
+
+Reference parity: the outbox consumers in pg2kafka re-scan the event
+queue per query (eventqueue/event_queue.go:60-75); this module is the
+warehouse-side maintained rollup of that feed.
+
+State is TWO append-only parquet tables, both replay-idempotent:
+
+* ``first_seen_dir`` — per-batch (user, f_us) MIN-candidates. The
+  effective first-seen table is ``min(f_us) per user`` over the
+  accumulated candidates; duplicate candidate rows from an
+  at-least-once replay change nothing (min is idempotent). The table
+  grows with ACTIVE USERS PER BATCH, not events, and a compaction
+  (rewrite as the folded one-row-per-user table) is itself just
+  `first_seen_update(empty, candidates)` — safe at any time.
+* ``partials_dir`` — the day's DISTINCT (cohort_day, week_offset,
+  user) triples, batch_id-stamped. Serving re-dedups with
+  countDistinct (`retention_from_partials`), so replayed duplicate
+  rows are absorbed — the same consumer-dedups contract as the wire
+  events.
+
+Correctness precondition (same as the batch fold documents,
+operators/retention.py:29-35): events arrive in per-user event-time
+order across micro-batches — the outbox delivers in commit order — so
+by the time any event of user U is cohorted, U's true first event is
+either already in the candidates table or inside the current batch;
+the in-memory fold (candidates ∪ batch-min) therefore computes the
+FINAL f_us for every user the batch touches.
+
+Crash contract (at-least-once, never loss): candidates are written
+FIRST, partials second. Crash between the two → the replay recomputes
+the same partials (its candidate rows are already present; min
+unchanged) and appends them once. Crash after both, before the
+checkpoint commit → the replay appends duplicate candidate AND
+partial rows, both absorbed (min / countDistinct). No ordering makes
+a window lossy because every batch recomputes its partials from its
+own events plus the candidates union — nothing depends on the
+partials table's prior contents.
+
+Scale notes: per-batch work is two user-keyed shuffles of
+batch-sized + user-sized frames (the day-min and the first-seen
+join); the partials append is ≤2 rows per active user per batch
+(operators/retention.py:78-85). At 100 TB, partition ``partials_dir``
+by cohort_day so triangle queries prune, and compact the candidates
+table on a schedule; neither changes the contract above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampType
+
+from pg2kafka_spark.operators.retention import (
+    first_seen_update,
+    retention_day_partial,
+)
+from pg2kafka_spark.streaming.ingest import _store_or_empty
+
+
+def _to_micros(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
+    """Normalize the event-time column to epoch-µs bigint (the
+    convention every retention operator uses); timestamp columns are
+    converted, bigints pass through."""
+    if isinstance(df.schema[ts_col].dataType, TimestampType):
+        return (
+            df.withColumn("__ts_us", F.unix_micros(F.col(ts_col))),
+            "__ts_us",
+        )
+    return df, ts_col
+
+
+def retention_maintain_batch(
+    batch_df: DataFrame,
+    first_seen_candidates: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch of the maintenance fold, PURE (no writes):
+    returns ``(day_min, partials)`` — the batch's (user, f_us)
+    MIN-candidate rows to append to the candidates table, and the
+    batch's (cohort_day, week_offset, user) partial rows to append to
+    the partials table. The streaming wrapper owns the writes; the
+    replay-idempotence test drives this directly."""
+    batch_df, ts_col = _to_micros(batch_df, ts_col)
+    day_min = batch_df.groupBy(user_col).agg(F.min(ts_col).alias("f_us"))
+    effective = first_seen_update(
+        first_seen_candidates, batch_df, user_col, ts_col
+    )
+    partials = retention_day_partial(batch_df, effective, user_col, ts_col)
+    return day_min, partials
+
+
+def compact_first_seen(
+    spark: SparkSession, first_seen_dir: str, user_col: str = "user_id"
+) -> None:
+    """Rewrite the append-only candidates table as its one-row-per-user
+    fold — the scheduled compaction the module docstring names.
+    Value-safe by algebra (min over pre-folded rows is the same min),
+    but run it BETWEEN stream runs (e.g. after an availableNow drain):
+    an append landing inside the read→swap window would be dropped by
+    the directory swap. The rewrite stages to a sibling then replaces,
+    so a crash mid-compaction leaves either the old or the new table,
+    never a partial."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(first_seen_dir)
+    folded = df.groupBy(user_col).agg(F.min("f_us").alias("f_us"))
+    staging = first_seen_dir.rstrip("/") + ".__compact__"
+    folded.write.mode("overwrite").parquet(staging)
+    old = first_seen_dir.rstrip("/") + ".__old__"
+    os.rename(first_seen_dir, old)
+    os.rename(staging, first_seen_dir)
+    shutil.rmtree(old)
+
+
+def start_retention_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    first_seen_dir: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the retention-maintenance stream: event files landing in
+    ``incoming_dir`` fold into the first-seen candidates table and
+    append their day-partials, per micro-batch. ``available_now=True``
+    drains the backlog then stops (the nightly-job mode);
+    ``max_files_per_trigger`` bounds batch size, same knob as the
+    ingest stream's."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(incoming_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # sever the source lineage
+        sess = batch_df.sparkSession
+        like = (
+            batch_df.select(F.col(user_col))
+            .withColumn("f_us", F.lit(0).cast("long"))
+            .schema
+        )
+        cands = _store_or_empty(
+            sess, first_seen_dir, sess.createDataFrame([], like)
+        )
+        day_min, partials = retention_maintain_batch(
+            batch_df, cands, user_col, ts_col
+        )
+        # Write ORDER is the crash contract (module docstring):
+        # candidates FIRST so a replayed batch folds against a
+        # candidates table that already contains its own rows (min
+        # unchanged), partials second so the replay re-emits identical
+        # triples that serving's countDistinct absorbs.
+        day_min.write.mode("append").parquet(first_seen_dir)
+        partials.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(partials_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()

@@ -203,3 +203,184 @@ def test_hll_plan_has_no_user_keyed_aggregation(spark):
     # exactly one user-keyed hash aggregation pair (partial+final for
     # first_seen's min) — the distinct-style Expand/dedup never appears
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance loop (streaming/retention.py) — the r13-verdict
+# item: the fold operators wired into a self-maintaining job, with the
+# same replay evidence the ingest store has.
+
+
+def _write_day_slice_files(spark, ev_raw, slices, incoming):
+    """Write one parquet FILE per day slice into ``incoming``, named
+    and mtime-stamped ascending so the file stream source (which
+    orders by timestamp) delivers them in event-time order — the
+    documented arrival contract."""
+    import os
+    import shutil
+
+    os.makedirs(incoming, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, (lo, hi) in enumerate(slices):
+        day = ev_raw.filter(
+            (F.unix_micros("ts") >= F.lit(lo * DAY_US))
+            & (F.unix_micros("ts") < F.lit(hi * DAY_US))
+        )
+        stage = os.path.join(incoming, f"__stage_{i}")
+        day.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(incoming, f"slice_{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+def test_retention_stream_maintains_partials_e2e(spark, tmp_path):
+    """N micro-batches through start_retention_stream produce a
+    partials table whose served triangle EQUALS the one-pass batch
+    build — the fold-equivalence test lifted into the streaming loop
+    (r13 verdict item 3)."""
+    import os
+
+    from pg2kafka_spark.streaming.retention import start_retention_stream
+
+    ev_raw = load_table(spark, "events", SF).select("user_id", "ts")
+    slices = _day_slices(_events(spark), 5)
+    assert len(slices) >= 3
+    incoming = str(tmp_path / "incoming")
+    _write_day_slice_files(spark, ev_raw, slices, incoming)
+
+    q = start_retention_stream(
+        spark,
+        incoming,
+        "user_id bigint, ts timestamp",
+        first_seen_dir=str(tmp_path / "first_seen"),
+        partials_dir=str(tmp_path / "partials"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    partials = spark.read.parquet(str(tmp_path / "partials"))
+    # one batch per slice file (ordering contract held)
+    n_batches = partials.select("batch_id").distinct().count()
+    assert n_batches == len(slices)
+    got = _triangle_rows(retention_from_partials(partials))
+    assert got == _batch_triangle(spark)
+    # the candidates table folds to the exact batch first-seen
+    cands = spark.read.parquet(str(tmp_path / "first_seen"))
+    folded = {
+        (r.user_id, r.f_us)
+        for r in cands.groupBy("user_id")
+        .agg(F.min("f_us").alias("f_us"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.f_us)
+        for r in _events(spark)
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("f_us"))
+        .collect()
+    }
+    assert folded == want
+    assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_retention_maintain_batch_replay_idempotent(spark):
+    """At-least-once replay of a micro-batch (crash after both writes,
+    before checkpoint commit) changes NEITHER the folded first-seen
+    table NOR the served triangle — the module's crash contract,
+    driven through the pure per-batch function."""
+    from pg2kafka_spark.streaming.retention import retention_maintain_batch
+
+    ev = _events(spark)
+    slices = _day_slices(ev, 4)
+    assert len(slices) >= 2
+    empty = spark.createDataFrame([], "user_id bigint, f_us bigint")
+
+    def day(lo, hi):
+        return ev.filter(
+            (F.col("ts_us") >= F.lit(lo * DAY_US))
+            & (F.col("ts_us") < F.lit(hi * DAY_US))
+        )
+
+    b1 = day(*slices[0])
+    b2 = day(*slices[1])
+    dm1, p1 = retention_maintain_batch(b1, empty)
+    cands = empty.unionByName(dm1).localCheckpoint()
+    dm2, p2 = retention_maintain_batch(b2, cands)
+    cands2 = cands.unionByName(dm2).localCheckpoint()
+    served = _triangle_rows(
+        retention_from_partials(p1.unionByName(p2).localCheckpoint())
+    )
+
+    # replay b2: its candidate rows are already in the table
+    dm2r, p2r = retention_maintain_batch(b2, cands2)
+    cands_replayed = cands2.unionByName(dm2r)
+    served_replayed = _triangle_rows(
+        retention_from_partials(
+            p1.unionByName(p2).unionByName(p2r).localCheckpoint()
+        )
+    )
+    assert served_replayed == served
+
+    def fold(df):
+        return {
+            (r.user_id, r.f_us)
+            for r in df.groupBy("user_id")
+            .agg(F.min("f_us").alias("f_us"))
+            .collect()
+        }
+
+    assert fold(cands_replayed) == fold(cands2)
+
+
+def test_served_query_reads_maintained_table_and_matches(spark):
+    """weekly_retention_served must equal the in-query rebuild — the
+    serve path reads ONLY the at-rest partials table."""
+    from pg2kafka_spark.queries import QUERIES
+
+    served = _triangle_rows(QUERIES["weekly_retention_served"](spark, SF))
+    inq = _triangle_rows(
+        QUERIES["weekly_retention_incremental"](spark, SF)
+    )
+    assert served == inq
+
+
+def test_compact_first_seen_preserves_fold_and_shrinks(spark, tmp_path):
+    """Compaction rewrites the candidates table to one row per user
+    with the identical fold — and the served triangle is unchanged."""
+    from pg2kafka_spark.streaming.retention import (
+        compact_first_seen,
+        retention_maintain_batch,
+    )
+
+    ev = _events(spark)
+    slices = _day_slices(ev, 4)
+    empty = spark.createDataFrame([], "user_id bigint, f_us bigint")
+    fs_dir = str(tmp_path / "first_seen")
+    cands = empty
+    for lo, hi in slices:
+        day = ev.filter(
+            (F.col("ts_us") >= F.lit(lo * DAY_US))
+            & (F.col("ts_us") < F.lit(hi * DAY_US))
+        )
+        dm, _p = retention_maintain_batch(day, cands)
+        dm.write.mode("append").parquet(fs_dir)
+        cands = spark.read.parquet(fs_dir)
+    before = spark.read.parquet(fs_dir)
+    n_before = before.count()
+    folded_before = {
+        (r.user_id, r.f_us)
+        for r in before.groupBy("user_id")
+        .agg(F.min("f_us").alias("f_us"))
+        .collect()
+    }
+    compact_first_seen(spark, fs_dir)
+    after = spark.read.parquet(fs_dir)
+    assert after.count() == after.select("user_id").distinct().count()
+    assert after.count() <= n_before
+    assert {(r.user_id, r.f_us) for r in after.collect()} == folded_before

@@ -930,6 +930,26 @@ COMMENTARY.update({
         "triangle size, independent of per-user event volume. "
         "Day-fold equivalence and replay idempotence are test-pinned."
     ),
+    "weekly_retention_served": (
+        "The triangle SERVED from the maintained partials table "
+        "(streaming/retention.py keeps it up per micro-batch; "
+        "_ensure_retention_store backfills it once per sf_dir). The "
+        "plan is ONLY the serve path: a parquet scan of "
+        "~active-user-day rows and the (cohort, week) countDistinct "
+        "— no events scan, no first-seen join. That scan-size gap IS "
+        "the measured 105× at 100 M events (BASELINE.md r13); at "
+        "100 TB partition the partials by cohort_day so triangle "
+        "slices prune at the reader."
+    ),
+    "session_path_conversion_windowed": (
+        "Entry-event conversion under the 10-min max-conversion band "
+        "(the funnel family's window, operators/paths.py): the band "
+        "is two more conditional-min aggregates inside the SAME "
+        "per-session fold — the plan is identical in shape to "
+        "session_path_conversion (one user_id Exchange for the whole "
+        "event-sized stage, tiny entry-type rollup after), so the "
+        "stricter semantics cost zero extra shuffles at any scale."
+    ),
     "brand_share_by_year": (
         "TPC-H Q8: part broadcasts as a true dim; orders⋈lineitem is "
         "deliberately left to the planner — bucketed by orderkey it "
