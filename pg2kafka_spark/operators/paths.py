@@ -78,7 +78,10 @@ def assign_sessions(ev: DataFrame, gap_us: int = GAP_US) -> DataFrame:
 
 
 def session_paths(
-    ev: DataFrame, gap_us: int = GAP_US, max_steps: int = 5
+    ev: DataFrame,
+    gap_us: int = GAP_US,
+    max_steps: int = 5,
+    window_us: int | None = None,
 ) -> DataFrame:
     """One row per session: (user_id, session_id, path, n_events,
     entry_type, converted). ``path`` joins the first ``max_steps``
@@ -86,6 +89,15 @@ def session_paths(
     ≥ 2 (a session ENTERED on purchase hasn't converted from
     anything — entry purchases count as their own entry_type
     instead).
+
+    ``window_us`` adds the funnel family's max-conversion band
+    (operators/funnel.py): the purchase must also land within
+    ``window_us`` of the session's ENTRY event — "converted within
+    10 min of landing", stricter than "converted before the gap
+    closed the session". Implemented as two more conditional-min
+    aggregates (entry ts and first qualifying purchase ts) over the
+    SAME per-session aggregation — no extra window pass, no second
+    exchange, same bounded state.
 
     Per-session aggregation state is BOUNDED AND CODEGEN-FRIENDLY:
     the path is assembled from ``max_steps`` conditional-max string
@@ -109,19 +121,24 @@ def session_paths(
         )
         for k in range(1, max_steps + 1)
     ]
+    is_conv = (F.col("step") >= 2) & (F.col("event_type") == "purchase")
+    if window_us is None:
+        converted = (
+            F.sum(F.when(is_conv, 1).otherwise(0)) > 0
+        ).alias("converted")
+    else:
+        converted = (
+            F.min(F.when(is_conv, F.col("ts_us"))).isNotNull()
+            & (
+                F.min(F.when(is_conv, F.col("ts_us")))
+                - F.min(F.when(F.col("step") == 1, F.col("ts_us")))
+                <= F.lit(int(window_us))
+            )
+        ).alias("converted")
     per = stepped.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         *step_cols,
-        (
-            F.sum(
-                F.when(
-                    (F.col("step") >= 2)
-                    & (F.col("event_type") == "purchase"),
-                    1,
-                ).otherwise(0)
-            )
-            > 0
-        ).alias("converted"),
+        converted,
     )
     return per.select(
         "user_id",
@@ -196,13 +213,17 @@ def transition_matrix(ev: DataFrame, gap_us: int = GAP_US) -> DataFrame:
 
 
 def entry_conversion(
-    ev: DataFrame, gap_us: int = GAP_US, max_steps: int = 5
+    ev: DataFrame,
+    gap_us: int = GAP_US,
+    max_steps: int = 5,
+    window_us: int | None = None,
 ) -> DataFrame:
     """Conversion by session entry event: sessions, converted
-    sessions (purchase at step ≥ 2), and the conversion share in
-    exact integer micros (truncating integer division — both engines
-    floor positives identically)."""
-    paths = session_paths(ev, gap_us, max_steps)
+    sessions (purchase at step ≥ 2 — within ``window_us`` of entry
+    when set), and the conversion share in exact integer micros
+    (truncating integer division — both engines floor positives
+    identically)."""
+    paths = session_paths(ev, gap_us, max_steps, window_us)
     agg = paths.groupBy("entry_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
         F.sum(F.col("converted").cast("bigint"))

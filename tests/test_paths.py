@@ -151,7 +151,10 @@ class TestPlanShape:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Exchange hashpartitioning") == 2
+        # upper bound, not exact count (r13 advice): the guard is against
+        # REGRESSION (an extra session-key exchange); fewer/renamed
+        # nodes across Spark versions must not fail spuriously
+        assert plan.count("Exchange hashpartitioning") <= 2
         assert "TakeOrderedAndProject" in plan
 
 
@@ -207,7 +210,7 @@ class TestTransitionMatrix:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Exchange hashpartitioning") == 3
+        assert plan.count("Exchange hashpartitioning") <= 3
 
 
 class TestSessionFunnel:
@@ -264,3 +267,68 @@ class TestSessionFunnel:
             ).collect()
         }
         assert by_session == by_user
+
+
+class TestWindowedConversion:
+    """The max-conversion band (r14): purchase must land within
+    window_us of the session's ENTRY event, not merely inside the
+    session."""
+
+    def test_purchase_outside_band_does_not_convert(self, spark):
+        # session stays open (gaps < 30 min) but the purchase lands
+        # 900 s after entry — outside a 600 s band, inside the session
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 450, "click"),
+            (3, 1, 900, "purchase"),
+        ])
+        unbanded = session_paths(ev).collect()[0]
+        banded = session_paths(ev, window_us=600_000_000).collect()[0]
+        assert unbanded["converted"] is True
+        assert banded["converted"] is False
+
+    def test_purchase_at_band_edge_converts(self, spark):
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 600, "purchase"),   # exactly window_us after entry
+        ])
+        banded = session_paths(ev, window_us=600_000_000).collect()[0]
+        assert banded["converted"] is True
+
+    def test_entry_purchase_still_not_converted(self, spark):
+        # a session OPENING on purchase converted from nothing — the
+        # band must not change that rule
+        ev = _ev(spark, [
+            (1, 1, 0, "purchase"),
+            (2, 1, 10, "view"),
+        ])
+        banded = session_paths(ev, window_us=600_000_000).collect()[0]
+        assert banded["converted"] is False
+
+    def test_first_qualifying_purchase_decides(self, spark):
+        # late purchase outside the band, but an EARLIER one inside:
+        # converted (min-ts semantics)
+        ev = _ev(spark, [
+            (1, 1, 0, "view"),
+            (2, 1, 100, "purchase"),
+            (3, 1, 900, "purchase"),
+        ])
+        banded = session_paths(ev, window_us=600_000_000).collect()[0]
+        assert banded["converted"] is True
+
+    def test_entry_conversion_windowed_rollup(self, spark):
+        ev = _ev(spark, [
+            (1, 1, 0, "view"), (2, 1, 100, "purchase"),   # in band
+            (3, 2, 0, "view"), (4, 2, 900, "purchase"),   # out of band
+            (5, 3, 0, "click"),                            # no purchase
+        ])
+        rows = {
+            r["entry_type"]: r
+            for r in entry_conversion(
+                ev, window_us=600_000_000
+            ).collect()
+        }
+        assert rows["view"]["n_sessions"] == 2
+        assert rows["view"]["n_converted"] == 1
+        assert rows["view"]["conversion_micros"] == 500000
+        assert rows["click"]["n_converted"] == 0
