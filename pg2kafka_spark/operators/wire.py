@@ -69,6 +69,42 @@ def wire_value(timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX") -> Col
     )
 
 
+def ordered_for_delivery(
+    events: DataFrame,
+    num_partitions: int | None = None,
+    key_col: str = "external_id",
+    seq_col: str = "id",
+) -> DataFrame:
+    """Enforce the reference's per-key delivery order for a PARALLEL
+    producer (README.md:38-40: murmur2 partitioning on external_id +
+    one-in-flight sync produce ⇒ strict per-entity order).
+
+    A micro-batch's rows for one key can span source partitions
+    (different outbox files), and a parallel sink would interleave
+    them. This is the standard Spark fix, applied ONCE at the sink
+    edge: hash-repartition on the key so every key lands in exactly
+    one task, then sort within each task by (key, seq). A foreachBatch
+    producer that iterates its partition in order then emits each
+    key's events in outbox-id order; with the checkpoint's ordered
+    micro-batches that extends to the whole stream. NULL keys (the
+    reference's unkeyed ByteString-nil messages) all hash to one task
+    but carry no ordering contract, same as the reference's
+    round-robin produce.
+
+    The wire projection (:func:`to_wire`) is narrow, so applying it
+    AFTER this preserves the per-partition order. Scale: one shuffle
+    of the micro-batch (bounded by the paging knob), sort is per-task
+    over that batch's rows — the price of the reference's contract at
+    any parallelism, vs the reference's single-process serial produce.
+    """
+    parted = (
+        events.repartition(int(num_partitions), F.col(key_col))
+        if num_partitions
+        else events.repartition(F.col(key_col))
+    )
+    return parted.sortWithinPartitions(key_col, seq_col)
+
+
 def to_wire(
     events: DataFrame,
     database: str,

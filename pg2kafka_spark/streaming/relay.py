@@ -25,9 +25,14 @@ Spark-first mapping — none of that machinery survives as code:
 * DRY_RUN (main.go:158-160) is the console/memory sink.
 
 At 100 TB the relay is embarrassingly parallel: the wire projection is
-stateless, so throughput scales with source partitions; per-key
-ordering is preserved because Kafka partitions on the key and each
-micro-batch writes in source order.
+stateless, so throughput scales with source partitions. Per-key
+ordering (README.md:38-40, the reference's core delivery contract)
+needs one more step at the sink edge: a micro-batch's rows for one
+key can span source files/partitions, so a parallel producer must
+first co-locate and sort them — ``operators/wire.py::
+ordered_for_delivery`` (repartition on key + sortWithinPartitions on
+(key, id)), pinned end-to-end by
+tests/test_streaming.py::test_per_key_order_survives_parallel_sink.
 """
 
 from __future__ import annotations

@@ -1445,3 +1445,95 @@ def test_candidate_checkpoint_waits_for_graph_diff_window(spark):
         G._CKPT_LOCK.release()
     t.join(120)
     assert done
+
+
+def test_per_key_order_survives_parallel_sink(spark, outbox, tmp_path):
+    """The reference's core delivery contract (README.md:38-40):
+    murmur2-partition on external_id + one-in-flight produce gives
+    strict per-entity order. Our parallel equivalent is
+    ordered_for_delivery at the sink edge. E2E: an outbox whose keys
+    are deliberately SCATTERED across files (so a micro-batch's rows
+    for one key span source partitions), drained in paged micro-
+    batches through the wire projection into a parallel foreachBatch
+    producer — every key must land in exactly one sink partition per
+    batch and its full event sequence, concatenated across batches,
+    must be its outbox-id order."""
+    import os
+
+    from pg2kafka_spark.operators.wire import ordered_for_delivery, to_wire
+
+    n_keys, n_versions, n_chunks = 12, 24, 6
+    per_chunk = n_versions // n_chunks
+    stamped: set[str] = set()
+    t0 = 1_700_000_000
+    for c in range(n_chunks):
+        rows = []
+        for v in range(c * per_chunk, (c + 1) * per_chunk):
+            for k in range(n_keys):
+                eid = v * n_keys + k
+                rows.append(_event(
+                    eid, "users", "UPDATE",
+                    '{"v": %d}' % eid, key=f"k{k:02d}",
+                ))
+        # 2 files per chunk: one key's versions inside a chunk can
+        # span source partitions — the interleaving the sink must fix
+        _write_events(spark, rows, outbox, n_files=2)
+        # pin the source's oldest-first file order to chunk order
+        for f in sorted(os.listdir(outbox)):
+            fp = os.path.join(outbox, f)
+            if f.endswith(".parquet") and fp not in stamped:
+                stamped.add(fp)
+                os.utime(fp, (t0 + c, t0 + c))
+
+    captured: list[tuple[int, int, list]] = []
+
+    def fb(batch_df, batch_id):
+        ordered = ordered_for_delivery(batch_df, num_partitions=4)
+        wire = to_wire(ordered, "testdb")  # narrow: order must survive
+        parts = (
+            wire.select(
+                "key",
+                F.get_json_object(F.col("value"), "$.data.v")
+                .cast("long")
+                .alias("seq"),
+            )
+            .rdd.mapPartitionsWithIndex(
+                lambda pid, it: [(pid, [(r.key, r.seq) for r in it])]
+            )
+            .collect()
+        )
+        for pid, lst in parts:
+            if lst:
+                captured.append((int(batch_id), pid, lst))
+
+    events = read_event_stream(spark, outbox, max_files_per_trigger=2)
+    q = (
+        events.writeStream.queryName("order_e2e")
+        .foreachBatch(fb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batches = sorted({b for b, _, _ in captured})
+    assert len(batches) >= 2, "paging must yield several micro-batches"
+    assert any(
+        len({p for b2, p, _ in captured if b2 == b}) >= 2 for b in batches
+    ), "the sink must actually run parallel partitions"
+
+    per_key: dict[str, list[int]] = {}
+    for b in batches:
+        in_batch: dict[str, int] = {}
+        for b2, pid, lst in captured:
+            if b2 != b:
+                continue
+            for key, seq in lst:
+                assert in_batch.setdefault(key, pid) == pid, (
+                    f"key {key} split across sink partitions in batch {b}"
+                )
+                per_key.setdefault(key, []).append(seq)
+    assert len(per_key) == n_keys
+    for k in range(n_keys):
+        key = f"k{k:02d}"
+        want = [v * n_keys + k for v in range(n_versions)]
+        assert per_key[key] == want, f"{key} delivered out of order"
