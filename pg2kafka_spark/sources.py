@@ -140,6 +140,14 @@ CORRUPT_COL = "_corrupt_record"
 def _parse_text(
     raw: DataFrame, parser, schema: str, opts: dict
 ) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    if CORRUPT_COL in StructType.fromDDL(schema).names:
+        raise ValueError(
+            f"schema must not declare {CORRUPT_COL!r}: the reader appends "
+            "its own quarantine column of that name (pass the data schema "
+            "only, or rename the colliding column)"
+        )
     full = f"{schema}, {CORRUPT_COL} string"
     return raw.select(parser("value", full, opts).alias("__r")).select(
         "__r.*"
@@ -180,12 +188,27 @@ def read_csv(
 ) -> DataFrame:
     """Schema-pinned CSV reader, same quarantine contract and text-
     scan rationale as :func:`read_jsonl` (``from_csv`` is the same
-    UnivocityParser the native reader uses). ``header=True`` drops
-    lines equal to the schema's header row — byte-what Spark's own
-    csv writer emits for these columns. Quoted-NEWLINE fields are out
-    of contract (a multiLine CSV cannot split inside a file and
+    UnivocityParser the native reader uses). Quoted-NEWLINE fields are
+    out of contract (a multiLine CSV cannot split inside a file and
     single-threads the scan at 100 TB — convert such corpora, don't
     read them); in-field quoted separators and quotes parse fine.
+
+    ``header=True`` drops lines that RENDER as the schema's header
+    row — the plain form Spark's csv writer emits plus its quoted and
+    CRLF variants (a writer that quotes every field, or a DOS-newline
+    file whose trailing CR the text source keeps, must not leak its
+    header as a data row). A splittable text scan carries no
+    file-offset information, so this is header-SHAPED filtering, not
+    first-line-of-file semantics — two caveats, documented rather
+    than hidden: (a) a genuine DATA row that renders identically to
+    the header is dropped with it (only an issue for all-string
+    schemas — under any non-string column a header line fails type
+    coercion and lands in quarantine anyway, so consumers can count
+    it); (b) a header written with exotic spacing/quoting beyond
+    these variants isn't matched — with typed columns it quarantines,
+    with all-string columns it parses as a data row. Corpora where
+    either matters should land through the native per-file reader
+    once and convert to parquet.
 
     PERMISSIVE keeps whatever prefix of a malformed line parsed —
     consumers must gate on ``_corrupt_record IS NULL`` (what
@@ -200,8 +223,21 @@ def read_csv(
     }
     raw = spark.read.text(path)
     if header:
-        hdr = sep.join(StructType.fromDDL(schema).names)
-        raw = raw.filter(F.col("value") != F.lit(hdr))
+        names = StructType.fromDDL(schema).names
+
+        def _render(name: str) -> str:
+            # the csv writer quotes a field containing sep/quote/CR/LF
+            # and doubles embedded quotes
+            if any(c in name for c in (sep, '"', "\r", "\n")):
+                return '"' + name.replace('"', '""') + '"'
+            return name
+
+        plain = sep.join(_render(n) for n in names)
+        all_quoted = sep.join(
+            '"' + n.replace('"', '""') + '"' for n in names
+        )
+        variants = {plain, all_quoted, plain + "\r", all_quoted + "\r"}
+        raw = raw.filter(~F.col("value").isin(*variants))
     return _parse_text(raw, F.from_csv, schema, opts)
 
 

@@ -167,6 +167,44 @@ class TestTextFormatSources:
         b = sorted(map(tuple, clean.select(*docs.columns).collect()))
         assert a == b
 
+    def test_csv_header_variants_filtered(self, spark, tmp_path):
+        """Quoted and CRLF header renderings must not leak as data
+        rows (r13 advice) — and with a typed column, an exotically
+        spaced header quarantines instead of parsing clean."""
+        from pg2kafka_spark.sources import read_csv, split_quarantine
+
+        p = tmp_path / "hdr.csv"
+        p.write_text(
+            '"doc_id","source","lang","text"\r\n'
+            "1,s,en,hello\r\n"
+            "doc_id,source,lang,text\n"
+            "2,s,en,world\n"
+            # exotic spacing: not a recognized variant, but doc_id is
+            # BIGINT so coercion fails -> quarantine, not a clean row
+            "doc_id, source, lang, text\n"
+        )
+        clean, bad = split_quarantine(
+            read_csv(spark, str(p), self.DOC_SCHEMA)
+        )
+        got = sorted(
+            (r.doc_id, r.text.rstrip("\r")) for r in clean.collect()
+        )
+        assert got == [(1, "hello"), (2, "world")]
+        assert bad.count() == 1  # the spaced header, via coercion
+
+    def test_corrupt_column_collision_rejected(self, spark, tmp_path):
+        from pg2kafka_spark.sources import read_csv, read_jsonl
+
+        p = tmp_path / "x.jsonl"
+        p.write_text('{"a": 1}\n')
+        bad_schema = "a bigint, _corrupt_record string"
+        for reader in (read_jsonl, read_csv):
+            try:
+                reader(spark, str(p), bad_schema)
+                raise AssertionError("collision must raise")
+            except ValueError as e:
+                assert "_corrupt_record" in str(e)
+
     def test_malformed_jsonl_lines_quarantine_not_crash(
         self, spark, tmp_path
     ):
