@@ -1274,6 +1274,16 @@ def incremental_near_dup(
     candidate pairs → exact Jaccard verification restricted to the
     candidates (the quadratic step pays only for LSH survivors).
 
+    EAGER AT BUILD (r13 advice, documented contract): CONSTRUCTING
+    this DataFrame already runs a Spark job — the candidate list is
+    localCheckpointed at build time (the r13 AQE/DAG-sharing fix,
+    rationale inline below) under the global checkpoint lock, so plan
+    tooling and registration-time construction pay the LSH discovery
+    cost and briefly serialize other graph checkpoints behind it.
+    Pass ``_materialize_candidates=False`` for plan introspection
+    that must stay lazy (plan tests do); execution paths should keep
+    the default.
+
     ``store_bands`` IS that maintained table: an (``id_col``, band,
     bkey) frame of the store's already-computed band keys (the
     streaming ingest loop appends survivors' keys each batch,

@@ -1230,6 +1230,34 @@ def _bpe_encode_word(word: str, ranks: dict) -> list:
     return toks
 
 
+# One executor-side broadcast per DISTINCT merge table per Spark
+# application, not per call: repeated invocations (bench reps, parity
+# suites) previously accumulated an orphan ~1 MB broadcast each (r13
+# advice). Keyed by content so a retrained table gets a fresh
+# broadcast; entries from dead applications are dropped (their
+# broadcasts died with the context); small FIFO bound with an
+# explicit unpersist keeps a long session from pinning stale tables.
+_RANK_BCASTS: dict = {}
+
+
+def _ranks_broadcast(spark, ranks: dict):
+    app = spark.sparkContext.applicationId
+    key = (app, hash(tuple(sorted(ranks.items()))))
+    if key in _RANK_BCASTS:
+        return _RANK_BCASTS[key]
+    for k in [k for k in _RANK_BCASTS if k[0] != app]:
+        del _RANK_BCASTS[k]
+    while len(_RANK_BCASTS) >= 4:
+        old = _RANK_BCASTS.pop(next(iter(_RANK_BCASTS)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # context mid-shutdown: nothing to release
+    b = spark.sparkContext.broadcast(ranks)
+    _RANK_BCASTS[key] = b
+    return b
+
+
 def bpe_encode_production(
     docs: DataFrame,
     merges: DataFrame,
@@ -1264,7 +1292,7 @@ def bpe_encode_production(
         .collect()
     )
     ranks = {(r["pair_a"], r["pair_b"]): r["step"] for r in rank_rows}
-    b_ranks = spark.sparkContext.broadcast(ranks)
+    b_ranks = _ranks_broadcast(spark, ranks)
 
     def _enc_fn(words):
         rk = b_ranks.value
