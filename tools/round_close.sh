@@ -15,12 +15,32 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${ROUND:?set ROUND=<n>}"
 
-echo "== [1/6] pytest"
-python -m pytest tests/ -x -q
-
-echo "== [2/6] full-surface parity -> CORRECTNESS_LOCAL_r${ROUND}.json"
-PARITY_OUT="CORRECTNESS_LOCAL_r${ROUND}.json" PYTHONPATH=. \
-  python tools/check_parity.py /root/testdata/sf0.01
+echo "== [1+2/6] pytest + full-surface parity (concurrent; r13 verdict item 5)"
+# Both runners size their sessions at 8 cores (32 available), so the
+# two walls overlap instead of adding. Each gets its OWN TMPDIR: the
+# at-rest stores (_ensure_bucketed_tables, _ensure_retention_store)
+# key their paths off tempfile.gettempdir(), and two processes
+# building the same store path concurrently would race the
+# exists-check/overwrite window.
+mkdir -p /tmp/rc_pytest_tmp /tmp/rc_parity_tmp
+pytest_log=$(mktemp)
+TMPDIR=/tmp/rc_pytest_tmp python -m pytest tests/ -x -q \
+  > "$pytest_log" 2>&1 &
+pytest_pid=$!
+set +e
+TMPDIR=/tmp/rc_parity_tmp PARITY_OUT="CORRECTNESS_LOCAL_r${ROUND}.json" \
+  PYTHONPATH=. python tools/check_parity.py /root/testdata/sf0.01
+parity_rc=$?
+wait "$pytest_pid"
+pytest_rc=$?
+set -e
+tail -n 20 "$pytest_log"
+if [ "$pytest_rc" -ne 0 ]; then
+  echo "pytest FAILED (full log: $pytest_log)"; exit 1
+fi
+if [ "$parity_rc" -ne 0 ]; then
+  echo "parity FAILED"; exit 1
+fi
 
 echo "== [3/6] bench (sf0.1)"
 python bench.py
