@@ -580,6 +580,58 @@ def semantic_dedup(
     )
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cluster: int = 20,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced (diversity) subsampling: k-means-cluster the
+    embedding space, then take an EQUAL quota from every cluster —
+    the standard counterweight to raw sampling's mode bias when
+    assembling a training subset (big dense modes stop dominating;
+    rare regions keep representation). Same family as SemDeDup's
+    cluster pass (:func:`semantic_dedup` — prune near-twins) but the
+    selection here is per-cluster quota, not similarity.
+
+    Returns ``(id, cid, srank)`` for the kept rows, ``srank`` ≤
+    ``per_cluster``. The within-cluster order is the md5 of the id —
+    a deterministic engine-portable shuffle (both engines hex-encode
+    identically), so the sample is reproducible and the whole
+    operator — training, assignment, quota — is hash-checked against
+    the unrolled-k-means SQL twin.
+
+    Scale shape: training is the sample-bounded portable k-means;
+    assignment the broadcast map-only pass; the quota is a
+    rank-over-cid window on a 3-narrow-column frame — one cid-keyed
+    exchange, and the ``srank <= n`` filter plans as WindowGroupLimit
+    (per-partition bounded heaps before the exchange). At 100 TB,
+    size ``n_centroids`` for target cluster mass exactly as the
+    SemDeDup note describes.
+
+    Design-note refs: the reference relays rows (blendle/pg2kafka
+    main.go:68-120) and has no embedding stage; this is M5 pipeline
+    surface (SURVEY.md §7).
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, iters, dim, id_col, vec_col, train_sample
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    cells = assign_cells(c, cents, id_col)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        cells.select(id_col, "cid")
+        .withColumn("srank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("srank") <= int(per_cluster))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -968,6 +968,48 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb, threshold=0.4, n_centroids=8)
 
 
+@query(
+    "embedding_diversity_sample",
+    oracle=_COSINE_ORACLE
+    + "    , "
+    + _kmeans_cents_ctes()
+    + """
+    ,
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    )
+    SELECT vec_id, cid, srank FROM (
+      SELECT vec_id, cid,
+             CAST(row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS BIGINT) AS srank
+      FROM asg
+    ) WHERE srank <= 20
+    """,
+)
+def embedding_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity subsample (r14): equal per-cluster
+    quota over the k-means-clustered embedding space
+    (operators/similarity.py::cluster_balanced_sample) — raw sampling
+    mirrors the corpus's mode bias; the quota keeps rare embedding
+    regions represented in the assembled training subset. Training
+    and assignment are the SAME portable k-means the IVF/SemDeDup
+    family unrolls into the oracle; the within-cluster order is the
+    md5 of the id (identical hex on both engines), so the whole
+    pick — training, assignment, quota — hash-checks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return S.cluster_balanced_sample(emb, per_cluster=20, n_centroids=8)
+
+
 def _ann_lsh_oracle(num_planes: int = 8, k: int = 3) -> str:
     """Oracle for the multiprobe hyperplane-LSH top-k: the signature
     is the sign-exact Rademacher bucket (see

@@ -55,6 +55,7 @@ _FRONT = [
     # NEW in r14 — no driver row exists yet
     "weekly_retention_served",
     "session_path_conversion_windowed",
+    "embedding_diversity_sample",
     # shared kernel touched in r14 (bpe_encode_production's rank
     # broadcast is now cached per merge-table identity; the r13 row
     # predates the current code)

@@ -2185,3 +2185,69 @@ def test_leakage_free_split_keeps_clusters_together(spark, tmp_path):
     assert cluster.split.nunique() == 1
     # every component maps to exactly one split corpus-wide
     assert (out.groupby("component_id").split.nunique() > 1).sum() == 0
+
+
+# Cluster-balanced diversity sampling (r14)
+
+
+def test_cluster_balanced_sample_respects_quota_and_is_deterministic(
+    spark, sf_dir
+):
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.similarity import (
+        assign_cells,
+        as_double,
+        cluster_balanced_sample,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    quota = 5
+    got = cluster_balanced_sample(emb, per_cluster=quota, n_centroids=8)
+    rows = got.collect()
+    per_cid: dict = {}
+    for r in rows:
+        per_cid.setdefault(r.cid, []).append(r.srank)
+    # quota respected, srank contiguous from 1 within every cluster
+    for cid, ranks in per_cid.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= quota
+    # every cluster with >= quota members is filled to exactly quota
+    cents = kmeans_centroids(emb, 8, 2, 64, "vec_id", "embedding")
+    cells = assign_cells(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("__cv")),
+        cents,
+        "vec_id",
+    )
+    sizes = {
+        r.cid: r.n
+        for r in cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for cid, n in sizes.items():
+        assert len(per_cid.get(cid, [])) == min(n, quota)
+    # deterministic: a second run picks the identical sample
+    again = {
+        (r.vec_id, r.cid, r.srank)
+        for r in cluster_balanced_sample(
+            emb, per_cluster=quota, n_centroids=8
+        ).collect()
+    }
+    assert {(r.vec_id, r.cid, r.srank) for r in rows} == again
+
+
+def test_cluster_balanced_sample_plans_window_group_limit(spark, sf_dir):
+    """The quota filter must plan as WindowGroupLimit — bounded
+    per-partition heaps BEFORE the cid exchange, the property that
+    keeps the pick cheap at corpus scale."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.operators.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    plan = (
+        cluster_balanced_sample(emb, per_cluster=5, n_centroids=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -941,6 +941,16 @@ COMMENTARY.update({
         "100 TB partition the partials by cohort_day so triangle "
         "slices prune at the reader."
     ),
+    "embedding_diversity_sample": (
+        "Cluster-balanced diversity subsample: sample-bounded "
+        "portable k-means training, broadcast map-only assignment, "
+        "then a per-cluster quota as a rank window over a "
+        "3-narrow-column frame — one cid Exchange, and the srank<=n "
+        "filter plans as WindowGroupLimit (bounded per-partition "
+        "heaps before the shuffle). No corpus self-join anywhere; at "
+        "1B vectors cost is train-sample + one scan + one tiny-row "
+        "exchange."
+    ),
     "session_path_conversion_windowed": (
         "Entry-event conversion under the 10-min max-conversion band "
         "(the funnel family's window, operators/paths.py): the band "
