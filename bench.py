@@ -158,18 +158,44 @@ def main() -> int:
         prev = cur
     sentinel_first = sentinel_run()
 
+    # Per-rep JIT+GC deltas ride along with every timing: the
+    # intermittent single-rep stall class (r12 forensics; recurred
+    # r13 and in one r14 rep) fires only inside full-suite runs and
+    # never in dedicated probes (40 clean reps, BASELINE.md r13→r14
+    # adjudication) — so the artifact itself must carry the split
+    # between "compile storm" (JIT delta ≈ the stall) and
+    # "interpreted path" (flat JIT, high wall) for whichever rep next
+    # exhibits it. Two JMX reads per rep, microseconds.
+    _jmf = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    )
+
+    def _jit_gc_ms() -> tuple[int, int]:
+        jit = _jmf.getCompilationMXBean().getTotalCompilationTime()
+        gc = sum(
+            g.getCollectionTime()
+            for g in _jmf.getGarbageCollectorMXBeans().toArray()
+        )
+        return int(jit), int(gc)
+
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in sorted(qs):
         if name in errors:
             continue
         runs: list[float] = []
+        rep_jit: list[int] = []
+        rep_gc: list[int] = []
         try:
             while len(runs) < (2 if not runs or min(runs) < 2.0 else 3):
                 df = qs[name](spark, sf_dir)
+                j0, g0 = _jit_gc_ms()
                 t0 = time.perf_counter()
                 run(df)
                 runs.append(time.perf_counter() - t0)
+                j1, g1 = _jit_gc_ms()
+                rep_jit.append(j1 - j0)
+                rep_gc.append(g1 - g0)
                 # drop persisted sketch intermediates between runs so
                 # the suite measures each query cold and storage never
                 # accrues
@@ -184,6 +210,8 @@ def main() -> int:
                 "best": round(srt[0], 4),
                 "median": round(median, 4),
                 "runs": [round(r, 4) for r in runs],
+                "rep_jit_ms": rep_jit,
+                "rep_gc_ms": rep_gc,
             }
         except Exception:
             errors[name] = traceback.format_exc(limit=3)
@@ -214,12 +242,18 @@ def main() -> int:
         if not pm or timings[name] < 1.8 * pm:
             continue
         runs = stats[name]["runs"]
+        rep_jit = stats[name]["rep_jit_ms"]
+        rep_gc = stats[name]["rep_gc_ms"]
         try:
             for _ in range(2):
                 df = qs[name](spark, sf_dir)
+                j0, g0 = _jit_gc_ms()
                 t0 = time.perf_counter()
                 run(df)
                 runs.append(round(time.perf_counter() - t0, 4))
+                j1, g1 = _jit_gc_ms()
+                rep_jit.append(j1 - j0)
+                rep_gc.append(g1 - g0)
                 release_sketch_caches()
         except Exception:
             pass  # keep the original reps; annotation still lands
@@ -231,6 +265,8 @@ def main() -> int:
             "best": round(srt[0], 4),
             "median": round(median, 4),
             "runs": runs,
+            "rep_jit_ms": rep_jit,
+            "rep_gc_ms": rep_gc,
         }
         drift[name] = {
             "prev_median": pm,

@@ -1118,10 +1118,17 @@ def simhash_portable(
     from pg2kafka_spark.operators.text import rolling_hash, tokens
 
     hs = F.transform(tokens(F.col(text_col)), lambda t: rolling_hash(t))
+    # NULL-text guard BEFORE the hash projection: `tokens` is a
+    # whitespace split, which returns a ≥1-element array for every
+    # non-null string, so `size(__h) >= 1` only ever dropped NULLs —
+    # but spelled on __h the optimizer pushed it below the staging
+    # projection and re-evaluated the whole tokenize+char-fold per row
+    # (the fold appeared TWICE in the plan; r14 — this stage is the
+    # family's hot one and the intermittent-stall class multiplies
+    # whatever it touches). IsNotNull pushes to the scan for free.
     staged = (
-        _spread(df.select(id_col, text_col))
+        _spread(df.select(id_col, text_col).filter(F.col(text_col).isNotNull()))
         .select(id_col, hs.alias("__h"))
-        .filter(F.size("__h") >= 1)
     )
     n = F.size("__h")
 
@@ -1604,7 +1611,10 @@ def minhash_lsh_pairs_portable(
         )
         .distinct()
     )
-    sigs = minhash_signatures_portable(docs, text_col, id_col, k)
+    # persist: sa AND sb consume this — unpersisted, the full corpus
+    # shingle+minhash pass executed TWICE per run (r14 plan audit; the
+    # band table above already had the same treatment)
+    sigs = _persist(minhash_signatures_portable(docs, text_col, id_col, k))
     sa = sigs.select(
         F.col(id_col).alias("id_a"), "i", F.col("minhash").alias("__ma")
     )

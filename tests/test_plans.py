@@ -138,6 +138,27 @@ def test_portable_minhash_stages_the_token_fold_once(spark, sf_dir):
     assert "slice(__hp" in p
 
 
+def test_simhash_token_fold_staged_once(spark, sf_dir):
+    """r14 twin of the minhash staging pin: the tokenize+char-fold
+    must appear in the simhash plan EXACTLY once. The r13 spelling
+    filtered on size(__h), which the optimizer pushed below the
+    staging projection — re-evaluating the whole fold per row (2x the
+    family's hottest stage; and the intermittent interpreted-path
+    stall multiplies whatever it touches). The NULL guard is now an
+    IsNotNull at the scan."""
+    p = plan_of(spark, "simhash_portable", sf_dir)
+    assert p.count("ascii(") == 1, f"token fold evaluated {p.count('ascii(')}x"
+
+
+def test_minhash_pairs_signature_pass_cached(spark, sf_dir):
+    """The agreement stage consumes the signature table TWICE (sa and
+    sb); unpersisted, the full corpus shingle+minhash pass executed
+    twice per run (r14 plan audit). Pin the cache: at least two
+    in-memory scans (band table + signature table)."""
+    p = plan_of(spark, "minhash_lsh_pairs_portable", sf_dir)
+    assert p.count("InMemoryTableScan") >= 2
+
+
 def test_embedding_near_dup_blocks_are_groups_not_rows(spark, sf_dir):
     # a block must reach the matmul kernel as an Arrow-batched GROUP
     # (applyInPandas), never be packed into a single collect_list row

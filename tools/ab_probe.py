@@ -155,11 +155,22 @@ def main() -> int:
     for name in names:
         s_before = sentinel_run()
         runs: list[float] = []
+        rep_jvm: list[dict] = []
         for _ in range(reps):
             df = qs[name](spark, sf_dir)
+            j0 = jvm_stats()
             t0 = time.perf_counter()
             run(df)
-            runs.append(round(time.perf_counter() - t0, 4))
+            secs = round(time.perf_counter() - t0, 4)
+            j1 = jvm_stats()
+            runs.append(secs)
+            # per-rep JIT/GC deltas: a spike rep with a matching JIT
+            # delta is a compile storm; high wall at flat JIT/GC is
+            # the interpreted-path class
+            rep_jvm.append({
+                "jit_ms": j1["jit_total_ms"] - j0["jit_total_ms"],
+                "gc_ms": j1["gc_total_ms"] - j0["gc_total_ms"],
+            })
             release_sketch_caches()
         s_after = sentinel_run()
         srt = sorted(runs)
@@ -169,6 +180,7 @@ def main() -> int:
             "best": srt[0],
             "median": round(median, 4),
             "runs": runs,
+            "rep_jvm": rep_jvm,
             "sentinel": [s_before, s_after],
         }
         print(f"[probe] {name}: best={srt[0]} runs={runs} "

@@ -299,10 +299,107 @@ def retention_partials_axis() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def retention_stream_axis() -> None:
+    """The r14 maintenance loop measured as it runs: ×scale jittered
+    event volume drained through start_retention_stream in 8
+    day-sliced micro-batches. The claim under test is the 100 TB
+    shape — per-batch cost tracks the BATCH (its day-min scan) plus
+    the user-bounded candidates fold, and does NOT trend upward as
+    the maintained state accumulates across batches (batch 8 folds
+    against 7 batches of candidates). Prints per-batch trigger
+    durations from the query's own progress log. Run via
+    RELSTRESS_ONLY=retention_stream."""
+    import json
+    import shutil
+    import tempfile
+
+    from pg2kafka_spark.streaming.retention import start_retention_stream
+
+    scale = int(os.environ.get("RELSTRESS_SCALE", "10"))
+    spark = get_spark("relational-stress")
+    ev = load_table(spark, "events", SF_DIR).select("user_id", "ts")
+    copies = spark.range(scale).select(F.col("id").alias("__c"))
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        "user_id",
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.col("__c")
+        ).alias("ts"),
+    )
+    n = big.count()
+    print(f"events rows: {n}", flush=True)
+    b = big.agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("lo"),
+        F.max(F.expr("unix_micros(ts) div 86400000000")).alias("hi"),
+    ).collect()[0]
+    lo, hi = int(b.lo), int(b.hi) + 1
+    n_slices = 8
+    step = max(1, (hi - lo + n_slices - 1) // n_slices)
+    root = tempfile.mkdtemp(prefix="retstream-")
+    try:
+        incoming = os.path.join(root, "incoming")
+        os.makedirs(incoming)
+        t_base = 1_700_000_000
+        i = 0
+        for d in range(lo, hi, step):
+            day = big.filter(
+                (F.expr("unix_micros(ts) div 86400000000") >= d)
+                & (F.expr("unix_micros(ts) div 86400000000") < d + step)
+            )
+            stage = os.path.join(incoming, f"__stage_{i}")
+            day.coalesce(4).write.mode("overwrite").parquet(stage)
+            parts = [
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            ]
+            sub = os.path.join(incoming, f"slice_{i:03d}")
+            os.makedirs(sub)
+            for j, f_ in enumerate(parts):
+                dst = os.path.join(sub, f"part_{j}.parquet")
+                shutil.move(os.path.join(stage, f_), dst)
+                os.utime(dst, (t_base + i, t_base + i))
+            shutil.rmtree(stage)
+            i += 1
+        t0 = time.perf_counter()
+        q = start_retention_stream(
+            spark,
+            incoming + "/*",
+            "user_id bigint, ts timestamp",
+            first_seen_dir=os.path.join(root, "first_seen"),
+            partials_dir=os.path.join(root, "partials"),
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            max_files_per_trigger=4,
+            available_now=True,
+        )
+        q.awaitTermination(1800)
+        wall = time.perf_counter() - t0
+        def _prog(p):
+            if isinstance(p, str):
+                return json.loads(p)
+            if isinstance(p, dict):
+                return p
+            return json.loads(p.json)  # StreamingQueryProgress object
+
+        per_batch = [
+            (p["batchId"], p["durationMs"].get("triggerExecution"))
+            for p in (_prog(x) for x in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+        ]
+        print(
+            f"retention stream drain ({scale}x volume, {i} slices)   "
+            f"{wall:7.2f} s   batches={per_batch}",
+            flush=True,
+        )
+        pr = spark.read.parquet(os.path.join(root, "partials"))
+        print(f"maintained partial rows: {pr.count()}", flush=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 if __name__ == "__main__":
     only = os.environ.get("RELSTRESS_ONLY", "")
     if "funnel" in only or "paths" in only:
         events_axis()
+    elif "retention_stream" in only:
+        retention_stream_axis()
     elif "retention" in only:
         retention_partials_axis()
     else:
