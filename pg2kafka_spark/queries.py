@@ -60,6 +60,12 @@ _FRONT = [
     # broadcast is now cached per merge-table identity; the r13 row
     # predates the current code)
     "bpe_encode_production",
+    # formula changed in r14 (simhash NULL guard restaged at the
+    # scan; minhash signature pass persisted) — re-evidence against
+    # the current plans
+    "simhash_portable",
+    "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable",
 ]
 # names that took a fresh r13 driver row (CORRECTNESS_r13.json keys)
 _R13_WINDOW = {
