@@ -276,62 +276,91 @@ _FUNNEL_SCHEMA = "user_id bigint, t1 bigint, t2 bigint, t3 bigint, stage int"
 _FUNNEL_STATE = "t1 bigint, t2 bigint, t3 bigint"
 
 
-def _build_funnel_fn(window_us: int | None = None):
-    """Per-user funnel state machine factory: three scalars (earliest
-    view, earliest qualifying click, earliest qualifying purchase),
-    folded vectorized per micro-batch. ``window_us`` adds the
-    max-conversion-window band (the batch
-    ``event_funnel_windowed_counts`` semantics): step k qualifies only
-    within ``window_us`` µs of step k−1's conversion instant.
+def _build_funnel_stages_fn(stages: list, window_us: int | None = None):
+    """N-stage generalization of the per-user funnel fold — the
+    streaming twin of the batch ``ordered_funnel`` stage list
+    (operators/funnel.py, r13). State is one earliest-qualifying
+    instant per stage; step k qualifies strictly after step k−1
+    (within ``window_us`` of it when banded). Same chunk-concat rule
+    as the 3-stage machine: batch-wide order independence only holds
+    over the concatenated group frame."""
+    n = len(stages)
 
-    The whole micro-batch group is concatenated BEFORE the fold:
-    Arrow hands the group over as ~10k-row chunks, and folding chunks
-    sequentially would let a view in a later chunk miss a click
-    already discarded in an earlier one — batch-wide order
-    independence only holds over the concatenated frame."""
-
-    def _funnel_fn(
+    def _fn(
         key: tuple,
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        t1 = t2 = t3 = None
-        if state.exists:
-            t1, t2, t3 = state.get
+        ts = list(state.get) if state.exists else [None] * n
         chunks = [c for c in batches if len(c)]
         if chunks:
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
-            views = pdf.loc[pdf["event_type"] == "view", "ts_us"]
-            if len(views):
-                v = int(views.min())
-                t1 = v if t1 is None else min(t1, v)
-            if t1 is not None and t2 is None:
-                qual = (pdf["event_type"] == "click") & (pdf["ts_us"] > t1)
+            first = pdf.loc[pdf["event_type"] == stages[0], "ts_us"]
+            if len(first):
+                v = int(first.min())
+                ts[0] = v if ts[0] is None else min(ts[0], v)
+            for k in range(1, n):
+                if ts[k - 1] is None or ts[k] is not None:
+                    continue
+                qual = (pdf["event_type"] == stages[k]) & (
+                    pdf["ts_us"] > ts[k - 1]
+                )
                 if window_us is not None:
-                    qual &= pdf["ts_us"] <= t1 + window_us
-                clicks = pdf.loc[qual, "ts_us"]
-                if len(clicks):
-                    t2 = int(clicks.min())
-            if t2 is not None and t3 is None:
-                qual = (pdf["event_type"] == "purchase") & (pdf["ts_us"] > t2)
-                if window_us is not None:
-                    qual &= pdf["ts_us"] <= t2 + window_us
-                buys = pdf.loc[qual, "ts_us"]
-                if len(buys):
-                    t3 = int(buys.min())
-        state.update((t1, t2, t3))
-        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "t1": [t1],
-                "t2": [t2],
-                "t3": [t3],
-                "stage": [stage],
-            }
-        )
+                    qual &= pdf["ts_us"] <= ts[k - 1] + window_us
+                cand = pdf.loc[qual, "ts_us"]
+                if len(cand):
+                    ts[k] = int(cand.min())
+        state.update(tuple(ts))
+        stage = 0
+        for k in range(n):
+            if ts[k] is None:
+                break
+            stage = k + 1
+        out = {"user_id": [key[0]]}
+        for k in range(n):
+            out[f"t{k + 1}"] = [ts[k]]
+        out["stage"] = [stage]
+        yield pd.DataFrame(out)
 
-    return _funnel_fn
+    return _fn
+
+
+def funnel_state_stream_stages(
+    events: DataFrame, stages: list, window_us: int | None = None
+) -> DataFrame:
+    """Streaming ordered funnel over an ARBITRARY stage list — the
+    incremental twin of ``ordered_funnel`` (operators/funnel.py): the
+    r13 batch fold generalized the 3-stage chain to N stages; this
+    closes the same asymmetry on the streaming side. Output is
+    (user_id, t1..tN, stage); state is N bigints per live user,
+    hash-partitioned on the user key. Delivery contract, banding, and
+    the chunk-concat order-independence rule are the 3-stage
+    machine's, documented on :func:`funnel_state_stream`."""
+    n = len(stages)
+    if n < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    t_cols = ", ".join(f"t{k + 1} bigint" for k in range(n))
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _build_funnel_stages_fn(list(stages),
+                                None if window_us is None else int(window_us)),
+        outputStructType=f"user_id bigint, {t_cols}, stage int",
+        stateStructType=t_cols,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _build_funnel_fn(window_us: int | None = None):
+    """The classic view→click→purchase machine as the 3-stage
+    instance of :func:`_build_funnel_stages_fn` (one kernel since
+    r14; the chunk-concat order-independence test drives this
+    directly)."""
+    return _build_funnel_stages_fn(
+        ["view", "click", "purchase"], window_us
+    )
 
 
 def funnel_state_stream(

@@ -1537,3 +1537,90 @@ def test_per_key_order_survives_parallel_sink(spark, outbox, tmp_path):
         key = f"k{k:02d}"
         want = [v * n_keys + k for v in range(n_versions)]
         assert per_key[key] == want, f"{key} delivered out of order"
+
+
+def test_funnel_state_stream_stages_matches_batch_4stage(spark, tmp_path):
+    """The N-stage streaming funnel (r14) over the r13 4-stage list
+    must reproduce the batch cascading-min stage instants per user —
+    the same parity bar the 3-stage machine carries, on the
+    generalized fold (banded, week window)."""
+    from pg2kafka_spark.catalog import load_table
+    from pg2kafka_spark.streaming.windows import funnel_state_stream_stages
+
+    stages = ["signup", "view", "click", "purchase"]
+    week_us = 604_800_000_000
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev4_src")
+    import time as _time
+
+    bounds = ev.agg(
+        *[F.expr(f"percentile(unix_micros(ts), {q})").alias(f"q{i}")
+          for i, q in enumerate((0.25, 0.5, 0.75))]
+    ).collect()[0]
+    cuts = [None, bounds.q0, bounds.q1, bounds.q2, None]
+    for i in range(4):
+        sl = ev.filter(
+            (F.lit(True) if cuts[i] is None
+             else F.unix_micros("ts") > F.lit(int(cuts[i])))
+            & (F.lit(True) if cuts[i + 1] is None
+               else F.unix_micros("ts") <= F.lit(int(cuts[i + 1])))
+        )
+        sl.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.05)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        funnel_state_stream_stages(stream, stages, window_us=week_us)
+        .writeStream.queryName("funnel4_stream")
+        .format("memory")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.table("funnel4_stream").collect():
+        final[r.user_id] = (r.t1, r.t2, r.t3, r.t4, r.stage)
+
+    # batch reference: cascading banded mins, one frame per stage
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    prev = (
+        e.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    frames = {1: prev}
+    for k in range(2, 5):
+        prev = (
+            e.filter(F.col("event_type") == stages[k - 1])
+            .join(prev, "user_id")
+            .filter(
+                (F.col("us") > F.col(f"t{k - 1}"))
+                & (F.col("us") <= F.col(f"t{k - 1}") + week_us)
+            )
+            .groupBy("user_id")
+            .agg(
+                F.min("us").alias(f"t{k}"),
+                *[F.first(f"t{j}").alias(f"t{j}") for j in range(1, k)],
+            )
+        )
+        frames[k] = prev
+    want = {}
+    for k in range(1, 5):
+        for r in frames[k].collect():
+            cur = want.get(r.user_id, [None] * 4 + [0])
+            for j in range(1, k + 1):
+                cur[j - 1] = r[f"t{j}"]
+            cur[4] = k
+            want[r.user_id] = cur
+    want = {u: tuple(v) for u, v in want.items()}
+    # users emitting stage 0 (no signup yet) exist in the stream
+    # output only — drop them from the comparison frame
+    got = {u: v for u, v in final.items() if v[4] > 0}
+    assert got == want
+    n_full = sum(1 for v in want.values() if v[4] == 4)
+    assert n_full > 0, "fixture must drive some user through all 4 stages"

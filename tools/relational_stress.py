@@ -346,7 +346,7 @@ def retention_stream_axis() -> None:
                 & (F.expr("unix_micros(ts) div 86400000000") < d + step)
             )
             stage = os.path.join(incoming, f"__stage_{i}")
-            day.coalesce(4).write.mode("overwrite").parquet(stage)
+            day.coalesce(1).write.mode("overwrite").parquet(stage)
             parts = [
                 f for f in os.listdir(stage) if f.endswith(".parquet")
             ]
@@ -366,7 +366,7 @@ def retention_stream_axis() -> None:
             first_seen_dir=os.path.join(root, "first_seen"),
             partials_dir=os.path.join(root, "partials"),
             checkpoint_dir=os.path.join(root, "ckpt"),
-            max_files_per_trigger=4,
+            max_files_per_trigger=1,
             available_now=True,
         )
         q.awaitTermination(1800)
