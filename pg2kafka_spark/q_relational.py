@@ -2570,7 +2570,21 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key the store by the SOURCE's identity, not just its path: the
+    # driver regenerates /root/testdata between rounds, and serving
+    # stale partials against fresh events would be a wrong answer —
+    # a changed events table gets a fresh store directory
+    sig = [sf_dir]
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    ev_path = ev_dir if os.path.exists(ev_dir) else sf_dir
+    if os.path.isdir(ev_path):
+        for f in sorted(os.listdir(ev_path)):
+            st = os.stat(os.path.join(ev_path, f))
+            sig.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    elif os.path.isfile(ev_path):
+        st = os.stat(ev_path)
+        sig.append(f"{st.st_size}:{int(st.st_mtime)}")
+    h = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_retention_{h}")
     part_dir = os.path.join(root, "partials")
     fs_dir = os.path.join(root, "first_seen")
