@@ -339,6 +339,10 @@ def retention_stream_axis() -> None:
         incoming = os.path.join(root, "incoming")
         os.makedirs(incoming)
         t_base = 1_700_000_000
+        # one slice per trigger at any scale: files-per-slice and
+        # maxFilesPerTrigger move together (single-file slices would
+        # single-thread the 1000x slice writes)
+        fps = max(1, scale // 25)
         i = 0
         for d in range(lo, hi, step):
             day = big.filter(
@@ -346,7 +350,9 @@ def retention_stream_axis() -> None:
                 & (F.expr("unix_micros(ts) div 86400000000") < d + step)
             )
             stage = os.path.join(incoming, f"__stage_{i}")
-            day.coalesce(1).write.mode("overwrite").parquet(stage)
+            # repartition (not coalesce): EXACTLY fps files per slice so
+            # maxFilesPerTrigger=fps maps one slice to one trigger
+            day.repartition(fps).write.mode("overwrite").parquet(stage)
             parts = [
                 f for f in os.listdir(stage) if f.endswith(".parquet")
             ]
@@ -366,10 +372,10 @@ def retention_stream_axis() -> None:
             first_seen_dir=os.path.join(root, "first_seen"),
             partials_dir=os.path.join(root, "partials"),
             checkpoint_dir=os.path.join(root, "ckpt"),
-            max_files_per_trigger=1,
+            max_files_per_trigger=fps,
             available_now=True,
         )
-        q.awaitTermination(1800)
+        q.awaitTermination(3600)
         wall = time.perf_counter() - t0
         def _prog(p):
             if isinstance(p, str):
