@@ -384,3 +384,30 @@ def test_compact_first_seen_preserves_fold_and_shrinks(spark, tmp_path):
     assert after.count() == after.select("user_id").distinct().count()
     assert after.count() <= n_before
     assert {(r.user_id, r.f_us) for r in after.collect()} == folded_before
+
+
+def test_retention_store_rekeys_when_source_changes(spark, tmp_path):
+    """The at-rest store must be keyed by the SOURCE's identity: a
+    regenerated events table (new mtime/size) gets a fresh store
+    directory instead of serving stale partials."""
+    import os
+    import shutil
+
+    from pg2kafka_spark.q_relational import _ensure_retention_store
+
+    sf_copy = str(tmp_path / "sfcopy")
+    os.makedirs(sf_copy)
+    for t in ("events.parquet",):
+        src = os.path.join(SF, t)
+        dst = os.path.join(sf_copy, t)
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+    root1 = _ensure_retention_store(spark, sf_copy)
+    ev = os.path.join(sf_copy, "events.parquet")
+    victim = (
+        os.path.join(ev, sorted(os.listdir(ev))[0])
+        if os.path.isdir(ev) else ev
+    )
+    st = os.stat(victim)
+    os.utime(victim, (st.st_atime, st.st_mtime + 100))
+    root2 = _ensure_retention_store(spark, sf_copy)
+    assert root1 != root2, "changed source must not reuse the store"
