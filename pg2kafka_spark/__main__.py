@@ -14,6 +14,7 @@ an operator of pg2kafka can map their deployment 1:1:
 | (drain then LISTEN, main.go:85-93)       | ``RELAY_ONCE``          | "true": availableNow drain then exit; else continuous micro-batches |
 | (poll pacing)        | ``RELAY_TRIGGER``       | processingTime interval for continuous mode (default "5 seconds") |
 | (page size O12)      | ``RELAY_PAGE_FILES``    | maxFilesPerTrigger |
+| (murmur2 key partitioning + sync produce, README.md:38-40) | ``ORDERED_DELIVERY`` | "true": repartition each micro-batch on external_id + sort (key, id) so a parallel sink preserves per-entity order; ``ORDERED_PARTITIONS`` sizes the shuffle |
 
 Exit behavior matches O19: RELAY_ONCE drains the backlog and stops;
 continuous mode runs until interrupted (checkpoint makes either mode
@@ -48,6 +49,8 @@ def main(env: dict[str, str] | None = None) -> int:
     once = env.get("RELAY_ONCE", "true").lower() in ("1", "true", "yes")
     trigger = env.get("RELAY_TRIGGER", "5 seconds")
     page_files = env.get("RELAY_PAGE_FILES")
+    ordered = env.get("ORDERED_DELIVERY", "").lower() in ("1", "true", "yes")
+    ordered_parts = env.get("ORDERED_PARTITIONS")
     checkpoint = env.get("CHECKPOINT_DIR", os.path.join(outbox, "_checkpoint"))
     brokers = env.get("KAFKA_BROKER")
 
@@ -68,6 +71,8 @@ def main(env: dict[str, str] | None = None) -> int:
         available_now=once,
         processing_time=None if once else trigger,
         kafka_options=kafka_options,
+        ordered=ordered,
+        ordered_partitions=int(ordered_parts) if ordered_parts else None,
     )
     query.awaitTermination()
     return 0

@@ -100,8 +100,26 @@ def start_relay(
     processing_time: str | None = None,
     kafka_options: dict[str, str] | None = None,
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
+    ordered: bool = False,
+    ordered_partitions: int | None = None,
 ) -> StreamingQuery:
     """Run the relay: canonical events → wire projection → sink.
+
+    ``ordered=True`` applies :func:`~pg2kafka_spark.operators.wire.
+    ordered_for_delivery` to each micro-batch before the wire
+    projection: repartition on external_id + sort (key, id) within
+    tasks, so a PARALLEL sink emits every entity's events in outbox
+    order — the reference's delivery contract (README.md:38-40) at
+    any parallelism. A streaming frame cannot sort pre-sink
+    (Spark forbids it), so ordered mode routes through foreachBatch
+    where the batch is static: your ``foreach_batch`` then receives
+    the ordered wire frame; without one, kafka/console batch writers
+    are generated (``memory`` has no batch twin — unsupported with
+    ``ordered``). For the Kafka sink the producer side must also keep
+    retries ordered, which the default
+    :func:`~pg2kafka_spark.sources.kafka_sink_options` map does via
+    enable.idempotence. Costs one keyed shuffle of the micro-batch
+    (bounded by the paging knob).
 
     ``sink``:
       * ``"kafka"``  — O17: key/value/topic columns route per row;
@@ -115,6 +133,41 @@ def start_relay(
     ``available_now=True`` = drain-the-backlog-then-stop (O19's start
     phase); a ``processing_time`` trigger = the steady-state loop.
     """
+    if ordered:
+        from pg2kafka_spark.operators.wire import ordered_for_delivery
+
+        if sink == "memory" and foreach_batch is None:
+            raise ValueError(
+                "ordered delivery requires a batch-writable sink "
+                "(kafka/console/foreach_batch) — the memory sink has "
+                "no batch twin"
+            )
+        user_fb = foreach_batch
+
+        def _ordered_fb(batch_df: DataFrame, batch_id: int) -> None:
+            w = to_wire(
+                ordered_for_delivery(batch_df, ordered_partitions),
+                database,
+                topic_namespace,
+            )
+            if user_fb is not None:
+                user_fb(w, batch_id)
+            elif sink == "kafka":
+                wr = w.write.format("kafka")
+                for k, v in (kafka_options or {}).items():
+                    wr = wr.option(k, v)
+                wr.save()
+            else:
+                w.write.format(sink).save()
+
+        writer = events.writeStream.queryName(query_name)
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.foreachBatch(_ordered_fb).start()
     wire = to_wire(events, database, topic_namespace)
     writer = wire.writeStream.queryName(query_name)
     if checkpoint_dir is not None:

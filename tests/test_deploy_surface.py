@@ -46,6 +46,31 @@ def test_daemon_dry_run_drains_and_exits(spark, tmp_path, capsys):
     assert rc == 0
 
 
+def test_daemon_ordered_delivery_drains_and_exits(spark, tmp_path):
+    """ORDERED_DELIVERY=true routes each micro-batch through
+    ordered_for_delivery before the wire projection (the reference's
+    per-entity order contract, README.md:38-40) — the daemon must
+    drain cleanly with the keyed shuffle in the loop."""
+    outbox = str(tmp_path / "outbox")
+    users = spark.createDataFrame(
+        [Row(uid="u1", name="a"), Row(uid="u2", name="b"),
+         Row(uid=None, name="c")]
+    )
+    bootstrap_outbox(users, outbox, "users", "uid")
+    rc = daemon.main(
+        {
+            "OUTBOX_DIR": outbox,
+            "DATABASE": "testdb",
+            "DRY_RUN": "true",
+            "RELAY_ONCE": "true",
+            "ORDERED_DELIVERY": "true",
+            "ORDERED_PARTITIONS": "4",
+            "CHECKPOINT_DIR": str(tmp_path / "ckpt"),
+        }
+    )
+    assert rc == 0
+
+
 def test_daemon_requires_outbox_dir():
     assert daemon.main({}) == 2
 

@@ -1624,3 +1624,63 @@ def test_funnel_state_stream_stages_matches_batch_4stage(spark, tmp_path):
     assert got == want
     n_full = sum(1 for v in want.values() if v[4] == 4)
     assert n_full > 0, "fixture must drive some user through all 4 stages"
+
+
+def test_start_relay_ordered_mode_delivers_per_key_in_order(
+    spark, outbox, tmp_path
+):
+    """ordered=True through start_relay itself: the user foreach_batch
+    receives the ORDERED wire frame — per-key id sequences must come
+    out ascending across paged micro-batches."""
+    import os
+
+    n_keys, n_versions = 6, 8
+    stamped: set[str] = set()
+    for c in range(4):
+        rows = [
+            _event(v * n_keys + k, "users", "UPDATE",
+                   '{"v": %d}' % (v * n_keys + k), key=f"k{k}")
+            for v in range(c * 2, c * 2 + 2)
+            for k in range(n_keys)
+        ]
+        _write_events(spark, rows, outbox, n_files=2)
+        for f in sorted(os.listdir(outbox)):
+            fp = os.path.join(outbox, f)
+            if f.endswith(".parquet") and fp not in stamped:
+                stamped.add(fp)
+                os.utime(fp, (1_700_000_000 + c, 1_700_000_000 + c))
+
+    seen: dict[str, list[int]] = {}
+
+    def fb(wire_df, batch_id):
+        parts = (
+            wire_df.select(
+                "key",
+                F.get_json_object(F.col("value"), "$.data.v")
+                .cast("long")
+                .alias("seq"),
+            )
+            .rdd.mapPartitionsWithIndex(
+                lambda pid, it: [[(r.key, r.seq) for r in it]]
+            )
+            .collect()
+        )
+        for lst in parts:
+            for key, seq in lst:
+                seen.setdefault(key, []).append(seq)
+
+    events = read_event_stream(spark, outbox, max_files_per_trigger=2)
+    q = start_relay(
+        events,
+        database="testdb",
+        foreach_batch=fb,
+        available_now=True,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ordered=True,
+        ordered_partitions=3,
+    )
+    q.awaitTermination(120)
+    assert len(seen) == n_keys
+    for k in range(n_keys):
+        want = [v * n_keys + k for v in range(n_versions)]
+        assert seen[f"k{k}"] == want, f"k{k} out of order"
