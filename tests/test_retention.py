@@ -68,9 +68,16 @@ def _day_slices(ev, n_slices):
     return [(d, min(d + step, hi)) for d in range(lo, hi, step)]
 
 
-def test_daily_fold_reproduces_batch_triangle(spark):
+import pytest
+
+
+@pytest.mark.parametrize("n_slices", [3, 6, 11])
+def test_daily_fold_reproduces_batch_triangle(spark, n_slices):
+    """Fold granularity must not matter: coarse (3), the daily-ish 6,
+    and an uneven 11 (the last slice is shorter) all reproduce the
+    one-pass triangle."""
     ev = _events(spark)
-    slices = _day_slices(ev, 6)
+    slices = _day_slices(ev, n_slices)
     assert len(slices) >= 3, "fixture must span several day slices"
     _fs, partials = _fold_days(spark, ev, slices)
     got = _triangle_rows(retention_from_partials(partials))
