@@ -1320,6 +1320,47 @@ def test_funnel_fold_is_chunk_order_independent():
     assert st_w.value == (100, None, None)
 
 
+def test_nstage_fold_is_row_order_independent():
+    """Generic-kernel twin of the chunk-order test (r14): the 4-stage
+    fold over a single batch must produce the same state under EVERY
+    permutation of the rows, including the cascading re-qualification
+    (a signup arriving last still qualifies the whole chain)."""
+    import itertools
+
+    import pandas as pd
+
+    from pg2kafka_spark.streaming.windows import _build_funnel_stages_fn
+
+    class _FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    stages = ["signup", "view", "click", "purchase"]
+    rows = [("purchase", 400), ("click", 300), ("view", 200),
+            ("signup", 100), ("view", 250)]
+    want = (100, 200, 300, 400)
+    fn = _build_funnel_stages_fn(stages, None)
+    for perm in itertools.permutations(rows):
+        pdf = pd.DataFrame(
+            {"event_type": [r[0] for r in perm],
+             "ts_us": [r[1] for r in perm]}
+        )
+        st = _FakeState()
+        out = list(fn((1,), iter([pdf]), st))
+        assert st.value == want, perm
+        assert out[0]["stage"].iloc[0] == 4
+    # banded: no view lands within 50 µs of signup@100 (earliest is
+    # 200), so the chain stops at stage 1
+    fn_w = _build_funnel_stages_fn(stages, 50)
+    st_w = _FakeState()
+    list(fn_w((1,), iter([pd.DataFrame(
+        {"event_type": [r[0] for r in rows],
+         "ts_us": [r[1] for r in rows]})]), st_w))
+    assert st_w.value == (100, None, None, None)
+
+
 def test_jsonl_source_composes_into_a_stream_with_quarantine(
     spark, tmp_path
 ):
