@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Forensics switch (r14): SPARK_GRAFT_EVENTLOG=<dir> writes the
+    # event log so an intermittent stall rep (the interpreted-path
+    # class, BASELINE.md r13→r14 adjudication) can be root-caused from
+    # per-stage task CPU after the fact — the r12 playbook, now one
+    # env var away for bench/probe runs. Off by default (costs disk).
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
