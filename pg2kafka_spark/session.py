@@ -69,8 +69,13 @@ def get_spark(
     ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if ev_dir:
         os.makedirs(ev_dir, exist_ok=True)
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", ev_dir
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", ev_dir)
+            # plain JSON lines: the forensics parser (tools/
+            # evlog_stages.py) reads them directly; this container has
+            # no python zstandard module
+            .config("spark.eventLog.compress", "false")
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
