@@ -107,6 +107,7 @@ def main() -> int:
 
     def warm(name: str) -> None:
         try:
+            spark.sparkContext.setJobDescription(f"{name}#warm")
             run(qs[name](spark, WARM_SF_DIR))
         except Exception:
             errors[name] = f"warmup: {traceback.format_exc(limit=3)}"
@@ -188,6 +189,11 @@ def main() -> int:
         rep_gc: list[int] = []
         try:
             while len(runs) < (2 if not runs or min(runs) < 2.0 else 3):
+                # label jobs so an event-log forensics pass
+                # (tools/evlog_stages.py) can attribute a stall rep
+                spark.sparkContext.setJobDescription(
+                    f"{name}#rep{len(runs)}"
+                )
                 df = qs[name](spark, sf_dir)
                 j0, g0 = _jit_gc_ms()
                 t0 = time.perf_counter()
@@ -246,6 +252,9 @@ def main() -> int:
         rep_gc = stats[name]["rep_gc_ms"]
         try:
             for _ in range(2):
+                spark.sparkContext.setJobDescription(
+                    f"{name}#driftrep{len(runs)}"
+                )
                 df = qs[name](spark, sf_dir)
                 j0, g0 = _jit_gc_ms()
                 t0 = time.perf_counter()

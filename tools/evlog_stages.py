@@ -22,15 +22,17 @@ import sys
 
 
 def _events_file(path: str) -> str:
+    """Resolve a log FILE from any layout: a file, a rolling
+    ``eventlog_v2_<app>/`` dir, or a parent dir holding one."""
     if os.path.isfile(path):
         return path
-    cands = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.startswith("events_") or f == os.path.basename(path)
-    ]
-    if not cands:  # single-file layout
-        cands = [os.path.join(path, f) for f in os.listdir(path)]
+    cands = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith("events_") or f.startswith("local-"):
+                cands.append(os.path.join(root, f))
+    if not cands:
+        raise SystemExit(f"no event files under {path}")
     return max(cands, key=os.path.getmtime)
 
 
@@ -41,6 +43,7 @@ def main() -> int:
     path = _events_file(sys.argv[1])
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     stages: dict[tuple, dict] = {}
+    jobs: dict[int, dict] = {}
     if path.endswith(".zstd"):
         # logs written before the compress=false default, or from a
         # foreign session: shell out to the zstd binary (no python
@@ -67,19 +70,40 @@ def main() -> int:
                 st = stages.setdefault(
                     si,
                     {"cpu_ns": 0, "run_ms": 0, "gc_ms": 0, "tasks": 0,
-                     "name": "", "wall_ms": 0},
+                     "name": "", "wall_ms": 0, "max_task_ms": 0},
                 )
                 st["cpu_ns"] += m.get("Executor CPU Time", 0)
                 st["run_ms"] += m.get("Executor Run Time", 0)
                 st["gc_ms"] += m.get("JVM GC Time", 0)
                 st["tasks"] += 1
+                st["max_task_ms"] = max(
+                    st["max_task_ms"], m.get("Executor Run Time", 0)
+                )
+            elif kind.endswith("SparkListenerJobStart"):
+                jid = ev.get("Job ID")
+                props = ev.get("Properties") or {}
+                jobs[jid] = {
+                    "desc": props.get("spark.job.description", ""),
+                    "start": ev.get("Submission Time", 0),
+                    "wall": 0,
+                    "stages": [
+                        (s.get("Stage ID"), s.get("Stage Attempt ID", 0))
+                        for s in ev.get("Stage Infos", [])
+                    ],
+                }
+            elif kind.endswith("SparkListenerJobEnd"):
+                jid = ev.get("Job ID")
+                if jid in jobs:
+                    jobs[jid]["wall"] = (
+                        ev.get("Completion Time", 0) - jobs[jid]["start"]
+                    )
             elif kind.endswith("SparkListenerStageCompleted"):
                 info = ev.get("Stage Info", {})
                 si = info.get("Stage ID"), info.get("Stage Attempt ID")
                 st = stages.setdefault(
                     si,
                     {"cpu_ns": 0, "run_ms": 0, "gc_ms": 0, "tasks": 0,
-                     "name": "", "wall_ms": 0},
+                     "name": "", "wall_ms": 0, "max_task_ms": 0},
                 )
                 st["name"] = info.get("Stage Name", "")
                 sub = info.get("Submission Time")
@@ -90,13 +114,42 @@ def main() -> int:
         stages.items(), key=lambda kv: -kv[1]["cpu_ns"]
     )[:top_n]
     print(f"{'stage':>8} {'wall_s':>8} {'cpu_s':>9} {'run_s':>9} "
-          f"{'gc_s':>6} {'tasks':>5}  name")
+          f"{'maxtask_s':>9} {'gc_s':>6} {'tasks':>5}  name")
     for (sid, att), st in rows:
         print(
             f"{sid:>6}.{att} {st['wall_ms'] / 1e3:>8.2f} "
             f"{st['cpu_ns'] / 1e9:>9.2f} {st['run_ms'] / 1e3:>9.2f} "
+            f"{st['max_task_ms'] / 1e3:>9.2f} "
             f"{st['gc_ms'] / 1e3:>6.2f} {st['tasks']:>5}  "
-            f"{st['name'][:70]}"
+            f"{st['name'][:60]}"
+        )
+
+    # Per-JOB view: wall vs the sum of its stages' walls. A large gap
+    # with modest stage CPU is DRIVER time (planning/AQE/compile) —
+    # the r13 tree-blowup class; a job whose stages carry outsized CPU
+    # is the executor-side interpreted-path class. Jobs are labeled
+    # when the runner sets spark.job.description (bench.py does,
+    # "<query>#repN").
+    print(f"\n{'job':>6} {'wall_s':>8} {'stages_s':>9} {'gap_s':>7} "
+          f"{'cpu_s':>9} {'maxtask_s':>9}  description")
+    for jid, jb in sorted(jobs.items(), key=lambda kv: -kv[1]["wall"])[
+        :top_n
+    ]:
+        st_wall = sum(
+            stages[s]["wall_ms"] for s in jb["stages"] if s in stages
+        ) / 1e3
+        st_cpu = sum(
+            stages[s]["cpu_ns"] for s in jb["stages"] if s in stages
+        ) / 1e9
+        wall = jb["wall"] / 1e3
+        mx = max(
+            (stages[s]["max_task_ms"] for s in jb["stages"] if s in stages),
+            default=0,
+        ) / 1e3
+        print(
+            f"{jid:>6} {wall:>8.2f} {st_wall:>9.2f} "
+            f"{wall - st_wall:>7.2f} {st_cpu:>9.2f} {mx:>9.2f}  "
+            f"{jb['desc'][:55]}"
         )
     return 0
 
