@@ -98,30 +98,13 @@ def sketch_cache_scope():
             _graph._unpersist_ids(sc, {rid})
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's parallelism when the input is
-    small. The heavy stages here are per-row (shingle/hash) compute —
-    on a small local file Spark plans 1 split and the whole sketch
-    pass runs on one core. At 100 TB the scan has thousands of splits
-    and this is a no-op (never repartition DOWN).
+# _spread is the historical internal name; the implementation moved to
+# operators/scale.py (r14) so the layout/profile/similarity kernels can
+# share it.
+from pg2kafka_spark.operators.scale import (  # noqa: E402
+    spread_small_input as _spread,
+)
 
-    Smallness comes from the optimizer's size estimate (one
-    analyze+optimize pass on the tiny projection), not the round-5
-    ``df.rdd`` probe — ``.rdd`` forced full physical planning plus an
-    RDD conversion per sketch query. Threshold: anything under
-    ``parallelism × 128 MiB`` gains more from the extra cores on the
-    per-row compute than the one small shuffle costs; above it the
-    scan already has ≥ parallelism splits."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
-    except Exception:
-        return df.repartition(target)
-    if size < target * (128 << 20):
-        return df.repartition(target)
-    return df
 
 # ---------------------------------------------------------------------------
 # Exact / fingerprint dedup

@@ -134,13 +134,18 @@ def zorder_bucket_stats(
     bucket id, bounded by ``2^bucket_bits`` groups with map-side
     partial aggs.
     """
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     stats = df.agg(
         F.min(day).cast("long").alias("__dlo"),
         F.max(day).cast("long").alias("__dhi"),
         F.min(key).cast("long").alias("__klo"),
         F.max(key).cast("long").alias("__khi"),
     )
-    j = df.crossJoin(F.broadcast(stats))
+    # spread BEFORE the z projection: the interleave is the heavy
+    # per-row stage, and a small local scan plans 1-3 splits (r14 —
+    # the 5.4 s single-straggler-task bench row); no-op at scale
+    j = spread_small_input(df).crossJoin(F.broadcast(stats))
     qd = quantize(day.cast("long"), F.col("__dlo"), F.col("__dhi"), bits)
     qk = quantize(key.cast("long"), F.col("__klo"), F.col("__khi"), bits)
     z = z_value(qd, qk, bits)
@@ -279,8 +284,13 @@ def hilbert_bucket_stats(
         F.min(key).cast("long").alias("__klo"),
         F.max(key).cast("long").alias("__khi"),
     )
-    j = df.select(
-        day.cast("long").alias("__d"), key.cast("long").alias("__k")
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread: the staged curve steps are the heavy per-row stage (r14)
+    j = spread_small_input(
+        df.select(
+            day.cast("long").alias("__d"), key.cast("long").alias("__k")
+        )
     ).crossJoin(F.broadcast(stats))
     qd = quantize(F.col("__d"), F.col("__dlo"), F.col("__dhi"), bits)
     qk = quantize(F.col("__k"), F.col("__klo"), F.col("__khi"), bits)

@@ -80,7 +80,13 @@ def table_profile(
             F.min(F.col(c)).alias(f"__mn_{c}"),
             F.max(F.col(c)).alias(f"__mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    # spread: the exact multi-distinct's Expand multiplies every row
+    # by n_distinct-columns BEFORE the partial agg — on a small local
+    # scan (1 split) that whole stage ran on one core (r14: the 3.8 s
+    # single-straggler bench row); no-op at scale
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    one = spread_small_input(df).agg(*aggs)
 
     rows = []
     for c in (*numeric_cols, *ts_cols):

@@ -65,10 +65,16 @@ def brute_force_topk(
     WindowGroupLimit keeps k rows per partition before the sort).
     Self-matches (same id) are excluded.
     """
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    # spread: |queries| cosines per corpus row on a 1-split local scan
+    # otherwise run on one core (r14); no-op at scale
+    c = spread_small_input(
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -438,9 +444,19 @@ def quantized_topk(
     """
     from pg2kafka_spark.operators.dedup import _persist
 
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     stats = _persist(quantization_stats(corpus, dim, vec_col))
+    # spread: the 64-wide unrolled encode and the downstream
+    # dequant+cosine scoring both inherit the coded table's layout —
+    # on a 1-split local scan the whole SQ8 path ran on one core
+    # (r14); no-op at scale
     coded = _persist(
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+        spread_small_input(
+            corpus.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("__cv")
+            )
+        )
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), _quantize_expr("__cv", dim).alias("__q"))
     )
@@ -487,6 +503,13 @@ def assign_cells(
     carries one row per id and nothing sorts (r8; the previous
     row_number window shuffled AND sorted every candidate row).
     Returns ``(id, __cv, cid)``."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread: n_centroids rounded cosines per row is the corpus-sized
+    # heavy stage, and a small local scan plans 1 split (r14 labeled
+    # event-log capture: single-straggler-task ANN rows); no-op at
+    # scale
+    prepared = spread_small_input(prepared)
     scored = prepared.crossJoin(F.broadcast(cents)).select(
         id_col,
         "__cv",
@@ -1319,7 +1342,11 @@ def pq_reconstruct(
     (uniform — never m separate id-joins); reconstruction is one
     groupBy on the unique id. Shared by :func:`pq_topk` and
     :func:`ivf_pq_topk`."""
-    subs = corpus.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread: the m-way posexplode + argmax coding is the full-corpus
+    # heavy stage (r14); no-op at scale
+    subs = spread_small_input(corpus).select(
         F.col(id_col),
         F.posexplode(
             F.array(

@@ -271,9 +271,12 @@ def test_source_cap_is_two_phase_window(spark, sf_dir):
 def test_zorder_stats_single_bucket_exchange(spark, sf_dir):
     p = plan_of(spark, "zorder_layout_stats", sf_dir)
     # 1-row global stats broadcast back; the only data shuffles are the
-    # single-partition stats reduction and the 64-key bucket agg
+    # single-partition stats reduction, the 64-key bucket agg, and
+    # (r14) spread_small_input's round-robin fan-out before the heavy
+    # z projection — a no-op at scale, never keyed
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    assert p.count(" Exchange (") == 2
+    assert p.count(" Exchange (") <= 3
+    assert p.count("hashpartitioning") <= 1  # only the bucket agg keys
     # both scans read just the two layout dims
     assert "l_comment" not in p and "l_extendedprice" not in p
 
