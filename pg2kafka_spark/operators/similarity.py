@@ -258,7 +258,13 @@ def kmeans_centroids(
     cents = ordered.limit(n_centroids).select(
         F.col(id_col).alias("cid"), F.col("__cv").alias("__ce")
     )
-    train = (
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread the TRAIN relation: every Lloyd pass is n_centroids
+    # rounded cosines per row, and a 1-split local scan would run all
+    # ``iters`` passes on one core (r14); no-op at scale, and
+    # order-free by construction (max_by tiebreaks + fixed-point sums)
+    train = spread_small_input(
         ordered.limit(train_sample).select(id_col, "__cv")
         if train_sample is not None
         else c
@@ -1222,7 +1228,11 @@ def kmeans_centroids_keyed(
     # construction. At real corpus size this bounds every Lloyd pass
     # (and the fixed-point LONG overflow argument) by a constant-size
     # sample per subspace instead of full passes over 10⁹ vectors.
-    train = (
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread (same rationale as kmeans_centroids): the m-keyed Lloyd
+    # passes otherwise run on the input's 1-split layout locally
+    train = spread_small_input(
         ranked.filter(F.col("__srn") <= int(train_sample)).select(
             "__k", id_col, "__cv"
         )
