@@ -157,6 +157,9 @@ def main() -> int:
         runs: list[float] = []
         rep_jvm: list[dict] = []
         for _ in range(reps):
+            spark.sparkContext.setJobDescription(
+                f"{name}#rep{len(runs)}"
+            )
             df = qs[name](spark, sf_dir)
             j0 = jvm_stats()
             t0 = time.perf_counter()
