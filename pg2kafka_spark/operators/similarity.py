@@ -924,8 +924,13 @@ def embedding_near_dup_lsh_portable(
     stage SQL-expressible. Single-table recall is 1−θ/π per bit; the
     production path stacks tables for recall, this one exists to pin
     the per-table semantics."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     thr = float(threshold)
-    sig = df.select(
+    # spread: the per-row signature (num_planes rounded dot folds) on
+    # a 1-split local scan otherwise runs on one core (r14); no-op at
+    # scale
+    sig = spread_small_input(df).select(
         F.col(id_col).cast("bigint").alias("id"),
         as_double(F.col(vec_col)).alias("e"),
         portable_lsh_signature(F.col(vec_col), num_planes, dim, seed).alias(

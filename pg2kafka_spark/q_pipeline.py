@@ -618,7 +618,13 @@ def doc_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must be a staged COLUMN, not an expression captured in the
     # per-gram lambda — interpreted HOFs re-evaluate captures per
     # element, which would make this O(len²) per document
-    staged = docs.select("doc_id", normalized_text(F.col("text")).alias("__nt"))
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # spread: O(chars) gram transform + distinct per row on a 1-split
+    # local scan otherwise runs on one core (r14); no-op at scale
+    staged = spread_small_input(
+        docs.select("doc_id", normalized_text(F.col("text")).alias("__nt"))
+    )
     grams = F.when(
         F.length("__nt") >= 5,
         F.array_distinct(
