@@ -29,15 +29,20 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     costs; above it the scan already has ≥ parallelism splits."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
+        # py4j hands back a Java BigInt proxy for parquet scans but a
+        # plain Python int for some leaf plans (e.g. Range) — str()
+        # normalizes both.
         size = int(
-            df._jdf.queryExecution()
-            .optimizedPlan()
-            .stats()
-            .sizeInBytes()
-            .toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
     except Exception:
-        return df.repartition(target)
+        # Fail OPEN: the stats probe walks a version-sensitive internal
+        # API (_jdf.queryExecution). If it ever breaks, the safe
+        # behaviour is identity — repartitioning without a size
+        # estimate would turn a transient probe failure on a 100 TB
+        # scan into a full-table round-robin shuffle in front of a
+        # kernel that needed no spread (r14 ADVICE, medium).
+        return df
     if size < target * (128 << 20):
         return df.repartition(target)
     return df

@@ -430,3 +430,30 @@ def test_ivf_pq_index_stores_codes_and_serves_identically(spark, sf_dir, tmp_pat
     p = buf.getvalue()
     assert "dynamicpruning" in p.lower()
     assert "PartitionFilters" in p
+
+
+def test_spread_small_input_spreads_small_and_fails_open(spark):
+    """spread_small_input must (a) fan a tiny input out to the
+    session's parallelism, and (b) be IDENTITY when the optimizer
+    size estimate is unavailable — the r14 fallback repartitioned
+    unconditionally, which at 100 TB would turn a transient stats
+    failure into a full-table shuffle (ADVICE r14, medium)."""
+    from unittest import mock
+
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(100).coalesce(1)
+    spread = spread_small_input(df)
+    assert spread.rdd.getNumPartitions() == target
+
+    # Break the internal stats probe (instance attribute in pyspark 4):
+    # the helper must return the SAME frame, not a repartitioned one.
+    real_jdf = df._jdf
+    try:
+        df._jdf = mock.Mock(
+            queryExecution=mock.Mock(side_effect=RuntimeError("no stats"))
+        )
+        assert spread_small_input(df) is df
+    finally:
+        df._jdf = real_jdf
