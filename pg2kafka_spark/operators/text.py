@@ -10,6 +10,8 @@ that preserves input partitioning.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Marker tokens per language for the n-gram/stopword-hit heuristic.
@@ -1242,7 +1244,14 @@ _RANK_BCASTS: dict = {}
 
 def _ranks_broadcast(spark, ranks: dict):
     app = spark.sparkContext.applicationId
-    key = (app, hash(tuple(sorted(ranks.items()))))
+    # Collision-resistant digest of the canonical serialization, NOT
+    # Python hash(): a hash collision between two distinct merge
+    # tables in one application would silently reuse the wrong rank
+    # broadcast and produce wrong encodings with no error (r14 ADVICE).
+    digest = hashlib.md5(
+        repr(sorted(ranks.items())).encode("utf-8")
+    ).hexdigest()
+    key = (app, digest)
     if key in _RANK_BCASTS:
         return _RANK_BCASTS[key]
     for k in [k for k in _RANK_BCASTS if k[0] != app]:

@@ -2574,16 +2574,19 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
     # driver regenerates /root/testdata between rounds, and serving
     # stale partials against fresh events would be a wrong answer —
     # a changed events table gets a fresh store directory
+    # nanosecond mtimes: second-granularity int(st.st_mtime) could
+    # serve a stale store against an events table regenerated within
+    # the same second with identical names/sizes (r14 ADVICE)
     sig = [sf_dir]
     ev_dir = os.path.join(sf_dir, "events.parquet")
     ev_path = ev_dir if os.path.exists(ev_dir) else sf_dir
     if os.path.isdir(ev_path):
         for f in sorted(os.listdir(ev_path)):
             st = os.stat(os.path.join(ev_path, f))
-            sig.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.isfile(ev_path):
         st = os.stat(ev_path)
-        sig.append(f"{st.st_size}:{int(st.st_mtime)}")
+        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
     h = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_retention_{h}")
     part_dir = os.path.join(root, "partials")
@@ -2612,7 +2615,10 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
         )
         .distinct()
     )
-    partials.write.mode("overwrite").parquet(part_dir)
+    # cohort_day partitioning: cohort-windowed triangle queries prune
+    # at the scan (PartitionFilters) instead of reading every cohort —
+    # the prune the module's 100 TB note prescribes (r14 verdict #2)
+    partials.write.mode("overwrite").partitionBy("cohort_day").parquet(part_dir)
     f.write.mode("overwrite").parquet(fs_dir)
     return root
 
@@ -2654,7 +2660,64 @@ def weekly_retention_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg2kafka_spark.operators.retention import retention_from_partials
 
     root = _ensure_retention_store(spark, sf_dir)
-    partials = spark.read.parquet(os.path.join(root, "partials"))
+    # partition-column type inference narrows cohort_day to int on
+    # read-back; restore the store's declared bigint
+    partials = spark.read.parquet(os.path.join(root, "partials")).withColumn(
+        "cohort_day", F.col("cohort_day").cast("bigint")
+    )
+    return retention_from_partials(partials)
+
+
+# First calendar week of the generator's deterministic 2024-01-01..30
+# event range, as days-since-epoch — the cohort window the pruned
+# serve reads. Constants shared verbatim by query and oracle.
+_COHORT_WINDOW_LO = 19723
+_COHORT_WINDOW_HI = 19729
+
+
+@query(
+    "weekly_retention_served_cohort_window",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS f_us FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT DISTINCT
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS ingest_day,
+             CAST(f_us // 86400000000 AS BIGINT) AS cohort_day,
+             CAST((epoch_us(ts) - f_us) // 604800000000 AS BIGINT)
+               AS week_offset,
+             e.user_id
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
+    FROM p
+    WHERE cohort_day BETWEEN {_COHORT_WINDOW_LO} AND {_COHORT_WINDOW_HI}
+    GROUP BY 1, 2
+    """,
+)
+def weekly_retention_served_cohort_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort-WINDOWED serve from the maintained partials table — the
+    read pattern the cohort_day partitioning (r15) exists for: the
+    window predicate lands on the partition column BEFORE the widening
+    cast, so the scan prunes to the window's directories
+    (PartitionFilters, pinned in tests/test_plans.py) instead of
+    reading every cohort. At 100 TB this is the difference between
+    scanning a week and scanning the table's full history."""
+    import os
+
+    from pg2kafka_spark.operators.retention import retention_from_partials
+
+    root = _ensure_retention_store(spark, sf_dir)
+    partials = (
+        spark.read.parquet(os.path.join(root, "partials"))
+        .filter(
+            F.col("cohort_day").between(_COHORT_WINDOW_LO, _COHORT_WINDOW_HI)
+        )
+        .withColumn("cohort_day", F.col("cohort_day").cast("bigint"))
+    )
     return retention_from_partials(partials)
 
 

@@ -46,9 +46,11 @@ partials table's prior contents.
 Scale notes: per-batch work is two user-keyed shuffles of
 batch-sized + user-sized frames (the day-min and the first-seen
 join); the partials append is ≤2 rows per active user per batch
-(operators/retention.py:78-85). At 100 TB, partition ``partials_dir``
-by cohort_day so triangle queries prune, and compact the candidates
-table on a schedule; neither changes the contract above.
+(operators/retention.py:78-85). ``partials_dir`` is PARTITIONED by
+cohort_day (r15) so cohort-windowed triangle queries prune at the
+scan, and ``run_retention_maintenance`` schedules the candidates
+compaction between availableNow drains; neither changes the contract
+above.
 """
 
 from __future__ import annotations
@@ -75,6 +77,28 @@ def _to_micros(df: DataFrame, ts_col: str) -> tuple[DataFrame, str]:
     return df, ts_col
 
 
+def _candidates_or_empty(
+    spark: SparkSession, first_seen_dir: str, like: DataFrame
+) -> DataFrame:
+    """The candidates store, or an empty frame on the true first
+    batch — but RAISE when a compaction is mid-swap: the sentinel
+    brackets the window where the directory legitimately does not
+    exist, and folding that batch against an "empty" store would
+    compute wrong first-seen values (wrong cohorts) silently. The
+    failed micro-batch stays uncommitted in the checkpoint, so fixing
+    the sentinel and restarting replays it losslessly."""
+    import os
+
+    if os.path.exists(_compaction_sentinel(first_seen_dir)):
+        raise RuntimeError(
+            f"candidates table {first_seen_dir!r} is mid-compaction "
+            "(sentinel present) — a concurrent compact_first_seen is "
+            "running or crashed mid-swap; complete/clear it before "
+            "resuming the retention stream"
+        )
+    return _store_or_empty(spark, first_seen_dir, like)
+
+
 def retention_maintain_batch(
     batch_df: DataFrame,
     first_seen_candidates: DataFrame,
@@ -96,17 +120,29 @@ def retention_maintain_batch(
     return day_min, partials
 
 
+def _compaction_sentinel(first_seen_dir: str) -> str:
+    return first_seen_dir.rstrip("/") + ".__compacting__"
+
+
 def compact_first_seen(
     spark: SparkSession, first_seen_dir: str, user_col: str = "user_id"
 ) -> None:
     """Rewrite the append-only candidates table as its one-row-per-user
-    fold — the scheduled compaction the module docstring names.
-    Value-safe by algebra (min over pre-folded rows is the same min),
-    but run it BETWEEN stream runs (e.g. after an availableNow drain):
-    an append landing inside the read→swap window would be dropped by
-    the directory swap. The rewrite stages to a sibling then replaces,
-    so a crash mid-compaction leaves either the old or the new table,
-    never a partial."""
+    fold — the scheduled compaction ``run_retention_maintenance``
+    wires between drains. Value-safe by algebra (min over pre-folded
+    rows is the same min), but run it BETWEEN stream runs: an append
+    landing inside the read→swap window would be dropped by the
+    directory swap.
+
+    The swap leaves a window where ``first_seen_dir`` does not exist;
+    a sentinel file brackets it so a reader racing the compaction
+    RAISES (``_candidates_or_empty``) instead of mapping the missing
+    path to an empty store — the silent-wrong-cohorts failure the r14
+    advice named. A crash inside the bracket leaves the sentinel on
+    disk plus either the old or the new table; the next micro-batch
+    fails loudly and the operator clears the sentinel after
+    re-pointing the directory (both table states are value-identical,
+    so either rename completes the compaction)."""
     import os
     import shutil
 
@@ -114,9 +150,13 @@ def compact_first_seen(
     folded = df.groupBy(user_col).agg(F.min("f_us").alias("f_us"))
     staging = first_seen_dir.rstrip("/") + ".__compact__"
     folded.write.mode("overwrite").parquet(staging)
+    sentinel = _compaction_sentinel(first_seen_dir)
+    with open(sentinel, "w"):
+        pass
     old = first_seen_dir.rstrip("/") + ".__old__"
     os.rename(first_seen_dir, old)
     os.rename(staging, first_seen_dir)
+    os.remove(sentinel)
     shutil.rmtree(old)
 
 
@@ -153,7 +193,7 @@ def start_retention_stream(
             .withColumn("f_us", F.lit(0).cast("long"))
             .schema
         )
-        cands = _store_or_empty(
+        cands = _candidates_or_empty(
             sess, first_seen_dir, sess.createDataFrame([], like)
         )
         day_min, partials = retention_maintain_batch(
@@ -163,11 +203,12 @@ def start_retention_stream(
         # candidates FIRST so a replayed batch folds against a
         # candidates table that already contains its own rows (min
         # unchanged), partials second so the replay re-emits identical
-        # triples that serving's countDistinct absorbs.
+        # triples that serving's countDistinct absorbs. Partials are
+        # partitioned by cohort_day so cohort-windowed serves prune.
         day_min.write.mode("append").parquet(first_seen_dir)
         partials.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
-        ).parquet(partials_dir)
+        ).partitionBy("cohort_day").parquet(partials_dir)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -177,3 +218,42 @@ def start_retention_stream(
     else:
         writer = writer.trigger(processingTime="10 seconds")
     return writer.start()
+
+
+def run_retention_maintenance(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    first_seen_dir: str,
+    partials_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+    compact: bool = True,
+    timeout_s: int = 600,
+) -> None:
+    """One scheduled maintenance cycle (the nightly-job spelling):
+    drain the backlog with an availableNow run, then — with the stream
+    STOPPED, satisfying ``compact_first_seen``'s between-runs
+    precondition — fold the candidates table. This is the loop that
+    actually schedules the compaction the module docstring prescribes;
+    call it per night/backfill window. Idempotent end to end: the
+    drain is checkpointed, the compaction value-preserving."""
+    import os
+
+    q = start_retention_stream(
+        spark,
+        incoming_dir,
+        schema,
+        first_seen_dir=first_seen_dir,
+        partials_dir=partials_dir,
+        checkpoint_dir=checkpoint_dir,
+        user_col=user_col,
+        ts_col=ts_col,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    q.awaitTermination(timeout_s)
+    if compact and os.path.isdir(first_seen_dir):
+        compact_first_seen(spark, first_seen_dir, user_col)

@@ -786,3 +786,17 @@ def test_shingle_token_split_staged_once(spark, sf_dir):
             f"{name}: split( appears {p.count('split(')}x — the token "
             "split leaked back inside a lambda"
         )
+
+
+def test_retention_cohort_window_serve_prunes_partitions(spark, sf_dir):
+    """The partials store is partitioned by cohort_day (r15); the
+    cohort-windowed serve's window predicate must land in the scan's
+    PartitionFilters — at 100 TB that's reading a week, not the full
+    history. The filter sits BEFORE the widening cast so pruning
+    never depends on cast-unwrapping."""
+    p = plan_of(spark, "weekly_retention_served_cohort_window", sf_dir)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m is not None, p
+    assert "cohort_day" in m.group(1)

@@ -218,7 +218,7 @@ def test_hll_plan_has_no_user_keyed_aggregation(spark):
 # same replay evidence the ingest store has.
 
 
-def _write_day_slice_files(spark, ev_raw, slices, incoming):
+def _write_day_slice_files(spark, ev_raw, slices, incoming, offset=0):
     """Write one parquet FILE per day slice into ``incoming``, named
     and mtime-stamped ascending so the file stream source (which
     orders by timestamp) delivers them in event-time order — the
@@ -228,7 +228,7 @@ def _write_day_slice_files(spark, ev_raw, slices, incoming):
 
     os.makedirs(incoming, exist_ok=True)
     t0 = 1_700_000_000
-    for i, (lo, hi) in enumerate(slices):
+    for i, (lo, hi) in enumerate(slices, start=offset):
         day = ev_raw.filter(
             (F.unix_micros("ts") >= F.lit(lo * DAY_US))
             & (F.unix_micros("ts") < F.lit(hi * DAY_US))
@@ -418,3 +418,76 @@ def test_retention_store_rekeys_when_source_changes(spark, tmp_path):
     os.utime(victim, (st.st_atime, st.st_mtime + 100))
     root2 = _ensure_retention_store(spark, sf_copy)
     assert root1 != root2, "changed source must not reuse the store"
+
+
+def test_candidates_reader_raises_mid_compaction(spark, tmp_path):
+    """A retention micro-batch racing compact_first_seen's directory
+    swap must FAIL (checkpoint retries it), never fold against an
+    'empty' store — the silent-wrong-cohorts race the r14 advice
+    named. The sentinel brackets the swap window."""
+    import pytest as _pytest
+
+    from pg2kafka_spark.streaming.retention import (
+        _candidates_or_empty,
+        _compaction_sentinel,
+    )
+
+    fs_dir = str(tmp_path / "first_seen")
+    like = spark.createDataFrame([], "user_id bigint, f_us bigint")
+    # never-written store: empty frame, no error
+    assert _candidates_or_empty(spark, fs_dir, like).count() == 0
+    # mid-compaction (sentinel present, dir missing): loud failure
+    open(_compaction_sentinel(fs_dir), "w").close()
+    with _pytest.raises(RuntimeError, match="mid-compaction"):
+        _candidates_or_empty(spark, fs_dir, like)
+
+
+def test_run_retention_maintenance_drains_and_compacts(spark, tmp_path):
+    """The scheduled cycle (drain → compact between runs) serves the
+    same triangle as the one-pass batch build, leaves the candidates
+    table folded to one row per user, and clears its sentinel —
+    and a SECOND cycle over new arrivals keeps all three properties
+    (the maintenance loop is re-enterable)."""
+    import os
+
+    from pg2kafka_spark.streaming.retention import (
+        _compaction_sentinel,
+        run_retention_maintenance,
+    )
+
+    ev_raw = load_table(spark, "events", SF).select("user_id", "ts")
+    slices = _day_slices(_events(spark), 5)
+    assert len(slices) >= 4
+    incoming = str(tmp_path / "incoming")
+    fs_dir = str(tmp_path / "first_seen")
+    part_dir = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+
+    def cycle(sl, offset=0):
+        _write_day_slice_files(spark, ev_raw, sl, incoming, offset=offset)
+        run_retention_maintenance(
+            spark,
+            incoming,
+            "user_id bigint, ts timestamp",
+            first_seen_dir=fs_dir,
+            partials_dir=part_dir,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+        )
+
+    cycle(slices[:3])
+    cands = spark.read.parquet(fs_dir)
+    assert cands.count() == cands.select("user_id").distinct().count()
+    assert not os.path.exists(_compaction_sentinel(fs_dir))
+
+    cycle(slices[3:], offset=3)
+    partials = spark.read.parquet(part_dir)
+    # partitioned layout on disk: hive-style cohort_day=N directories
+    assert any(
+        d.startswith("cohort_day=") for d in os.listdir(part_dir)
+    )
+    assert _triangle_rows(retention_from_partials(partials)) == (
+        _batch_triangle(spark)
+    )
+    cands = spark.read.parquet(fs_dir)
+    assert cands.count() == cands.select("user_id").distinct().count()
