@@ -193,28 +193,33 @@ def read_csv(
     single-threads the scan at 100 TB — convert such corpora, don't
     read them); in-field quoted separators and quotes parse fine.
 
-    ``header=True`` drops lines that RENDER as the schema's header
+    ``header=True`` handles lines that RENDER as the schema's header
     row — the plain form Spark's csv writer emits plus its quoted and
     CRLF variants (a writer that quotes every field, or a DOS-newline
     file whose trailing CR the text source keeps, must not leak its
     header as a data row). A splittable text scan carries no
-    file-offset information, so this is header-SHAPED filtering, not
-    first-line-of-file semantics — two caveats, documented rather
-    than hidden: (a) a genuine DATA row that renders identically to
-    the header is dropped with it (only an issue for all-string
-    schemas — under any non-string column a header line fails type
-    coercion and lands in quarantine anyway, so consumers can count
-    it); (b) a header written with exotic spacing/quoting beyond
-    these variants isn't matched — with typed columns it quarantines,
-    with all-string columns it parses as a data row. Corpora where
-    either matters should land through the native per-file reader
-    once and convert to parquet.
+    file-offset information, so this is header-SHAPED handling, not
+    first-line-of-file semantics. Under any non-string column the
+    matched lines are simply dropped — a genuine data row can't
+    render as the header without failing type coercion, so nothing
+    silent is lost. Under an ALL-STRING schema a header-shaped line
+    is ambiguous (it would parse as a valid data row), so instead of
+    an uncountable drop it is routed into the quarantine column like
+    any malformed line — consumers see exactly how many
+    header-shaped rows were withheld and can resurrect them from
+    ``_corrupt_record`` if they were data (r14 advice). Remaining
+    caveat, documented rather than hidden: a header written with
+    exotic spacing/quoting beyond these variants isn't matched —
+    with typed columns it quarantines via coercion, with all-string
+    columns it parses as a data row. Corpora where that matters
+    should land through the native per-file reader once and convert
+    to parquet.
 
     PERMISSIVE keeps whatever prefix of a malformed line parsed —
     consumers must gate on ``_corrupt_record IS NULL`` (what
     :func:`split_quarantine` does), not on field nullness."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StringType, StructType
 
     opts = {
         "mode": "PERMISSIVE",
@@ -222,23 +227,54 @@ def read_csv(
         "sep": sep,
     }
     raw = spark.read.text(path)
-    if header:
-        names = StructType.fromDDL(schema).names
+    if not header:
+        return _parse_text(raw, F.from_csv, schema, opts)
 
-        def _render(name: str) -> str:
-            # the csv writer quotes a field containing sep/quote/CR/LF
-            # and doubles embedded quotes
-            if any(c in name for c in (sep, '"', "\r", "\n")):
-                return '"' + name.replace('"', '""') + '"'
-            return name
+    struct = StructType.fromDDL(schema)
+    names = struct.names
 
-        plain = sep.join(_render(n) for n in names)
-        all_quoted = sep.join(
-            '"' + n.replace('"', '""') + '"' for n in names
+    def _render(name: str) -> str:
+        # the csv writer quotes a field containing sep/quote/CR/LF
+        # and doubles embedded quotes
+        if any(c in name for c in (sep, '"', "\r", "\n")):
+            return '"' + name.replace('"', '""') + '"'
+        return name
+
+    plain = sep.join(_render(n) for n in names)
+    all_quoted = sep.join('"' + n.replace('"', '""') + '"' for n in names)
+    variants = {plain, all_quoted, plain + "\r", all_quoted + "\r"}
+    is_header = F.col("value").isin(*variants)
+    if not all(isinstance(f.dataType, StringType) for f in struct.fields):
+        # typed schema: a data row can't render as the header (it
+        # would fail coercion), so the drop loses nothing countable
+        return _parse_text(
+            raw.filter(~is_header), F.from_csv, schema, opts
         )
-        variants = {plain, all_quoted, plain + "\r", all_quoted + "\r"}
-        raw = raw.filter(~F.col("value").isin(*variants))
-    return _parse_text(raw, F.from_csv, schema, opts)
+    # all-string schema: header-shaped is ambiguous with data — route
+    # the matches to quarantine (observable, resurrectable) instead
+    # of an uncountable filter
+    if CORRUPT_COL in names:
+        raise ValueError(
+            f"schema must not declare {CORRUPT_COL!r}: the reader appends "
+            "its own quarantine column of that name (pass the data schema "
+            "only, or rename the colliding column)"
+        )
+    full = f"{schema}, {CORRUPT_COL} string"
+    parsed = raw.select(
+        "value", F.from_csv("value", full, opts).alias("__r")
+    )
+    cols = [
+        F.when(is_header, F.lit(None).cast("string"))
+        .otherwise(F.col("__r").getField(n))
+        .alias(n)
+        for n in names
+    ]
+    corrupt = (
+        F.when(is_header, F.col("value"))
+        .otherwise(F.col("__r").getField(CORRUPT_COL))
+        .alias(CORRUPT_COL)
+    )
+    return parsed.select(*cols, corrupt)
 
 
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -267,3 +267,59 @@ class TestTextFormatSources:
         assert "EvalPython" not in plan
         assert "FileScan text" in plan
         assert "from_json" in plan
+
+
+class TestCsvAllStringHeaderQuarantine:
+    """All-string schemas make header-shaped lines ambiguous with
+    data; the reader must route them to quarantine (countable,
+    resurrectable) instead of an uncountable drop (r14 advice)."""
+
+    SCHEMA = "a string, b string"
+
+    def test_header_shaped_rows_quarantine_not_drop(self, spark, tmp_path):
+        from pg2kafka_spark.sources import read_csv, split_quarantine
+
+        p = tmp_path / "allstr.csv"
+        p.write_text(
+            "a,b\n"          # real header
+            "x,y\n"
+            '"a","b"\n'      # data row that renders like the quoted header
+            "z,w\n"
+        )
+        clean, bad = split_quarantine(
+            read_csv(spark, str(p), self.SCHEMA)
+        )
+        assert sorted((r.a, r.b) for r in clean.collect()) == [
+            ("x", "y"),
+            ("z", "w"),
+        ]
+        # both header-shaped lines are observable, raw line preserved
+        quarantined = sorted(r[ "_corrupt_record"] for r in bad.collect())
+        assert quarantined == ['"a","b"', "a,b"]
+
+    def test_typed_schema_still_filters_header(self, spark, tmp_path):
+        from pg2kafka_spark.sources import read_csv, split_quarantine
+
+        p = tmp_path / "typed.csv"
+        p.write_text("a,b\n1,y\n2,w\n")
+        clean, bad = split_quarantine(
+            read_csv(spark, str(p), "a bigint, b string")
+        )
+        assert bad.count() == 0
+        assert sorted((r.a, r.b) for r in clean.collect()) == [
+            (1, "y"),
+            (2, "w"),
+        ]
+
+    def test_all_string_corrupt_collision_still_rejected(
+        self, spark, tmp_path
+    ):
+        from pg2kafka_spark.sources import read_csv
+
+        p = tmp_path / "c.csv"
+        p.write_text("a,_corrupt_record\nx,y\n")
+        try:
+            read_csv(spark, str(p), "a string, _corrupt_record string")
+            raise AssertionError("collision must raise")
+        except ValueError as e:
+            assert "_corrupt_record" in str(e)
