@@ -36,62 +36,58 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # registered entries, so coverage rotates across rounds (standing
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
-# regenerated at round close). r10 + r12 ran pipeline-fronted
-# windows; r11 + r13 ran CDC + relational. r14 (this round) rotates
-# the PIPELINE families back to the front per the r13 verdict's
-# item 6 — the ANN family, dedup portable twins, multimodal, and the
-# text gates last saw driver rows in r12. Order:
+# regenerated at round close). r10 + r12 + r14 ran pipeline-fronted
+# windows; r11 + r13 ran CDC + relational. r15 (this round) rotates
+# the CDC core + relational consumer surface back to the front per
+# the r14 verdict's item 5 — those families last saw driver rows in
+# r13, and two rounds of drift is the limit. Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) pipeline oracle-backed names OUTSIDE the r13 window
-#       (freshest driver evidence r12),
-#   (2) pipeline oracle-backed names the r13 window covered,
-#   (3) CDC core + relational oracle-backed (fresh r13 rows),
+#   (1) CDC core + relational oracle-backed (freshest driver
+#       evidence r13),
+#   (2) pipeline oracle-backed names OUTSIDE the r14 window
+#       (freshest evidence r12),
+#   (3) pipeline oracle-backed names the r14 window covered
+#       (fresh r14 rows),
 #   (4) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r15 NOTE: rotate q_cdc + q_relational to the front; keep
+# r16 NOTE: rotate the pipeline families to the front; keep
 # alternating.
 _FRONT = [
-    # NEW in r14 — no driver row exists yet
+    # NEW in r15 — no driver row exists yet
+    "weekly_retention_served_cohort_window",
+    "ann_ivf_served_incremental",
+    # formula changed in r15: the backfill partials store is now
+    # cohort_day-partitioned and the serve casts the partition column
+    # back to bigint — re-evidence against the current store layout
     "weekly_retention_served",
-    "session_path_conversion_windowed",
-    "embedding_diversity_sample",
-    # shared kernel touched in r14 (bpe_encode_production's rank
-    # broadcast is now cached per merge-table identity; the r13 row
-    # predates the current code)
-    "bpe_encode_production",
-    # formula changed in r14 (simhash NULL guard restaged at the
-    # scan; minhash signature pass persisted) — re-evidence against
-    # the current plans
-    "simhash_portable",
-    "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable",
 ]
-# names that took a fresh r13 driver row (CORRECTNESS_r13.json keys)
-_R13_WINDOW = {
-    "event_funnel_stages", "weekly_retention_incremental",
-    "bpe_encode_production", "session_top_paths",
-    "session_path_conversion", "session_transition_matrix",
-    "session_funnel_counts", "event_funnel_counts",
-    "event_funnel_windowed_counts", "funnel_conversion_latency",
-    "bucketed_customer_order_stats", "incremental_near_dup_batch",
-    "latest_state_per_user", "state_asof", "snapshot_part",
-    "update_diff_events", "update_diff_json", "unprocessed_page",
-    "unprocessed_pages_count", "wire_encode_nation", "topic_routing",
-    "event_asof_order", "order_event_attribution",
-    "replayed_state_from_diffs", "scd2_user_history",
-    "pricing_summary", "top_orders", "events_hourly",
-    "revenue_by_region", "customer_order_stats",
-    "customers_without_orders", "customers_with_orders",
-    "brand_supplier_revenue", "shipping_priority",
-    "order_rank_per_customer", "order_gap_days",
-    "running_customer_total", "sessionize_events",
-    "finished_only_customers", "both_status_customers",
-    "union_segments", "rollup_returns", "cube_priority_status",
-    "user_event_type_pivot", "order_line_arrays",
-    "order_value_percentiles", "user_value_sketches_portable",
-    "bloom_semijoin_prune", "user_heavy_hitters_cm",
-    "customer_event_activity",
+# names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
+_R14_WINDOW = {
+    "weekly_retention_served", "session_path_conversion_windowed",
+    "embedding_diversity_sample", "bpe_encode_production",
+    "simhash_portable", "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable", "exact_dedup_documents",
+    "bow_dedup_documents", "shingle_jaccard_pairs",
+    "cross_source_dup_matrix", "doc_token_stats", "doc_quality",
+    "lang_id_heuristic", "doc_fingerprint", "doc_quality_extended",
+    "doc_rolling_hash", "lang_ngram_profile", "embedding_topk",
+    "embedding_topk_quantized", "embedding_near_dup_pairs",
+    "incremental_dedup_batch", "doc_char_ngram_stats",
+    "doc_repetition", "embedding_near_dup_lsh_portable",
+    "doc_pii_scrub", "embedding_ann_ivf",
+    "semantic_dedup_embeddings", "embedding_ann_lsh",
+    "near_dup_keep_list", "media_frame_fingerprints",
+    "media_frame_sample", "media_near_dup_by_frames",
+    "multimodal_features", "multimodal_features_real",
+    "multimodal_decode_parity", "media_near_dup_real",
+    "doc_chunk_windows", "doc_train_val_test_split",
+    "doc_stratified_sample", "source_mix_rebalance",
+    "doc_pack_assignments", "tfidf_top_terms",
+    "doc_unigram_surprisal", "decontamination_check",
+    "near_dup_components", "near_dup_components_star",
+    "near_dup_canonical", "leakage_free_split",
+    "doc_duplicate_ngrams",
 }
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
@@ -110,9 +106,9 @@ def _tier(n: str) -> tuple:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
         return (4, _reg_pos[n])
-    if n not in _cdc_rel_names and n not in _R13_WINDOW:
+    if n in _cdc_rel_names:
         return (1, _reg_pos[n])
-    if n not in _cdc_rel_names:
+    if n not in _R14_WINDOW:
         return (2, _reg_pos[n])
     return (3, _reg_pos[n])
 
