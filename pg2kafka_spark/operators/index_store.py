@@ -69,6 +69,7 @@ def load_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    absorb_duplicates: bool = False,
 ) -> DataFrame:
     """Search a SAVED index: centroids load (tiny) and broadcast for
     probing; the cells scan joins the broadcast probe list on the
@@ -76,7 +77,16 @@ def load_ivf_topk(
     to the probed ``n_probe`` directories — the serving read path
     touches ``n_probe/n_centroids`` of the index regardless of corpus
     size. Results are bit-identical to ``ivf_topk`` over the same
-    corpus (deterministic training + assignment)."""
+    corpus (deterministic training + assignment).
+
+    ``absorb_duplicates=True`` is the serve mode for a MAINTAINED
+    index (streaming/annindex.py): an at-least-once replayed ingest
+    batch appends duplicate (id, vec) rows, and ranking duplicates
+    would surface the same id twice in a top-k. A (query, id)
+    max-aggregate before the ranking window collapses them —
+    value-identical when no replay happened (max over one row), one
+    extra partial-aggregated exchange on a frame already pruned to
+    the probed lists."""
     cents = spark.read.parquet(f"{path}/centroids")
     # partition-column type inference may narrow cid to int; restore
     # the bigint the in-memory path uses
@@ -106,7 +116,7 @@ def load_ivf_topk(
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
-    return (
+    scored = (
         cells.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
@@ -114,7 +124,13 @@ def load_ivf_topk(
             id_col,
             F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
         )
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    )
+    if absorb_duplicates:
+        scored = scored.groupBy(query_id_col, id_col).agg(
+            F.max("cos_sim").alias("cos_sim")
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 

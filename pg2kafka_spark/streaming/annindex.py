@@ -1,0 +1,168 @@
+"""Self-maintaining ANN index: the at-rest IVF layout
+(operators/index_store.py) kept up by a micro-batch ingest loop — the
+third maintained-state family, with the same loop shape as the dedup
+store (streaming/ingest.py) and the retention partials
+(streaming/retention.py).
+
+Reference parity: pg2kafka's queue is append-only and consumers fold
+it incrementally (eventqueue/event_queue.go:60-75); this module is
+that contract applied to the vector index — new vectors land as
+appends to an existing partitioned layout, and the expensive global
+rebuild (retraining the coarse quantizer) is a SEPARATE, scheduled,
+drift-gated event, exactly the incremental-ingest semantics
+``ivf_topk(train_corpus=...)`` encodes in-memory.
+
+State under ``<path>`` (the ``save_ivf_index`` layout plus one log):
+
+* ``centroids`` — the coarse quantizer, FROZEN between retrains. The
+  daily ingest never retrains: retraining re-shuffles every stored
+  row, assignment is one broadcast max_by pass per batch.
+* ``cells`` — ``(id, vec)`` parquet PARTITIONED BY cid, append-only:
+  each batch's vectors are assigned to their nearest existing cell
+  and appended to that cell's directories. Serving partition-prunes
+  to the probed lists regardless of how many batches accreted.
+* ``drift`` — one row per ingested batch: ``(batch_id, n_vectors,
+  mean_cell_sim, min_cell_sim, top_cell_share)``. The retrain flag:
+  a frozen quantizer degrades exactly when new vectors stop fitting
+  the old cells (mean assignment similarity drops) or pile into few
+  cells (top share rises). ``retrain_flag`` evaluates the log.
+
+Crash contract (at-least-once, never loss): cells are written FIRST,
+the drift row second — a crash between the two costs only a log row
+for a batch whose vectors are safely appended. A replay after a crash
+before the checkpoint commit appends DUPLICATE (id, vec, cid) rows;
+the frozen quantizer assigns a replayed vector to the SAME cell
+(assignment is deterministic), so duplicates are always co-located
+and serving absorbs them with a (query, id) max-aggregate before
+ranking (``load_ivf_topk(absorb_duplicates=True)`` — value-identical
+when no replay happened, one partial-aggregated exchange when it
+did). Same consumer-dedups convention as the wire events and the
+retention partials.
+
+Scale notes: per-batch cost is O(batch × n_centroids) rounded
+cosines + one cid-partitioned append — independent of index size.
+Serving reads n_probe/n_centroids of the cells regardless of accreted
+batch count; compact small per-batch files per cid on the retrain
+schedule if the file count ever dominates (the standard partitioned-
+layout trade, same note as save_ivf_index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg2kafka_spark.operators.similarity import as_double, assign_cells
+
+
+def index_ingest_batch(
+    batch_df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One micro-batch of the ingest fold, PURE (no writes): assign
+    the batch's vectors to the EXISTING cells — one broadcast max_by
+    pass, no retraining — returning ``(id, vec, cid, cell_sim)`` rows
+    to append to the cells table (``cell_sim`` feeds the drift row;
+    the cells writer drops it)."""
+    c = batch_df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__cv")
+    )
+    return assign_cells(c, centroids, id_col, keep_sim=True).select(
+        F.col(id_col), F.col("__cv").alias("vec"), "cid", "cell_sim"
+    )
+
+
+def drift_stats(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """The batch's assignment-quality row: how well the frozen
+    quantizer still fits arriving data. One global aggregate over the
+    batch (partial map-side; the frame is batch-sized)."""
+    per_cell = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    totals = assigned.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("cell_sim"), 6).alias("mean_cell_sim"),
+        F.round(F.min("cell_sim"), 6).alias("min_cell_sim"),
+    )
+    top = per_cell.agg(
+        F.max("__n").alias("__top"), F.sum("__n").alias("__all")
+    ).select(
+        F.round(F.col("__top") / F.col("__all"), 6).alias("top_cell_share")
+    )
+    return totals.crossJoin(top)  # two 1-row frames
+
+
+def start_index_ingest_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the index-maintenance stream: vector files landing in
+    ``incoming_dir`` are assigned to the existing cells and appended
+    to the cid-partitioned cells table, one drift row logged per
+    batch. The index at ``index_path`` must exist (built once by
+    ``save_ivf_index`` — the nightly bootstrap); this loop only
+    accretes. ``available_now=True`` drains the backlog then stops
+    (the nightly-job mode)."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(incoming_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # sever the source lineage
+        assigned = index_ingest_batch(
+            batch_df, cents, id_col, vec_col
+        ).localCheckpoint()  # one assignment pass feeds BOTH writes
+        # Write ORDER is the crash contract (module docstring): cells
+        # first (the data), drift second (the observability row).
+        assigned.drop("cell_sim").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/cells")
+        drift_stats(assigned, id_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(f"{index_path}/drift")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
+def retrain_flag(
+    spark: SparkSession,
+    index_path: str,
+    min_mean_sim: float = 0.15,
+    max_top_share: float = 0.6,
+) -> DataFrame:
+    """Evaluate the drift log: per batch, whether the frozen
+    quantizer should be retrained — mean assignment similarity below
+    ``min_mean_sim`` (new data no longer near any cell) or
+    ``top_cell_share`` above ``max_top_share`` (arrivals piling into
+    one list, degrading the probe's selectivity). Returns the log
+    with a boolean ``retrain`` column, newest first; the scheduler
+    retrains (save_ivf_index over store + accreted cells) when the
+    latest row flags. Thresholds are corpus-specific knobs, not
+    universal constants — calibrate against the bootstrap corpus's
+    own drift row."""
+    log = spark.read.parquet(f"{index_path}/drift")
+    return log.withColumn(
+        "retrain",
+        (F.col("mean_cell_sim") < F.lit(float(min_mean_sim)))
+        | (F.col("top_cell_share") > F.lit(float(max_top_share))),
+    ).orderBy(F.col("batch_id").desc())

@@ -1,0 +1,191 @@
+"""ANN index maintenance loop (streaming/annindex.py): the at-rest
+IVF layout accreted by micro-batches must serve identically to the
+one-pass in-memory operator, absorb at-least-once replays, and flag
+quantizer drift — the same evidence shape the dedup store and the
+retention partials carry."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.operators import similarity as S
+from pg2kafka_spark.operators.index_store import (
+    load_ivf_topk,
+    save_ivf_index,
+)
+from pg2kafka_spark.streaming.annindex import (
+    drift_stats,
+    index_ingest_batch,
+    retrain_flag,
+    start_index_ingest_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+STORE_CUT = 300  # bootstrap store: vec_id < 300; the rest arrives
+
+
+def _emb(spark):
+    return load_table(spark, "embeddings", SF).select("vec_id", "embedding")
+
+
+def _queries(spark):
+    return (
+        _emb(spark)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def _topk_rows(df, sim_col="cos_sim"):
+    return sorted(
+        (r.query_id, r.vec_id, r[sim_col], r["rank"]) for r in df.collect()
+    )
+
+
+def _write_vector_slices(spark, df, cuts, incoming):
+    """One parquet file per (lo, hi) vec_id slice, mtime ascending so
+    the file source delivers them in order."""
+    os.makedirs(incoming, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, (lo, hi) in enumerate(cuts):
+        sl = df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        stage = os.path.join(incoming, f"__stage_{i}")
+        sl.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(incoming, f"batch_{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+def _bootstrap(spark, tmp_path):
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "index")
+    save_ivf_index(store, path)
+    return emb, path
+
+
+def test_streamed_accretion_serves_one_pass_result(spark, tmp_path):
+    """Bootstrap on the store, stream the remaining vectors in 3
+    micro-batches, serve — bit-identical to ivf_topk over the union
+    with train_corpus=store (the in-memory incremental operator),
+    and one drift row per batch."""
+    emb, path = _bootstrap(spark, tmp_path)
+    rest = emb.filter(F.col("vec_id") >= STORE_CUT)
+    cuts = [(300, 370), (370, 440), (440, 500)]
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(spark, rest, cuts, incoming)
+
+    q = start_index_ingest_stream(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    served = load_ivf_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    one_pass = S.ivf_topk(
+        emb,
+        _queries(spark),
+        k=3,
+        train_corpus=emb.filter(F.col("vec_id") < STORE_CUT),
+    )
+    assert _topk_rows(served) == _topk_rows(one_pass)
+
+    drift = spark.read.parquet(f"{path}/drift")
+    assert drift.select("batch_id").distinct().count() == len(cuts)
+    # every accreted batch has its observability row with sane fields
+    row = drift.orderBy("batch_id").collect()[0]
+    assert row.n_vectors == 70
+    assert -1.0 <= row.min_cell_sim <= row.mean_cell_sim <= 1.0
+    assert 0.0 < row.top_cell_share <= 1.0
+
+
+def test_replayed_batch_is_absorbed_at_serve(spark, tmp_path):
+    """Crash-after-append replay: the SAME batch appended twice must
+    not change the served top-k (duplicates are co-located by the
+    frozen quantizer and collapsed by the serve's (query, id)
+    max-aggregate)."""
+    emb, path = _bootstrap(spark, tmp_path)
+    cents = spark.read.parquet(f"{path}/centroids")
+    batch = emb.filter(F.col("vec_id") >= STORE_CUT)
+
+    def append_once():
+        index_ingest_batch(batch, cents).drop("cell_sim").write.mode(
+            "append"
+        ).partitionBy("cid").parquet(f"{path}/cells")
+
+    append_once()
+    served = _topk_rows(
+        load_ivf_topk(spark, path, _queries(spark), k=3, absorb_duplicates=True)
+    )
+    append_once()  # the replay
+    replayed = _topk_rows(
+        load_ivf_topk(spark, path, _queries(spark), k=3, absorb_duplicates=True)
+    )
+    assert replayed == served
+
+
+def test_retrain_flag_fires_on_drifted_batch(spark, tmp_path):
+    """Healthy accretion stays unflagged; a degenerate arrival (every
+    vector identical → one cell takes the whole batch) crosses the
+    top_cell_share threshold and flags a retrain."""
+    emb, path = _bootstrap(spark, tmp_path)
+    cents = spark.read.parquet(f"{path}/centroids")
+
+    healthy = index_ingest_batch(
+        emb.filter(F.col("vec_id") >= STORE_CUT), cents
+    )
+    drift_stats(healthy).withColumn("batch_id", F.lit(0)).write.mode(
+        "append"
+    ).parquet(f"{path}/drift")
+
+    drifted_src = (
+        _emb(spark)
+        .filter(F.col("vec_id") < 20)
+        .select("vec_id", F.expr("transform(embedding, x -> float(1.0))").alias("embedding"))
+    )
+    drifted = index_ingest_batch(drifted_src, cents)
+    drift_stats(drifted).withColumn("batch_id", F.lit(1)).write.mode(
+        "append"
+    ).parquet(f"{path}/drift")
+
+    flags = {
+        r.batch_id: r.retrain for r in retrain_flag(spark, path).collect()
+    }
+    assert flags[0] is False
+    assert flags[1] is True
+
+
+def test_served_query_prunes_to_probed_cells(spark, tmp_path):
+    """The maintained serve's scale property: the cells scan is
+    restricted to the probed lists (dynamic partition pruning on the
+    cid partition column), not the whole index."""
+    emb, path = _bootstrap(spark, tmp_path)
+    cents = spark.read.parquet(f"{path}/centroids")
+    index_ingest_batch(
+        emb.filter(F.col("vec_id") >= STORE_CUT), cents
+    ).drop("cell_sim").write.mode("append").partitionBy("cid").parquet(
+        f"{path}/cells"
+    )
+    import contextlib
+    import io
+
+    df = load_ivf_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "dynamicpruning" in p or "DynamicPruning" in p, p
