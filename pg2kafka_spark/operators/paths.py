@@ -157,13 +157,36 @@ def top_paths(
     gap_us: int = GAP_US,
     max_steps: int = 5,
     k: int = 20,
+    window_us: int | None = None,
 ) -> DataFrame:
     """Top-k session paths by frequency (path-asc tiebreak keeps the
-    LIMIT deterministic across engines)."""
-    paths = session_paths(ev, gap_us, max_steps)
+    LIMIT deterministic across engines).
+
+    ``window_us`` (r15) carries the funnel family's max-conversion
+    band into the ranking: the output gains ``n_converted`` — how
+    many of each path's sessions converted within ``window_us`` of
+    their entry event — so the report reads "the most-travelled
+    paths AND which of them convert quickly". Free at scale: the
+    banded ``converted`` flag is already an aggregate of the same
+    per-session fold (:func:`session_paths`), so the ranking adds one
+    conditional sum to the tiny (path, count) aggregation — no new
+    exchange, no second event pass."""
+    paths = session_paths(ev, gap_us, max_steps, window_us)
+    conv_cols = (
+        [
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted")
+        ]
+        if window_us is not None
+        else []
+    )
     return (
         paths.groupBy("path")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            *conv_cols,
+        )
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )

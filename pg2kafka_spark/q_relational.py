@@ -614,6 +614,39 @@ def session_path_conversion_windowed(
     return entry_conversion(ev, max_steps=5, window_us=_CONV_WINDOW_US)
 
 
+@query(
+    "session_top_paths_windowed",
+    oracle=_session_steps_cte(
+        30 * 60 * 1_000_000, 5, window_us=_CONV_WINDOW_US
+    )
+    + """
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def session_top_paths_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 session paths WITH the 10-min conversion band (r14
+    verdict optional 7b): each ranked path also reports how many of
+    its sessions converted within the band of their entry event —
+    "the most-travelled paths, and which convert quickly", completing
+    the band across the path family (entry-conversion took it in
+    r14). Same one-exchange session pipeline as ``session_top_paths``;
+    the band is one conditional sum on the tiny (path, count)
+    aggregation, and the oracle's converted expression is GENERATED
+    from the same window constant."""
+    from pg2kafka_spark.operators.paths import top_paths
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_paths(ev, max_steps=5, k=20, window_us=_CONV_WINDOW_US)
+
+
 def _session_funnel_oracle() -> str:
     from pg2kafka_spark.operators.funnel import funnel_oracle_sql
 

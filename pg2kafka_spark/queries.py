@@ -57,6 +57,7 @@ _FRONT = [
     # NEW in r15 — no driver row exists yet
     "weekly_retention_served_cohort_window",
     "ann_ivf_served_incremental",
+    "session_top_paths_windowed",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout

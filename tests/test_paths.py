@@ -332,3 +332,23 @@ class TestWindowedConversion:
         assert rows["view"]["n_converted"] == 1
         assert rows["view"]["conversion_micros"] == 500000
         assert rows["click"]["n_converted"] == 0
+
+    def test_top_paths_windowed_counts_banded_conversions(self, spark):
+        # same path travelled by three users: one converts in-band,
+        # one out-of-band, one never — n_sessions counts all three,
+        # n_converted only the in-band one
+        ev = _ev(spark, [
+            (1, 1, 0, "view"), (2, 1, 100, "purchase"),
+            (3, 2, 0, "view"), (4, 2, 900, "purchase"),
+            (5, 3, 0, "view"), (6, 3, 50, "click"),
+        ])
+        rows = {
+            r["path"]: r
+            for r in top_paths(ev, window_us=600_000_000).collect()
+        }
+        assert rows["view>purchase"]["n_sessions"] == 2
+        assert rows["view>purchase"]["n_converted"] == 1
+        assert rows["view>click"]["n_converted"] == 0
+        # unwindowed ranking keeps its original 2-column shape
+        plain = top_paths(ev).columns
+        assert plain == ["path", "n_sessions"]
