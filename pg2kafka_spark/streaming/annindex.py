@@ -111,6 +111,14 @@ def start_index_ingest_stream(
     ``save_ivf_index`` — the nightly bootstrap); this loop only
     accretes. ``available_now=True`` drains the backlog then stops
     (the nightly-job mode)."""
+    import os
+
+    if os.path.exists(_retrain_sentinel(index_path)):
+        raise RuntimeError(
+            f"index {index_path!r} is mid-retrain (sentinel present) — "
+            "a concurrent retrain_index is running or crashed mid-swap; "
+            "complete/clear it before resuming ingest"
+        )
     cents = spark.read.parquet(f"{index_path}/centroids")
 
     reader = spark.readStream.schema(schema)
@@ -142,6 +150,119 @@ def start_index_ingest_stream(
     else:
         writer = writer.trigger(processingTime="10 seconds")
     return writer.start()
+
+
+def _retrain_sentinel(index_path: str) -> str:
+    return index_path.rstrip("/") + ".__retraining__"
+
+
+def retrain_index(
+    spark: SparkSession,
+    index_path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    train_sample: int | None = None,
+) -> None:
+    """The scheduled retrain the drift log gates: rebuild the whole
+    index (fresh coarse quantizer + reassignment) over the accreted
+    corpus — store plus every ingested batch, read back from the
+    cells table itself, duplicate ids from at-least-once replays
+    folded away (retrain IS the compaction opportunity). The result
+    is exactly ``save_ivf_index`` over the full corpus, so a
+    retrained index serves the same answers as an index bootstrapped
+    on everything — pinned by tests.
+
+    Run it BETWEEN stream runs, like ``compact_first_seen``: the
+    directory swap is sentinel-bracketed, and both the ingest loop
+    and a crashed-mid-swap state fail loudly rather than accrete to
+    or serve a half-swapped index. The drift log is RESET (its rows
+    scored the old quantizer)."""
+    import os
+    import shutil
+
+    from pg2kafka_spark.operators.index_store import save_ivf_index
+
+    corpus = (
+        spark.read.parquet(f"{index_path}/cells")
+        .select(id_col, F.col("vec"))
+        .dropDuplicates([id_col])
+    )
+    staging = index_path.rstrip("/") + ".__retrain__"
+    save_ivf_index(
+        corpus,
+        staging,
+        n_centroids=n_centroids,
+        iters=iters,
+        dim=dim,
+        id_col=id_col,
+        vec_col="vec",
+        train_sample=train_sample,
+    )
+    sentinel = _retrain_sentinel(index_path)
+    with open(sentinel, "w"):
+        pass
+    old = index_path.rstrip("/") + ".__old__"
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    os.remove(sentinel)
+    shutil.rmtree(old)
+
+
+def run_index_maintenance(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    retrain_on_flag: bool = True,
+    min_mean_sim: float = 0.15,
+    max_top_share: float = 0.6,
+    timeout_s: int = 600,
+) -> bool:
+    """One scheduled maintenance cycle, the nightly-job spelling that
+    mirrors ``run_retention_maintenance``: drain the vector backlog
+    with an availableNow run, then — with the stream STOPPED —
+    evaluate the drift log and retrain when the LATEST batch flags.
+    Returns whether a retrain happened. The retrain decision is one
+    1-row scalar read of the drift log; the retrain itself rebuilds
+    from the accreted cells, so the cycle is self-contained — no
+    external corpus handle needed."""
+    import os
+
+    if os.path.exists(_retrain_sentinel(index_path)):
+        raise RuntimeError(
+            f"index {index_path!r} is mid-retrain (sentinel present) — "
+            "a concurrent retrain_index is running or crashed mid-swap; "
+            "complete/clear it before resuming ingest"
+        )
+    q = start_index_ingest_stream(
+        spark,
+        incoming_dir,
+        schema,
+        index_path=index_path,
+        checkpoint_dir=checkpoint_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    q.awaitTermination(timeout_s)
+    if not retrain_on_flag:
+        return False
+    latest = (
+        retrain_flag(spark, index_path, min_mean_sim, max_top_share)
+        .limit(1)
+        .collect()
+    )
+    if latest and latest[0].retrain:
+        retrain_index(spark, index_path, id_col=id_col)
+        return True
+    return False
 
 
 def retrain_flag(

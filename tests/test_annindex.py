@@ -189,3 +189,106 @@ def test_served_query_prunes_to_probed_cells(spark, tmp_path):
         df.explain("formatted")
     p = buf.getvalue()
     assert "dynamicpruning" in p or "DynamicPruning" in p, p
+
+
+def test_run_index_maintenance_retrains_when_flagged(spark, tmp_path):
+    """The drift-gated cycle: drain, evaluate, retrain. With a
+    threshold that flags, the cycle must return True and leave an
+    index equal to a FRESH build over the accreted corpus (retrain ==
+    save_ivf_index over everything — duplicates folded, drift log
+    reset)."""
+    from pg2kafka_spark.streaming.annindex import run_index_maintenance
+
+    emb, path = _bootstrap(spark, tmp_path)
+    rest = emb.filter(F.col("vec_id") >= STORE_CUT)
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(spark, rest, [(300, 400), (400, 500)], incoming)
+
+    retrained = run_index_maintenance(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        min_mean_sim=2.0,  # impossible bar -> always flags
+    )
+    assert retrained is True
+    # drift log reset with the old quantizer
+    assert not os.path.isdir(f"{path}/drift")
+    # retrained index == one built fresh over the full corpus
+    served = load_ivf_topk(spark, path, _queries(spark), k=3)
+    fresh = S.ivf_topk(emb, _queries(spark), k=3)
+    assert _topk_rows(served) == _topk_rows(fresh)
+
+
+def test_run_index_maintenance_healthy_keeps_quantizer(spark, tmp_path):
+    """Healthy arrivals under default thresholds: no retrain, the
+    frozen quantizer unchanged, accreted cells served."""
+    from pg2kafka_spark.streaming.annindex import run_index_maintenance
+
+    emb, path = _bootstrap(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 500)],
+        incoming,
+    )
+    retrained = run_index_maintenance(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert retrained is False
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    assert after == before
+    served = load_ivf_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    one_pass = S.ivf_topk(
+        emb,
+        _queries(spark),
+        k=3,
+        train_corpus=emb.filter(F.col("vec_id") < STORE_CUT),
+    )
+    assert _topk_rows(served) == _topk_rows(one_pass)
+
+
+def test_ingest_raises_mid_retrain(spark, tmp_path):
+    """A crashed-mid-swap retrain leaves its sentinel; both the
+    ingest stream and the maintenance cycle must fail loudly instead
+    of accreting to or serving a half-swapped index."""
+    import pytest as _pytest
+
+    from pg2kafka_spark.streaming.annindex import (
+        _retrain_sentinel,
+        run_index_maintenance,
+        start_index_ingest_stream,
+    )
+
+    _emb_df, path = _bootstrap(spark, tmp_path)
+    open(_retrain_sentinel(path), "w").close()
+    with _pytest.raises(RuntimeError, match="mid-retrain"):
+        start_index_ingest_stream(
+            spark,
+            str(tmp_path / "incoming"),
+            "vec_id bigint, embedding array<float>",
+            index_path=path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+    with _pytest.raises(RuntimeError, match="mid-retrain"):
+        run_index_maintenance(
+            spark,
+            str(tmp_path / "incoming"),
+            "vec_id bigint, embedding array<float>",
+            index_path=path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
