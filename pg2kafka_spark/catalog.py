@@ -82,3 +82,27 @@ def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> No
     """Register every table as a temp view for ``spark.sql`` queries."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def source_signature(sf_dir: str, table: str) -> str:
+    """Identity digest of one source table's files (name, size,
+    mtime_ns) — the cache key every session-materialized at-rest
+    store derives its path from (`_ensure_retention_store`,
+    `_ensure_ann_index`), so a regenerated source can never be served
+    stale derived state. Nanosecond mtimes: second-granularity keying
+    could miss a same-second regeneration with identical names/sizes
+    (r14 advice)."""
+    import hashlib
+    import os
+
+    sig = [sf_dir]
+    src_dir = os.path.join(sf_dir, f"{table}.parquet")
+    src = src_dir if os.path.exists(src_dir) else sf_dir
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(src):
+        st = os.stat(src)
+        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(sig).encode()).hexdigest()[:12]

@@ -3139,27 +3139,17 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     equal to it by tests/test_annindex.py. Keyed by the SOURCE's
     identity (name/size/mtime_ns) so regenerated testdata can never
     serve a stale index — same convention as the retention store."""
-    import hashlib
     import os
     import tempfile
 
+    from pg2kafka_spark.catalog import source_signature
     from pg2kafka_spark.operators.index_store import save_ivf_index
     from pg2kafka_spark.streaming.annindex import (
         drift_stats,
         index_ingest_batch,
     )
 
-    sig = [sf_dir]
-    src_dir = os.path.join(sf_dir, "embeddings.parquet")
-    src = src_dir if os.path.exists(src_dir) else sf_dir
-    if os.path.isdir(src):
-        for f in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, f))
-            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.isfile(src):
-        st = os.stat(src)
-        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
-    h = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    h = source_signature(sf_dir, "embeddings")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annindex_{h}")
 
     def _has_data(d: str) -> bool:

@@ -2599,28 +2599,16 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
     `<root>/partials` (ingest_day, cohort_day, week_offset, user_id)
     and `<root>/first_seen` (user_id, f_us) — at 100 TB partition
     partials by cohort_day so triangle queries prune."""
-    import hashlib
     import os
     import tempfile
+
+    from pg2kafka_spark.catalog import source_signature
 
     # key the store by the SOURCE's identity, not just its path: the
     # driver regenerates /root/testdata between rounds, and serving
     # stale partials against fresh events would be a wrong answer —
     # a changed events table gets a fresh store directory
-    # nanosecond mtimes: second-granularity int(st.st_mtime) could
-    # serve a stale store against an events table regenerated within
-    # the same second with identical names/sizes (r14 ADVICE)
-    sig = [sf_dir]
-    ev_dir = os.path.join(sf_dir, "events.parquet")
-    ev_path = ev_dir if os.path.exists(ev_dir) else sf_dir
-    if os.path.isdir(ev_path):
-        for f in sorted(os.listdir(ev_path)):
-            st = os.stat(os.path.join(ev_path, f))
-            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.isfile(ev_path):
-        st = os.stat(ev_path)
-        sig.append(f"{st.st_size}:{st.st_mtime_ns}")
-    h = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+    h = source_signature(sf_dir, "events")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_retention_{h}")
     part_dir = os.path.join(root, "partials")
     fs_dir = os.path.join(root, "first_seen")
@@ -2843,14 +2831,23 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     existence alone is not proof the DATA is there (the tempdir
     warehouse can be cleaned while the session catalog persists), so
     the skip also requires both external paths to still hold files;
-    write_bucketed's overwrite mode makes the rebuild safe."""
+    write_bucketed's overwrite mode makes the rebuild safe. Keyed by
+    the SOURCES' identity (r15 — was path-only, which would have
+    served a stale bucketed layout against regenerated testdata, the
+    wrong-answer class the retention store's keying pre-empts)."""
     import hashlib
     import os
     import tempfile
 
+    from pg2kafka_spark.catalog import source_signature
     from pg2kafka_spark.operators.bucketed import write_bucketed
 
-    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(
+        (
+            source_signature(sf_dir, "customer")
+            + source_signature(sf_dir, "orders")
+        ).encode()
+    ).hexdigest()[:8]
     tc, to = f"bkt_customer_{h}", f"bkt_orders_{h}"
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_bucketed_{h}")
 
