@@ -156,6 +156,37 @@ def _retrain_sentinel(index_path: str) -> str:
     return index_path.rstrip("/") + ".__retraining__"
 
 
+def compact_cells(
+    spark: SparkSession, index_path: str, id_col: str = "vec_id"
+) -> None:
+    """Rewrite the accreted cells table in place: fold replay
+    duplicates (one row per id — assignment is deterministic, so a
+    duplicate's rows agree on cid and the fold is value-free) and
+    merge the per-batch small files each cid directory accumulates —
+    the partitioned-layout maintenance every accreting store needs,
+    WITHOUT touching the quantizer (cid values unchanged; serving
+    needs no ``absorb_duplicates`` until the next replay). Same
+    between-runs + sentinel contract as ``retrain_index``: the swap
+    reuses the retrain sentinel so ingest and maintenance refuse to
+    race it."""
+    import os
+    import shutil
+
+    cells = spark.read.parquet(f"{index_path}/cells")
+    folded = cells.dropDuplicates([id_col])
+    cells_dir = f"{index_path}/cells"
+    staging = cells_dir + ".__compact__"
+    folded.write.mode("overwrite").partitionBy("cid").parquet(staging)
+    sentinel = _retrain_sentinel(index_path)
+    with open(sentinel, "w"):
+        pass
+    old = cells_dir + ".__old__"
+    os.rename(cells_dir, old)
+    os.rename(staging, cells_dir)
+    os.remove(sentinel)
+    shutil.rmtree(old)
+
+
 def retrain_index(
     spark: SparkSession,
     index_path: str,
@@ -222,6 +253,7 @@ def run_index_maintenance(
     retrain_on_flag: bool = True,
     min_mean_sim: float = 0.15,
     max_top_share: float = 0.6,
+    compact: bool = False,
     timeout_s: int = 600,
 ) -> bool:
     """One scheduled maintenance cycle, the nightly-job spelling that
@@ -231,7 +263,10 @@ def run_index_maintenance(
     Returns whether a retrain happened. The retrain decision is one
     1-row scalar read of the drift log; the retrain itself rebuilds
     from the accreted cells, so the cycle is self-contained — no
-    external corpus handle needed."""
+    external corpus handle needed. ``compact=True`` runs
+    ``compact_cells`` on the no-retrain path (retrain already folds),
+    on whatever cadence the caller schedules — file-count
+    maintenance, not a correctness need."""
     import os
 
     if os.path.exists(_retrain_sentinel(index_path)):
@@ -252,16 +287,17 @@ def run_index_maintenance(
         available_now=True,
     )
     q.awaitTermination(timeout_s)
-    if not retrain_on_flag:
-        return False
-    latest = (
-        retrain_flag(spark, index_path, min_mean_sim, max_top_share)
-        .limit(1)
-        .collect()
-    )
-    if latest and latest[0].retrain:
-        retrain_index(spark, index_path, id_col=id_col)
-        return True
+    if retrain_on_flag:
+        latest = (
+            retrain_flag(spark, index_path, min_mean_sim, max_top_share)
+            .limit(1)
+            .collect()
+        )
+        if latest and latest[0].retrain:
+            retrain_index(spark, index_path, id_col=id_col)
+            return True
+    if compact:
+        compact_cells(spark, index_path, id_col)
     return False
 
 

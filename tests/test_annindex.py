@@ -292,3 +292,30 @@ def test_ingest_raises_mid_retrain(spark, tmp_path):
             index_path=path,
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
+
+
+def test_compact_cells_folds_duplicates_and_preserves_serve(spark, tmp_path):
+    """Compaction between runs: replay duplicates fold to one row per
+    id, the plain (no absorb) serve equals the duplicate-absorbing
+    one afterwards, and the sentinel is cleared."""
+    from pg2kafka_spark.streaming.annindex import (
+        _retrain_sentinel,
+        compact_cells,
+    )
+
+    emb, path = _bootstrap(spark, tmp_path)
+    cents = spark.read.parquet(f"{path}/centroids")
+    batch = emb.filter(F.col("vec_id") >= STORE_CUT)
+    for _ in range(2):  # append + its replay
+        index_ingest_batch(batch, cents).drop("cell_sim").write.mode(
+            "append"
+        ).partitionBy("cid").parquet(f"{path}/cells")
+    want = _topk_rows(
+        load_ivf_topk(spark, path, _queries(spark), k=3, absorb_duplicates=True)
+    )
+    compact_cells(spark, path)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == cells.select("vec_id").distinct().count()
+    assert not os.path.exists(_retrain_sentinel(path))
+    got = _topk_rows(load_ivf_topk(spark, path, _queries(spark), k=3))
+    assert got == want
