@@ -1,0 +1,111 @@
+"""Measured scale axis for the ANN index maintenance loop
+(streaming/annindex.py), the same evidence shape the dedup-store and
+retention loops carry in BASELINE.md: per-batch ingest cost must stay
+FLAT as the maintained index grows (assignment is O(batch ×
+n_centroids), the append O(batch) — nothing touches the accreted
+cells), and the partition-pruned serve must grow with the PROBED
+lists, not the index.
+
+Fixture lineage mirrors tools/stress_bench.py: synthetic batches are
+deterministic element-wise perturbations of the sf0.1 embeddings with
+shifted ids — no randomness, re-runnable bit-for-bit.
+
+Usage: [BATCHES=15] [BATCH_SCALE=10] PYTHONPATH=. python tools/annindex_stress.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from pg2kafka_spark.catalog import load_table
+from pg2kafka_spark.operators.index_store import load_ivf_topk, save_ivf_index
+from pg2kafka_spark.session import get_spark
+from pg2kafka_spark.streaming.annindex import drift_stats, index_ingest_batch
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    n_batches = int(os.environ.get("BATCHES", "15"))
+    batch_scale = int(os.environ.get("BATCH_SCALE", "10"))
+    spark = get_spark("annindex-stress")
+    emb = load_table(spark, "embeddings", SF_DIR).select(
+        "vec_id", "embedding"
+    )
+    base_n = emb.count()
+    path = os.path.join(tempfile.gettempdir(), "pg2kafka_annindex_stress")
+    shutil.rmtree(path, ignore_errors=True)
+
+    t0 = time.monotonic()
+    save_ivf_index(emb, path)
+    # force the write before timing batches
+    boot_n = spark.read.parquet(f"{path}/cells").count()
+    boot_s = time.monotonic() - t0
+    cents = spark.read.parquet(f"{path}/centroids")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def one_batch(bid: int):
+        """batch_scale perturbed copies of the corpus, ids shifted
+        past everything already indexed — deterministic (id-keyed
+        scale factor), no randomness."""
+        copies = spark.range(batch_scale).select(
+            F.col("id").alias("copy")
+        )
+        return (
+            emb.crossJoin(copies)
+            .select(
+                (
+                    F.col("vec_id")
+                    + (F.lit(bid) * batch_scale + F.col("copy") + 1)
+                    * base_n
+                ).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    * (
+                        1.0
+                        + ((F.col("vec_id") + i) % 13).cast("double") / 100.0
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    print(f"| step | index rows | batch rows | ingest s | serve s |")
+    print(f"|---|---|---|---|---|")
+    print(f"| bootstrap | {boot_n} | — | {boot_s:.2f} | — |")
+    index_rows = boot_n
+    for bid in range(n_batches):
+        batch = one_batch(bid).localCheckpoint()
+        bn = batch.count()
+        t = time.monotonic()
+        assigned = index_ingest_batch(batch, cents).localCheckpoint()
+        assigned.drop("cell_sim").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{path}/cells")
+        drift_stats(assigned).withColumn("batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).parquet(f"{path}/drift")
+        ingest_s = time.monotonic() - t
+        index_rows += bn
+        serve_s = None
+        if (bid + 1) % 5 == 0 or bid == n_batches - 1:
+            t = time.monotonic()
+            load_ivf_topk(spark, path, queries, k=3).count()
+            serve_s = time.monotonic() - t
+        print(
+            f"| batch {bid} | {index_rows} | {bn} | {ingest_s:.2f} | "
+            f"{f'{serve_s:.2f}' if serve_s is not None else '—'} |",
+            flush=True,
+        )
+    shutil.rmtree(path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
