@@ -3215,6 +3215,101 @@ def ann_ivf_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+_DRIFT_CUT = 250  # snapshot split: OLD = vec_id < cut, NEW = the rest
+
+
+@query(
+    "embedding_cell_drift",
+    oracle=_COSINE_ORACLE
+    + f"""    ,
+    ds AS (SELECT vec_id, e FROM d WHERE vec_id < {_DRIFT_CUT}),
+    """
+    + _kmeans_cents_ctes(base="ds")
+    + f"""    ,
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT d.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY d.vec_id
+                 ORDER BY round(list_inner_product(d.e, c.ce)
+                   / sqrt(list_inner_product(d.e, d.e) * list_inner_product(c.ce, c.ce)), 6) DESC,
+                   c.cid ASC) AS arn
+        FROM d CROSS JOIN cents c
+      ) WHERE arn = 1
+    ),
+    per AS (
+      SELECT cid,
+             CAST(sum(CASE WHEN vec_id < {_DRIFT_CUT} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN vec_id >= {_DRIFT_CUT} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_new
+      FROM asg GROUP BY cid
+    ),
+    tot AS (
+      SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM per
+    )
+    SELECT cid, n_old, n_new,
+           CAST((n_old * 1000000) // t_old AS BIGINT) AS share_old_micros,
+           CAST((n_new * 1000000) // t_new AS BIGINT) AS share_new_micros,
+           CAST(abs((n_new * 1000000) // t_new
+                    - (n_old * 1000000) // t_old) AS BIGINT)
+             AS drift_micros
+    FROM per CROSS JOIN tot
+    """,
+)
+def embedding_cell_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-DISTRIBUTION drift between two corpus snapshots,
+    measured through the frozen quantizer — the registered-query form
+    of the maintenance loop's per-batch drift log
+    (streaming/annindex.py): train the portable k-means on the OLD
+    snapshot, assign BOTH snapshots to its cells, and report each
+    cell's population share then vs now in exact integer micros.
+    A cell whose share moved is where the corpus changed; the max
+    ``drift_micros`` row is what a retrain gate watches. Scale shape:
+    one broadcast assignment pass over the union (map-only), a
+    |cells|-sized aggregation, and a 1-row totals broadcast — the
+    corpus never shuffles. Hash-checked end to end via the unrolled
+    k-means oracle + integer share math."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.filter(F.col("vec_id") < _DRIFT_CUT)
+    cents = S.kmeans_centroids(old)
+    prepared = emb.select(
+        F.col("vec_id"), S.as_double(F.col("embedding")).alias("__cv")
+    )
+    per = (
+        S.assign_cells(prepared, cents)
+        .groupBy("cid")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id") < _DRIFT_CUT, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_old"),
+            F.sum(
+                F.when(F.col("vec_id") >= _DRIFT_CUT, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    # truncating INTEGER division on both engines (Spark `div` ≡
+    # DuckDB `//`) — a double division + floor can round up across an
+    # integer boundary and flip the last micro
+    share_old = F.expr("n_old * 1000000 div t_old")
+    share_new = F.expr("n_new * 1000000 div t_new")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_old",
+        "n_new",
+        share_old.cast("bigint").alias("share_old_micros"),
+        share_new.cast("bigint").alias("share_new_micros"),
+        F.abs(share_new - share_old).cast("bigint").alias("drift_micros"),
+    )
+
+
 @query("embedding_ann_ivf_pq", oracle=_COSINE_ORACLE + _ivf_pq_oracle())
 def embedding_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ — the composed billion-vector index (FAISS

@@ -58,6 +58,7 @@ _FRONT = [
     "weekly_retention_served_cohort_window",
     "ann_ivf_served_incremental",
     "session_top_paths_windowed",
+    "embedding_cell_drift",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout
