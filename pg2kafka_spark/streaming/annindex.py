@@ -130,6 +130,11 @@ def start_index_ingest_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()  # sever the source lineage
+        if batch_df.isEmpty():
+            # no vectors: nothing to accrete, and a zero-row drift
+            # aggregate would log NULL sims that the retrain gate
+            # can't score — skip both writes
+            return
         assigned = index_ingest_batch(
             batch_df, cents, id_col, vec_col
         ).localCheckpoint()  # one assignment pass feeds BOTH writes
