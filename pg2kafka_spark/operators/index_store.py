@@ -198,21 +198,30 @@ def save_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_sample: int | None = None,
+    train_corpus: DataFrame | None = None,
 ) -> None:
     """The COMPRESSED index at rest (FAISS ``IVFx,PQy`` storage
     shape): coarse centroids + PQ codebooks (both tiny tables) and a
     cid-partitioned cells layout holding ``(id, codes[m])`` — the
     ``m·log2(n_codes)`` bits per vector that make a billion-vector
-    index fit storage budgets; the raw vectors are NOT stored."""
+    index fit storage budgets; the raw vectors are NOT stored.
+
+    ``train_corpus`` (default: the corpus itself) trains BOTH the
+    coarse quantizer and every subspace codebook on a different frame
+    — the incremental-ingest mode's one-pass twin: the maintenance
+    loop (streaming/annindex.py) codes arriving batches against
+    frozen models, and an index accreted that way must equal this
+    build with ``train_corpus`` = the bootstrap store."""
     from pg2kafka_spark.operators.similarity import pq_codebooks
 
+    tr = train_corpus if train_corpus is not None else corpus
     coarse = kmeans_centroids(
-        corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
+        tr, n_centroids, train_iters, dim, id_col, vec_col, train_sample
     )
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
     books = pq_codebooks(
-        corpus, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
+        tr, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
     )
     codes = _pq_codes(corpus, books, m, sub_dim, id_col, vec_col)
     coarse.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -232,6 +241,7 @@ def load_ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    absorb_duplicates: bool = False,
 ) -> DataFrame:
     """Serve the compressed index: probe broadcast coarse centroids,
     dynamic-partition-prune the cells scan to the probed lists,
@@ -272,6 +282,14 @@ def load_ivf_pq_topk(
     probed = cells.join(
         F.broadcast(probes.select("cid").distinct()), "cid", "leftsemi"
     )
+    if absorb_duplicates:
+        # maintained-index serve mode: at-least-once replays append
+        # duplicate (id, codes) rows, and HERE they must fold BEFORE
+        # reconstruction — the code-word explode would otherwise
+        # collect each word twice and concat a 2m-length vector
+        # (corruption, not just a duplicate rank). Keyed dedup over
+        # the probed lists only.
+        probed = probed.dropDuplicates([id_col])
     # reconstruct probed rows from code words: one bounded explode
     # (m rows per vector), broadcast codebook lookup, ordered concat
     recon = (

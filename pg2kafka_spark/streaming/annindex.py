@@ -73,6 +73,99 @@ def index_ingest_batch(
     )
 
 
+def pq_index_ingest_batch(
+    batch_df: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The COMPRESSED twin of :func:`index_ingest_batch`: assign the
+    batch to the frozen coarse cells AND encode it against the frozen
+    PQ codebooks — returning ``(id, codes[m], cid, cell_sim)`` rows
+    for the ``save_ivf_pq_index`` cells layout. Neither model
+    retrains; both passes are broadcast map work over the batch, so
+    per-batch cost stays O(batch) as the index grows. An index
+    accreted this way equals the one-pass
+    ``save_ivf_pq_index(union, train_corpus=store)`` build — pinned
+    by tests."""
+    from pg2kafka_spark.operators.index_store import _pq_codes
+
+    c = batch_df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__cv")
+    )
+    assigned = assign_cells(c, coarse, id_col, keep_sim=True).select(
+        id_col, "cid", "cell_sim"
+    )
+    codes = _pq_codes(batch_df, books, m, sub_dim, id_col, vec_col)
+    return codes.join(assigned, id_col).select(
+        id_col, "codes", "cid", "cell_sim"
+    )
+
+
+def start_pq_index_ingest_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Maintenance stream for the COMPRESSED index: same loop, crash
+    contract, and drift log as :func:`start_index_ingest_stream`, but
+    each batch lands as frozen-codebook PQ codes instead of raw
+    vectors (the index stays ``m·log2(n_codes)`` bits per vector as
+    it accretes). The index at ``index_path`` must exist (built once
+    by ``save_ivf_pq_index``)."""
+    import os
+
+    if os.path.exists(_retrain_sentinel(index_path)):
+        raise RuntimeError(
+            f"index {index_path!r} is mid-retrain (sentinel present) — "
+            "a concurrent retrain is running or crashed mid-swap; "
+            "complete/clear it before resuming ingest"
+        )
+    coarse = spark.read.parquet(f"{index_path}/centroids")
+    books = spark.read.parquet(f"{index_path}/codebooks")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(incoming_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        assigned = pq_index_ingest_batch(
+            batch_df, coarse, books, m, sub_dim, id_col, vec_col
+        ).localCheckpoint()
+        assigned.drop("cell_sim").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/cells")
+        drift_stats(assigned, id_col).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        ).write.mode("append").parquet(f"{index_path}/drift")
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
 def drift_stats(assigned: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """The batch's assignment-quality row: how well the frozen
     quantizer still fits arriving data. One global aggregate over the

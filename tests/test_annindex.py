@@ -319,3 +319,93 @@ def test_compact_cells_folds_duplicates_and_preserves_serve(spark, tmp_path):
     assert not os.path.exists(_retrain_sentinel(path))
     got = _topk_rows(load_ivf_topk(spark, path, _queries(spark), k=3))
     assert got == want
+
+
+def test_pq_streamed_accretion_serves_one_pass_result(spark, tmp_path):
+    """Compressed-index maintenance: bootstrap save_ivf_pq_index on
+    the store, stream the remaining vectors in 2 batches coded
+    against the FROZEN codebooks, serve — identical to the one-pass
+    build over the union with train_corpus=store, and drift rows per
+    batch."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import (
+        start_pq_index_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(store, path)
+
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 400), (400, 500)],
+        incoming,
+    )
+    q = start_pq_index_ingest_stream(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    one_pass_path = str(tmp_path / "pq_one_pass")
+    save_ivf_pq_index(emb, one_pass_path, train_corpus=store)
+    served = load_ivf_pq_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    one_pass = load_ivf_pq_topk(spark, one_pass_path, _queries(spark), k=3)
+    assert _topk_rows(served, "pq_sim") == _topk_rows(one_pass, "pq_sim")
+    drift = spark.read.parquet(f"{path}/drift")
+    assert drift.select("batch_id").distinct().count() == 2
+
+
+def test_pq_replayed_batch_is_absorbed_before_reconstruction(
+    spark, tmp_path
+):
+    """PQ replay duplicates would CORRUPT reconstruction (each code
+    word collected twice → a 2m-length decoded vector), not merely
+    duplicate a rank — absorb_duplicates must fold them before the
+    code explode."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import pq_index_ingest_batch
+
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(store, path)
+    coarse = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    batch = emb.filter(F.col("vec_id") >= STORE_CUT)
+
+    def append_once():
+        pq_index_ingest_batch(batch, coarse, books).drop(
+            "cell_sim"
+        ).write.mode("append").partitionBy("cid").parquet(f"{path}/cells")
+
+    append_once()
+    want = _topk_rows(
+        load_ivf_pq_topk(
+            spark, path, _queries(spark), k=3, absorb_duplicates=True
+        ),
+        "pq_sim",
+    )
+    append_once()  # the replay
+    got = _topk_rows(
+        load_ivf_pq_topk(
+            spark, path, _queries(spark), k=3, absorb_duplicates=True
+        ),
+        "pq_sim",
+    )
+    assert got == want
