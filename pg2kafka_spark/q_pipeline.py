@@ -2856,7 +2856,11 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 def _pq_recon_parts(
-    m: int, sub_dim: int, n_codes: int, train_sample: int | None = None
+    m: int,
+    sub_dim: int,
+    n_codes: int,
+    train_sample: int | None = None,
+    train_base: str = "d",
 ) -> list[str]:
     """Shared CTE builder: per-subspace seeded k-means (1 unrolled
     Lloyd iteration, the same CTE shapes as ``_kmeans_cents_ctes``),
@@ -2864,28 +2868,39 @@ def _pq_recon_parts(
     CTE named ``recon(vec_id, de)``. ``train_sample`` limits each
     subspace's TRAINING rows to the smallest-hash prefix (the keyed
     trainer's per-key window rank — same ids in every subspace);
+    ``train_base`` trains every codebook on a DIFFERENT relation
+    (the incremental-ingest mode — frozen codebooks from the store);
     coding always covers the full corpus. Used by the flat-PQ and
     IVF+PQ oracles."""
     cos = _sql_cos
     parts = []
     for mi in range(m):
         lo, hi = mi * sub_dim + 1, (mi + 1) * sub_dim
-        train_rel = f"dm{mi}"
+        parts.append(
+            f"dm{mi} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM d)"
+        )
+        seed_rel = f"dm{mi}"
+        if train_base != "d":
+            seed_rel = f"tm{mi}"
+            parts.append(
+                f"tm{mi} AS (SELECT vec_id, e[{lo}:{hi}] AS e "
+                f"FROM {train_base})"
+            )
+        train_rel = seed_rel
         avg_terms = ", ".join(
             f"round(CAST(sum(CAST(round(e[{i + 1}] * 1000000000.0) AS BIGINT))"
             f" AS DOUBLE) / (count(*) * 1000000000.0), 6)"
             for i in range(sub_dim)
         )
-        parts += [
-            f"dm{mi} AS (SELECT vec_id, e[{lo}:{hi}] AS e FROM d)",
-            f"c{mi}s AS (SELECT vec_id AS cid, e AS ce FROM dm{mi} "
+        parts.append(
+            f"c{mi}s AS (SELECT vec_id AS cid, e AS ce FROM {seed_rel} "
             f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647, vec_id "
-            f"LIMIT {n_codes})",
-        ]
+            f"LIMIT {n_codes})"
+        )
         if train_sample is not None:
-            train_rel = f"dm{mi}t"
+            train_rel = f"{seed_rel}t"
             parts.append(
-                f"dm{mi}t AS (SELECT vec_id, e FROM dm{mi} "
+                f"{seed_rel}t AS (SELECT vec_id, e FROM {seed_rel} "
                 f"ORDER BY ((vec_id % 2147483647) * 2654435761) % 2147483647,"
                 f" vec_id LIMIT {train_sample})"
             )
@@ -2938,19 +2953,22 @@ def _ivf_pq_oracle(
     n_centroids: int = 8, n_probe: int = 2,
     m: int = 8, sub_dim: int = 8, n_codes: int = 8, k: int = 3,
     train_sample: int | None = None,
+    train_base: str = "d",
 ) -> str:
     """IVF+PQ oracle: coarse k-means CTEs (``cents``) route every
     query to its ``n_probe`` cells; scoring is asymmetric ADC against
     the PQ reconstruction, restricted to vectors assigned to the
     probed cells — the exact composition the Spark operator runs.
     ``train_sample`` bounds BOTH trainers (coarse quantizer and all
-    ``m`` subspace codebooks) to the smallest-hash prefix."""
+    ``m`` subspace codebooks) to the smallest-hash prefix;
+    ``train_base`` trains both on a DIFFERENT relation (the
+    incremental mode — the caller defines the CTE)."""
     cos = _sql_cos
-    parts = _pq_recon_parts(m, sub_dim, n_codes, train_sample)
+    parts = _pq_recon_parts(m, sub_dim, n_codes, train_sample, train_base)
     adc = cos("p.qe", "r.de")
     return (
         "    , "
-        + _kmeans_cents_ctes(n_centroids, 2, 64, train_sample)
+        + _kmeans_cents_ctes(n_centroids, 2, 64, train_sample, train_base)
         + ",\n    "
         + ",\n    ".join(parts)
         + f""",
@@ -3213,6 +3231,95 @@ def ann_ivf_served_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_ivf_topk(
         spark, root, queries, k=3, absorb_duplicates=True
     ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """COMPRESSED twin of :func:`_ensure_ann_index`: bootstrap
+    ``save_ivf_pq_index`` on the store subset (coarse quantizer AND
+    codebooks train there, then freeze), accrete the remaining
+    vectors as frozen-codebook PQ codes via
+    ``pq_index_ingest_batch`` in two batches. Same source-identity
+    keying."""
+    import os
+    import tempfile
+
+    from pg2kafka_spark.catalog import source_signature
+    from pg2kafka_spark.operators.index_store import save_ivf_pq_index
+    from pg2kafka_spark.streaming.annindex import (
+        drift_stats,
+        pq_index_ingest_batch,
+    )
+
+    h = source_signature(sf_dir, "embeddings")
+    root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annpq_{h}")
+
+    def _has_data(d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        for cur, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    if all(
+        _has_data(os.path.join(root, d))
+        for d in ("centroids", "codebooks", "cells", "drift")
+    ):
+        return root
+    emb = load_table(spark, "embeddings", sf_dir)
+    store = emb.filter(F.col("vec_id") < 400)
+    save_ivf_pq_index(store, root)
+    coarse = spark.read.parquet(f"{root}/centroids")
+    books = spark.read.parquet(f"{root}/codebooks")
+    mid = 400 + (emb.filter(F.col("vec_id") >= 400).count() // 2)
+    for bid, batch in enumerate(
+        (
+            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < mid)),
+            emb.filter(F.col("vec_id") >= mid),
+        )
+    ):
+        assigned = pq_index_ingest_batch(
+            batch, coarse, books
+        ).localCheckpoint()
+        assigned.drop("cell_sim").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{root}/cells")
+        drift_stats(assigned).withColumn(
+            "batch_id", F.lit(bid)
+        ).write.mode("append").parquet(f"{root}/drift")
+    return root
+
+
+@query(
+    "ann_ivf_pq_served_incremental",
+    oracle=_COSINE_ORACLE
+    + """    ,
+    ds AS (SELECT vec_id, e FROM d WHERE vec_id < 400)
+    """
+    + _ivf_pq_oracle(train_base="ds"),
+)
+def ann_ivf_pq_served_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained COMPRESSED index served (r15): coarse quantizer
+    and all 8 PQ codebooks trained on the store only, later vectors
+    coded against the frozen models and accreted as
+    ``m·log2(n_codes)``-bit code words, the serve paying only the
+    probe + partition-pruned reconstruction + ADC. Hash-checked
+    against the unrolled oracle with BOTH trainers re-based onto the
+    store subset — which proves the whole compressed loop (bootstrap
+    → frozen-codebook accretion → serve) equals one-pass training on
+    the store with coding over the union."""
+    from pg2kafka_spark.operators.index_store import load_ivf_pq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    root = _ensure_ann_pq_index(spark, sf_dir)
+    return load_ivf_pq_topk(
+        spark, root, queries, k=3, absorb_duplicates=True
+    ).select("query_id", "vec_id", "pq_sim", "rank")
 
 
 _DRIFT_CUT = 250  # snapshot split: OLD = vec_id < cut, NEW = the rest

@@ -57,6 +57,7 @@ _FRONT = [
     # NEW in r15 — no driver row exists yet
     "weekly_retention_served_cohort_window",
     "ann_ivf_served_incremental",
+    "ann_ivf_pq_served_incremental",
     "session_top_paths_windowed",
     "embedding_cell_drift",
     # formula changed in r15: the backfill partials store is now
