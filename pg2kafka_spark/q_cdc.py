@@ -267,6 +267,50 @@ def unprocessed_pages_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "queue_lag_stats",
+    oracle="""
+    WITH u AS (
+      SELECT epoch_us(ts) AS ts_us FROM events WHERE event_type <> 'error'
+    ),
+    now AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_unprocessed,
+           CAST(max(now_us - ts_us) AS BIGINT) AS oldest_age_us,
+           round(quantile_cont(now_us - ts_us, 0.5), 4) AS p50_age_us,
+           round(quantile_cont(now_us - ts_us, 0.95), 4) AS p95_age_us
+    FROM u CROSS JOIN now
+    """,
+)
+def queue_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox LAG monitoring (r15) — the ops view next to O13's page
+    math: how deep is the unprocessed queue and how OLD is it
+    (count, oldest age, exact p50/p95 age in µs against the newest
+    event as the now-proxy). The reference's drain loop only logs the
+    count (main.go:106-115); a production relay alerts on AGE —
+    depth can be steady while latency explodes. One pass over the
+    unprocessed slice (predicate pushed to the scan) + a 1-row
+    max-ts broadcast; exact percentile is the sf-scale spelling —
+    at 100 TB switch to ``approx_percentile`` (the
+    ``user_value_sketches`` trade, documented there)."""
+    ev = load_table(spark, "events", sf_dir)
+    now = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    u = ev.filter(F.col("event_type") != "error").select(
+        F.unix_micros("ts").alias("ts_us")
+    )
+    return u.crossJoin(F.broadcast(now)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unprocessed"),
+        F.max(F.col("now_us") - F.col("ts_us"))
+        .cast("bigint")
+        .alias("oldest_age_us"),
+        F.round(F.expr("percentile(now_us - ts_us, 0.5)"), 4).alias(
+            "p50_age_us"
+        ),
+        F.round(F.expr("percentile(now_us - ts_us, 0.95)"), 4).alias(
+            "p95_age_us"
+        ),
+    )
+
+
+@query(
     "wire_encode_nation",
     oracle="""
     SELECT CAST(n_nationkey AS VARCHAR) AS key,

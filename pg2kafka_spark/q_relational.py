@@ -116,6 +116,73 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT g.day, count(DISTINCT u.user_id) AS wau
+      FROM days g JOIN du u
+        ON u.day BETWEEN g.day - 6 AND g.day
+      GROUP BY g.day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST((d.dau * 1000000) // w.wau AS BIGINT)
+             AS stickiness_micros
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-ratio classic next
+    to retention: daily actives over 7-day-trailing actives, share in
+    exact integer micros (truncating integer division, portable).
+
+    Scale shape: ONE events-sized shuffle builds the distinct
+    (day, user) pairs — active-user-days, the same cardinality the
+    retention partials carry; the trailing window is that SMALL frame
+    range-joined to a broadcast day grid (|days| rows), never a
+    second pass over events, and the countDistinct shuffles ≤7×
+    active-user-days. An events-sized range join or a per-day events
+    rescan would be the wrong machine at 100 TB."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        du.withColumnRenamed("day", "uday")
+        .join(
+            F.broadcast(days),
+            (F.col("uday") >= F.col("day") - 6)
+            & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 div wau")
+            .cast("bigint")
+            .alias("stickiness_micros"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.1 "Joins": engine surface beyond the reference's
 # registry probe — broadcast for dims, semi/anti for existence)

@@ -60,6 +60,8 @@ _FRONT = [
     "ann_ivf_pq_served_incremental",
     "session_top_paths_windowed",
     "embedding_cell_drift",
+    "dau_wau_stickiness",
+    "queue_lag_stats",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout
