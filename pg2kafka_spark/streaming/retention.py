@@ -124,6 +124,95 @@ def _compaction_sentinel(first_seen_dir: str) -> str:
     return first_seen_dir.rstrip("/") + ".__compacting__"
 
 
+def retention_maintain_batch_sketch(
+    batch_df: DataFrame,
+    first_seen_candidates: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    lg_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """PB-scale twin of :func:`retention_maintain_batch`: the batch's
+    contribution as (cohort, week) HLL sketch rows instead of per-user
+    triples — the maintained table carries O(2^lg_k) bytes per
+    touched cell per batch and NO user key. Same crash contract by
+    the same algebra: a replayed batch folds against a candidates
+    table already containing its rows (min unchanged) and re-emits
+    BIT-IDENTICAL sketch rows, which the serve's ``hll_union_agg``
+    absorbs (union is idempotent). Same arrival precondition as the
+    exact fold."""
+    from pg2kafka_spark.operators.retention import retention_day_sketch
+
+    batch_df, ts_col = _to_micros(batch_df, ts_col)
+    day_min = batch_df.groupBy(user_col).agg(F.min(ts_col).alias("f_us"))
+    effective = first_seen_update(
+        first_seen_candidates, batch_df, user_col, ts_col
+    )
+    sketches = retention_day_sketch(
+        batch_df, effective, user_col, ts_col, lg_k
+    )
+    return day_min, sketches
+
+
+def start_retention_sketch_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    first_seen_dir: str,
+    sketches_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Sketch-mode maintenance stream: identical loop and write-order
+    contract to :func:`start_retention_stream`, but the maintained
+    table is batch-stamped (cohort, week) HLL sketch rows — the shape
+    whose serve cost is O(cells × 2^lg_k) bytes independent of users
+    AND events. Serve with
+    ``operators/retention.retention_from_sketches`` over the sketches
+    table."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", int(max_files_per_trigger)
+        )
+    stream = reader.parquet(incoming_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        like = (
+            batch_df.select(F.col(user_col))
+            .withColumn("f_us", F.lit(0).cast("long"))
+            .schema
+        )
+        cands = _candidates_or_empty(
+            sess, first_seen_dir, sess.createDataFrame([], like)
+        )
+        day_min, sketches = retention_maintain_batch_sketch(
+            batch_df, cands, user_col, ts_col, lg_k
+        )
+        # candidates FIRST, sketches second — the shared crash
+        # contract (module docstring)
+        day_min.write.mode("append").parquet(first_seen_dir)
+        sketches.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(sketches_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
 def compact_first_seen(
     spark: SparkSession, first_seen_dir: str, user_col: str = "user_id"
 ) -> None:

@@ -491,3 +491,55 @@ def test_run_retention_maintenance_drains_and_compacts(spark, tmp_path):
     )
     cands = spark.read.parquet(fs_dir)
     assert cands.count() == cands.select("user_id").distinct().count()
+
+
+def test_sketch_stream_maintains_cells_e2e(spark, tmp_path):
+    """Sketch-mode maintenance (PB-scale twin): N micro-batches
+    through start_retention_sketch_stream estimate every cell
+    identically to the one-pass registered HLL query, and a manual
+    replay of one batch's sketch rows changes nothing (union is
+    idempotent)."""
+    from pg2kafka_spark.operators.retention import retention_from_sketches
+    from pg2kafka_spark.queries import QUERIES
+    from pg2kafka_spark.streaming.retention import (
+        start_retention_sketch_stream,
+    )
+
+    ev_raw = load_table(spark, "events", SF).select("user_id", "ts")
+    slices = _day_slices(_events(spark), 4)
+    incoming = str(tmp_path / "incoming")
+    _write_day_slice_files(spark, ev_raw, slices, incoming)
+
+    q = start_retention_sketch_stream(
+        spark,
+        incoming,
+        "user_id bigint, ts timestamp",
+        first_seen_dir=str(tmp_path / "first_seen"),
+        sketches_dir=str(tmp_path / "sketches"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    sk = spark.read.parquet(str(tmp_path / "sketches"))
+    assert sk.select("batch_id").distinct().count() == len(slices)
+    folded = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in retention_from_sketches(sk).collect()
+    }
+    one_pass = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in QUERIES["weekly_retention_hll"](spark, SF).collect()
+    }
+    assert folded == one_pass
+
+    # replay: re-append the last batch's rows — estimates unchanged
+    last = sk.filter(F.col("batch_id") == len(slices) - 1)
+    last.write.mode("append").parquet(str(tmp_path / "sketches"))
+    replayed = {
+        (r.cohort_day, r.week_offset): r.n_users_approx
+        for r in retention_from_sketches(
+            spark.read.parquet(str(tmp_path / "sketches"))
+        ).collect()
+    }
+    assert replayed == folded
