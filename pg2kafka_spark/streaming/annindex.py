@@ -123,7 +123,14 @@ def start_pq_index_ingest_stream(
     each batch lands as frozen-codebook PQ codes instead of raw
     vectors (the index stays ``m·log2(n_codes)`` bits per vector as
     it accretes). The index at ``index_path`` must exist (built once
-    by ``save_ivf_pq_index``)."""
+    by ``save_ivf_pq_index``).
+
+    Retrain asymmetry vs the raw loop: code words are NOT invertible,
+    so the compressed layout cannot self-retrain from its own cells —
+    when ``retrain_flag`` over this index's drift log fires, rebuild
+    with ``save_ivf_pq_index`` from the SOURCE corpus (which a
+    production pipeline retains; the index is a projection of it),
+    behind the same sentinel swap."""
     import os
 
     if os.path.exists(_retrain_sentinel(index_path)):
