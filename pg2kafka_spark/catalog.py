@@ -106,3 +106,20 @@ def source_signature(sf_dir: str, table: str) -> str:
         st = os.stat(src)
         sig.append(f"{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
+
+
+import threading as _threading
+
+_STORE_LOCKS: dict = {}
+_STORE_LOCKS_GUARD = _threading.Lock()
+
+
+def store_build_lock(root: str) -> _threading.Lock:
+    """Per-store-path build lock: the bench warms query plans from a
+    thread pool, and two serve queries backed by the SAME session
+    store (retention partials, ANN index) would otherwise race the
+    exists-check/overwrite window of their ensure function — observed
+    as mid-write chmod failures on the shared path. Threads only;
+    cross-PROCESS isolation is separate TMPDIRs (tools/round_close.sh)."""
+    with _STORE_LOCKS_GUARD:
+        return _STORE_LOCKS.setdefault(root, _threading.Lock())

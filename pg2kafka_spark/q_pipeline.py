@@ -3167,6 +3167,8 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
         index_ingest_batch,
     )
 
+    from pg2kafka_spark.catalog import store_build_lock
+
     h = source_signature(sf_dir, "embeddings")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annindex_{h}")
 
@@ -3178,32 +3180,33 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
                 return True
         return False
 
-    if all(
-        _has_data(os.path.join(root, d))
-        for d in ("centroids", "cells", "drift")
-    ):
+    with store_build_lock(root):
+        if all(
+            _has_data(os.path.join(root, d))
+            for d in ("centroids", "cells", "drift")
+        ):
+            return root
+        emb = load_table(spark, "embeddings", sf_dir)
+        store = emb.filter(F.col("vec_id") < 400)
+        save_ivf_index(store, root)
+        cents = spark.read.parquet(f"{root}/centroids")
+        mid = 400 + (
+            emb.filter(F.col("vec_id") >= 400).count() // 2
+        )  # two accretion batches, like two nightly drains
+        for bid, batch in enumerate(
+            (
+                emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < mid)),
+                emb.filter(F.col("vec_id") >= mid),
+            )
+        ):
+            assigned = index_ingest_batch(batch, cents).localCheckpoint()
+            assigned.drop("cell_sim").write.mode("append").partitionBy(
+                "cid"
+            ).parquet(f"{root}/cells")
+            drift_stats(assigned).withColumn(
+                "batch_id", F.lit(bid)
+            ).write.mode("append").parquet(f"{root}/drift")
         return root
-    emb = load_table(spark, "embeddings", sf_dir)
-    store = emb.filter(F.col("vec_id") < 400)
-    save_ivf_index(store, root)
-    cents = spark.read.parquet(f"{root}/centroids")
-    mid = 400 + (
-        emb.filter(F.col("vec_id") >= 400).count() // 2
-    )  # two accretion batches, like two nightly drains
-    for bid, batch in enumerate(
-        (
-            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < mid)),
-            emb.filter(F.col("vec_id") >= mid),
-        )
-    ):
-        assigned = index_ingest_batch(batch, cents).localCheckpoint()
-        assigned.drop("cell_sim").write.mode("append").partitionBy(
-            "cid"
-        ).parquet(f"{root}/cells")
-        drift_stats(assigned).withColumn(
-            "batch_id", F.lit(bid)
-        ).write.mode("append").parquet(f"{root}/drift")
-    return root
 
 
 @query("ann_ivf_served_incremental", oracle=_IVF_INCREMENTAL_ORACLE)
@@ -3250,6 +3253,8 @@ def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
         pq_index_ingest_batch,
     )
 
+    from pg2kafka_spark.catalog import store_build_lock
+
     h = source_signature(sf_dir, "embeddings")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annpq_{h}")
 
@@ -3261,33 +3266,34 @@ def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
                 return True
         return False
 
-    if all(
-        _has_data(os.path.join(root, d))
-        for d in ("centroids", "codebooks", "cells", "drift")
-    ):
+    with store_build_lock(root):
+        if all(
+            _has_data(os.path.join(root, d))
+            for d in ("centroids", "codebooks", "cells", "drift")
+        ):
+            return root
+        emb = load_table(spark, "embeddings", sf_dir)
+        store = emb.filter(F.col("vec_id") < 400)
+        save_ivf_pq_index(store, root)
+        coarse = spark.read.parquet(f"{root}/centroids")
+        books = spark.read.parquet(f"{root}/codebooks")
+        mid = 400 + (emb.filter(F.col("vec_id") >= 400).count() // 2)
+        for bid, batch in enumerate(
+            (
+                emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < mid)),
+                emb.filter(F.col("vec_id") >= mid),
+            )
+        ):
+            assigned = pq_index_ingest_batch(
+                batch, coarse, books
+            ).localCheckpoint()
+            assigned.drop("cell_sim").write.mode("append").partitionBy(
+                "cid"
+            ).parquet(f"{root}/cells")
+            drift_stats(assigned).withColumn(
+                "batch_id", F.lit(bid)
+            ).write.mode("append").parquet(f"{root}/drift")
         return root
-    emb = load_table(spark, "embeddings", sf_dir)
-    store = emb.filter(F.col("vec_id") < 400)
-    save_ivf_pq_index(store, root)
-    coarse = spark.read.parquet(f"{root}/centroids")
-    books = spark.read.parquet(f"{root}/codebooks")
-    mid = 400 + (emb.filter(F.col("vec_id") >= 400).count() // 2)
-    for bid, batch in enumerate(
-        (
-            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < mid)),
-            emb.filter(F.col("vec_id") >= mid),
-        )
-    ):
-        assigned = pq_index_ingest_batch(
-            batch, coarse, books
-        ).localCheckpoint()
-        assigned.drop("cell_sim").write.mode("append").partitionBy(
-            "cid"
-        ).parquet(f"{root}/cells")
-        drift_stats(assigned).withColumn(
-            "batch_id", F.lit(bid)
-        ).write.mode("append").parquet(f"{root}/drift")
-    return root
 
 
 @query(

@@ -2675,16 +2675,34 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
     # driver regenerates /root/testdata between rounds, and serving
     # stale partials against fresh events would be a wrong answer —
     # a changed events table gets a fresh store directory
+    from pg2kafka_spark.catalog import store_build_lock
+
     h = source_signature(sf_dir, "events")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_retention_{h}")
     part_dir = os.path.join(root, "partials")
     fs_dir = os.path.join(root, "first_seen")
 
     def _has_data(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            f.endswith(".parquet") for f in os.listdir(d)
+        # recursive: the partials table is cohort_day-partitioned
+        # (r15), so its parquet files live in cohort_day=N subdirs —
+        # a flat listdir would MISS them and rebuild the store on
+        # every call (and concurrent rebuilds of one path race)
+        if not os.path.isdir(d):
+            return False
+        for _cur, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    with store_build_lock(root):
+        return _build_retention_store(
+            spark, sf_dir, root, part_dir, fs_dir, _has_data
         )
 
+
+def _build_retention_store(
+    spark, sf_dir, root, part_dir, fs_dir, _has_data
+) -> str:
     if _has_data(part_dir) and _has_data(fs_dir):
         return root
     ev = load_table(spark, "events", sf_dir).select(
