@@ -125,18 +125,18 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     days AS (SELECT DISTINCT day FROM du),
-    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
-    wau AS (
-      SELECT g.day, count(DISTINCT u.user_id) AS wau
+    agg AS (
+      SELECT g.day,
+             count(DISTINCT CASE WHEN u.day = g.day THEN u.user_id END)
+               AS dau,
+             count(DISTINCT u.user_id) AS wau
       FROM days g JOIN du u
         ON u.day BETWEEN g.day - 6 AND g.day
       GROUP BY g.day
     )
-    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
-           CAST(w.wau AS BIGINT) AS wau,
-           CAST((d.dau * 1000000) // w.wau AS BIGINT)
-             AS stickiness_micros
-    FROM dau d JOIN wau w USING (day)
+    SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST((dau * 1000000) // wau AS BIGINT) AS stickiness_micros
+    FROM agg
     """,
 )
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,31 +147,33 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE events-sized shuffle builds the distinct
     (day, user) pairs — active-user-days, the same cardinality the
     retention partials carry; the trailing window is that SMALL frame
-    range-joined to a broadcast day grid (|days| rows), never a
-    second pass over events, and the countDistinct shuffles ≤7×
-    active-user-days. An events-sized range join or a per-day events
-    rescan would be the wrong machine at 100 TB."""
+    range-joined ONCE to a broadcast day grid (|days| rows), and BOTH
+    counts come out of that single joined frame (DAU is the
+    conditional distinct where the pair's day IS the grid day) — no
+    second events pass, no per-metric rescan; the distinct pair
+    shuffles ≤7× active-user-days. Plan pinned in
+    tests/test_plans.py."""
     ev = load_table(spark, "events", sf_dir)
     du = ev.select(
         F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
         "user_id",
     ).distinct()
     days = du.select("day").distinct()
-    dau = du.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
-    )
-    wau = (
-        du.withColumnRenamed("day", "uday")
-        .join(
-            F.broadcast(days),
-            (F.col("uday") >= F.col("day") - 6)
-            & (F.col("uday") <= F.col("day")),
-        )
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    joined = du.withColumnRenamed("day", "uday").join(
+        F.broadcast(days),
+        (F.col("uday") >= F.col("day") - 6)
+        & (F.col("uday") <= F.col("day")),
     )
     return (
-        dau.join(wau, "day")
+        joined.groupBy("day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("uday") == F.col("day"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+        )
         .select(
             "day",
             "dau",
