@@ -213,6 +213,33 @@ def start_retention_sketch_stream(
     return writer.start()
 
 
+def compact_sketches(
+    spark: SparkSession, sketches_dir: str
+) -> None:
+    """Fold the batch-stamped sketch table to ONE row per
+    (cohort_day, week_offset) cell — HLL union is associative, so
+    pre-merging batches preserves every serve estimate bit-for-bit
+    while capping the table at O(cells) rows no matter how many
+    batches accreted. Same between-runs + staged-swap contract as
+    ``compact_first_seen`` (folded batch_id = -1 marks pre-merged
+    rows)."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(sketches_dir)
+    folded = (
+        df.groupBy("cohort_day", "week_offset")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    staging = sketches_dir.rstrip("/") + ".__compact__"
+    folded.write.mode("overwrite").parquet(staging)
+    old = sketches_dir.rstrip("/") + ".__old__"
+    os.rename(sketches_dir, old)
+    os.rename(staging, sketches_dir)
+    shutil.rmtree(old)
+
+
 def compact_first_seen(
     spark: SparkSession, first_seen_dir: str, user_col: str = "user_id"
 ) -> None:

@@ -543,3 +543,45 @@ def test_sketch_stream_maintains_cells_e2e(spark, tmp_path):
         ).collect()
     }
     assert replayed == folded
+
+
+def test_compact_sketches_preserves_estimates(spark, tmp_path):
+    """Pre-merging the batch-stamped sketch rows to one per cell
+    (HLL union is associative) must leave every served estimate
+    unchanged and cap the table at O(cells) rows."""
+    from pg2kafka_spark.operators.retention import retention_from_sketches
+    from pg2kafka_spark.streaming.retention import (
+        compact_sketches,
+        retention_maintain_batch_sketch,
+    )
+
+    ev = _events(spark)
+    slices = _day_slices(ev, 4)
+    sk_dir = str(tmp_path / "sketches")
+    cands = spark.createDataFrame([], "user_id bigint, f_us bigint")
+    for bid, (lo, hi) in enumerate(slices):
+        day = ev.filter(
+            (F.col("ts_us") >= F.lit(lo * DAY_US))
+            & (F.col("ts_us") < F.lit(hi * DAY_US))
+        )
+        dm, sk = retention_maintain_batch_sketch(day, cands)
+        cands = cands.unionByName(dm).localCheckpoint()
+        sk.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(
+            sk_dir
+        )
+
+    def served():
+        return {
+            (r.cohort_day, r.week_offset): r.n_users_approx
+            for r in retention_from_sketches(
+                spark.read.parquet(sk_dir)
+            ).collect()
+        }
+
+    before = served()
+    n_before = spark.read.parquet(sk_dir).count()
+    compact_sketches(spark, sk_dir)
+    after_df = spark.read.parquet(sk_dir)
+    assert after_df.count() == len(before)  # one row per cell
+    assert after_df.count() <= n_before
+    assert served() == before
