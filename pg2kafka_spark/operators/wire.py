@@ -105,6 +105,43 @@ def ordered_for_delivery(
     return parted.sortWithinPartitions(key_col, seq_col)
 
 
+def from_wire(
+    messages: DataFrame,
+    data_schema: str,
+    value_col: str = "value",
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+) -> DataFrame:
+    """CONSUMER-side decode — the inverse of :func:`wire_value`, the
+    parse every downstream service of the reference writes by hand
+    against the documented payload (README.md:75-90): one
+    ``from_json`` recovers the envelope (uuid, external_id,
+    statement, created_at) and the TYPED row under ``data``
+    (``data_schema`` is the tracked table's DDL — schema-pinned like
+    every text source here, never inferred). Returns the input
+    columns plus the five decoded ones; gate on ``data IS NULL`` for
+    quarantine (PERMISSIVE parse, malformed payloads decode to
+    NULL row).
+
+    Scale shape: a single JVM-side JacksonParser projection inside
+    codegen next to whatever scan carries the messages — the decode
+    twin of the encode's splice, no Python, no second pass."""
+    full = (
+        "uuid string, external_id string, statement string, "
+        f"created_at string, data struct<{data_schema}>"
+    )
+    w = F.from_json(F.col(value_col), full)
+    return messages.select(
+        "*",
+        w.getField("uuid").alias("uuid"),
+        w.getField("external_id").alias("external_id"),
+        w.getField("statement").alias("statement"),
+        F.to_timestamp(
+            w.getField("created_at"), timestamp_format
+        ).alias("created_at"),
+        w.getField("data").alias("data"),
+    )
+
+
 def to_wire(
     events: DataFrame,
     database: str,

@@ -353,6 +353,38 @@ def wire_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wire_roundtrip_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS external_id,
+           'SNAPSHOT' AS statement,
+           n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def wire_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 INVERTED (r15): encode the snapshot to the wire, then
+    decode it with the CONSUMER-side parser
+    (operators/wire.from_wire) and emit the recovered envelope +
+    typed row. The oracle is the SOURCE table — hash-matching proves
+    decode∘encode is the identity, i.e. a consumer written against
+    ``from_wire`` reads exactly what the tracked table held. Both
+    halves are codegen projections over one scan; nothing shuffles."""
+    from pg2kafka_spark.operators.wire import from_wire
+
+    decoded = from_wire(
+        wire_encode_nation(spark, sf_dir),
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    return decoded.select(
+        "external_id",
+        "statement",
+        F.col("data.n_nationkey").alias("n_nationkey"),
+        F.col("data.n_name").alias("n_name"),
+        F.col("data.n_regionkey").alias("n_regionkey"),
+    )
+
+
+@query(
     "topic_routing",
     oracle="""
     SELECT DISTINCT

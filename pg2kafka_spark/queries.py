@@ -62,6 +62,7 @@ _FRONT = [
     "embedding_cell_drift",
     "dau_wau_stickiness",
     "queue_lag_stats",
+    "wire_roundtrip_nation",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout
