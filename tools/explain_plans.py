@@ -1243,6 +1243,80 @@ COMMENTARY.update({
     ),
 })
 
+COMMENTARY.update({
+    "weekly_retention_served_cohort_window": (
+        "Cohort-WINDOWED serve from the maintained partials table — "
+        "the read pattern the cohort_day partitioning (r15) exists "
+        "for: the window predicate lands on the partition column "
+        "BEFORE the widening cast, so the scan shows PartitionFilters "
+        "and reads only the window's cohort directories (plan-pinned "
+        "in tests/test_plans.py). At 100 TB this is a week's "
+        "directories vs the table's full history."
+    ),
+    "ann_ivf_served_incremental": (
+        "The MAINTAINED at-rest IVF index served: broadcast centroid "
+        "probe, cells scan dynamic-partition-pruned to the probed "
+        "lists, and a (query, id) max-aggregate that absorbs "
+        "at-least-once replay duplicates before the ranking window. "
+        "The index was bootstrapped on the store and accreted by the "
+        "maintenance fold (streaming/annindex.py) — the query pays "
+        "ONLY the serve path; training/assignment are amortized at "
+        "rest. Hash-checked against the same unrolled-k-means oracle "
+        "as the in-memory incremental operator."
+    ),
+    "ann_ivf_pq_served_incremental": (
+        "The maintained COMPRESSED index served: same probe + "
+        "partition-pruned read as the raw serve, but rows are "
+        "m-code-word PQ codes reconstructed against broadcast frozen "
+        "codebooks before ADC scoring; replay duplicates fold BEFORE "
+        "the code-word explode (a duplicate there would corrupt the "
+        "reconstruction, not just duplicate a rank). The oracle "
+        "re-bases coarse AND all subspace trainers onto the store "
+        "subset — the whole bootstrap→frozen-accrete→serve loop is "
+        "hash-checked."
+    ),
+    "session_top_paths_windowed": (
+        "Top-20 paths with the 10-min conversion band: the banded "
+        "converted flag is an aggregate of the SAME per-session fold "
+        "as session_top_paths, so the ranking adds one conditional "
+        "sum to the tiny (path, count) aggregation — plan shape "
+        "identical to the unwindowed ranking, no new exchange."
+    ),
+    "embedding_cell_drift": (
+        "Snapshot drift through the frozen quantizer: portable "
+        "k-means trains on the OLD snapshot, ONE broadcast map-only "
+        "assignment pass covers both snapshots, then a |cells|-sized "
+        "aggregation and a 1-row totals broadcast produce per-cell "
+        "population shares in exact integer micros (Spark div ≡ "
+        "DuckDB //). The corpus never shuffles; this is the "
+        "maintenance drift log (streaming/annindex.py) as a "
+        "registered, hash-checked query."
+    ),
+    "dau_wau_stickiness": (
+        "DAU/WAU per day: one events-sized shuffle builds the "
+        "distinct (day, user) pairs; the 7-day trailing window is "
+        "that SMALL frame range-joined ONCE to a broadcast day grid, "
+        "and BOTH counts come out of the single joined frame (DAU is "
+        "the conditional distinct where the pair's day IS the grid "
+        "day). Two scans total, no per-metric events rescan — "
+        "plan-pinned in tests/test_plans.py."
+    ),
+    "queue_lag_stats": (
+        "Outbox lag: the unprocessed predicate pushes to the scan, "
+        "the now-proxy (max ts) is a 1-row broadcast, and "
+        "count/oldest/p50/p95 age come from one aggregation pass. "
+        "Exact percentile is the sf-scale spelling; approx_percentile "
+        "is the documented 100 TB swap (user_value_sketches)."
+    ),
+    "wire_roundtrip_nation": (
+        "decode∘encode pinned as the identity: the wire JSON is "
+        "built and then re-parsed by the consumer-side from_wire "
+        "(one schema-pinned from_json) in the SAME codegen stage "
+        "over one nation scan — no shuffle anywhere, and the oracle "
+        "is the source table itself."
+    ),
+})
+
 
 def main() -> None:
     # coverage ratchet (r12 verdict item 1): every registered query
