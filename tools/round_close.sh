@@ -33,11 +33,11 @@ pytest_log=$(mktemp)
 stream_log=$(mktemp)
 t0=$SECONDS
 # shellcheck disable=SC2086  # STREAM_SHARD is a word list
-TMPDIR=/tmp/rc_pytest_stream_tmp python -m pytest $STREAM_SHARD -x -q \
+TMPDIR=/tmp/rc_pytest_stream_tmp python -m pytest $STREAM_SHARD -x -q --durations=15 \
   > "$stream_log" 2>&1 &
 stream_pid=$!
 # shellcheck disable=SC2086
-TMPDIR=/tmp/rc_pytest_tmp python -m pytest tests/ -x -q \
+TMPDIR=/tmp/rc_pytest_tmp python -m pytest tests/ -x -q --durations=15 \
   $(for f in $STREAM_SHARD; do printf -- "--ignore=%s " "$f"; done) \
   > "$pytest_log" 2>&1 &
 pytest_pid=$!
@@ -50,8 +50,8 @@ echo "rest-shard done at ${t1:=$((SECONDS - t0))}s"
 wait "$stream_pid"; stream_rc=$?
 echo "stream-shard done at $((SECONDS - t0))s"
 set -e
-tail -n 5 "$pytest_log"
-tail -n 5 "$stream_log"
+tail -n 22 "$pytest_log"
+tail -n 22 "$stream_log"
 if [ "$pytest_rc" -ne 0 ]; then
   echo "pytest (rest shard) FAILED (full log: $pytest_log)"; exit 1
 fi
