@@ -1725,3 +1725,71 @@ def test_start_relay_ordered_mode_delivers_per_key_in_order(
     for k in range(n_keys):
         want = [v * n_keys + k for v in range(n_versions)]
         assert seen[f"k{k}"] == want, f"k{k} out of order"
+
+
+def test_wire_roundtrip_through_relay_sink(spark, outbox, tmp_path):
+    """The full produce→consume loop: outbox rows drained through the
+    relay's wire projection into a sink directory, then CONSUMED back
+    with from_wire — the decoded envelope + typed rows must equal the
+    outbox, and the consumer-side latest-state fold over the decoded
+    feed must equal folding the outbox directly. This is what a
+    downstream service built on operators/wire.from_wire sees."""
+    from pg2kafka_spark.operators.wire import from_wire, to_wire
+
+    rows = [
+        _event(1, "users", "INSERT", '{"uid": 1, "plan": "free"}', key="1"),
+        _event(2, "users", "UPDATE", '{"plan": "pro"}', key="1"),
+        _event(3, "users", "INSERT", '{"uid": 2, "plan": "free"}', key="2"),
+        _event(4, "users", "UPDATE", '{"plan": "team"}', key="2"),
+        _event(5, "users", "UPDATE", '{"plan": "max"}', key="1"),
+    ]
+    _write_events(spark, rows, outbox, n_files=2)
+
+    sink = str(tmp_path / "wire_sink")
+    events = read_event_stream(spark, outbox)
+    q = (
+        to_wire(events, "testdb")
+        .writeStream.format("json")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    consumed = from_wire(
+        spark.read.json(sink, schema="key string, value string, topic string"),
+        "uid bigint, plan string",
+    )
+    got = sorted(
+        (r.external_id, r.statement, r.data.uid, r.data.plan)
+        for r in consumed.collect()
+    )
+    want = sorted(
+        (
+            r.external_id,
+            r.statement,
+            json.loads(r.data).get("uid"),
+            json.loads(r.data)["plan"],
+        )
+        for r in rows
+    )
+    assert got == want
+    # envelope fields survive the wire: uuid + created_at round-trip
+    uuids = {r.uuid for r in consumed.collect()}
+    assert uuids == {r.uuid for r in rows}
+    created = {r.created_at for r in consumed.collect()}
+    assert created == {r.created_at for r in rows}
+    # consumer-side latest-state fold over the DECODED feed: the
+    # per-key last plan (wire order carried by created_at)
+    latest = {
+        r.external_id: r.plan
+        for r in consumed.groupBy("external_id")
+        .agg(
+            F.max_by(
+                F.col("data.plan"), F.struct("created_at", "uuid")
+            ).alias("plan")
+        )
+        .collect()
+    }
+    assert latest == {"1": "max", "2": "team"}
