@@ -185,6 +185,108 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_deciles",
+    oracle="""
+    WITH uv AS (
+      SELECT user_id, round(sum(value), 4) AS total_value
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, total_value,
+             ntile(10) OVER (ORDER BY total_value DESC, user_id ASC)
+               AS decile,
+             round(percent_rank() OVER (
+               ORDER BY total_value DESC, user_id ASC), 6) AS prank
+      FROM uv
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(total_value), 2) AS sum_value,
+           round(min(prank), 6) AS min_prank,
+           round(max(prank), 6) AS max_prank
+    FROM ranked GROUP BY decile
+    """,
+)
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-LTV decile report (ntile + percent_rank — the rank-family
+    window functions the surface didn't yet exercise): users ranked
+    by total event value into 10 equal buckets with per-bucket
+    totals. The order is fully tie-broken (value desc, user_id asc),
+    so both engines assign identical deciles. Scale note: the global
+    ntile needs a total order — fine over the user-level rollup
+    (users ≪ events; the events-sized stage is the per-user sum,
+    which partial-aggregates before its shuffle); never run ntile
+    over raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    uv = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    ranked = uv.select(
+        "user_id",
+        "total_value",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("total_value"), 2).alias("sum_value"),
+        F.round(F.min("prank"), 6).alias("min_prank"),
+        F.round(F.max("prank"), 6).alias("max_prank"),
+    )
+
+
+@query(
+    "daily_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id)
+    SELECT du.day,
+           CAST(sum(CASE WHEN du.day = f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN du.day > f.first_day THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+    FROM du JOIN f USING (user_id)
+    GROUP BY du.day
+    """,
+)
+def daily_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day — the daily-engagement
+    split next to stickiness and the retention cohorts: a user is NEW
+    on their first active day, RETURNING after. Same active-user-day
+    frame as the retention family (one events-sized distinct), a
+    user-keyed min for the first day (the first_seen fold), and a
+    day-keyed conditional rollup — at scale the first-seen join is
+    the same maintained table streaming/retention.py keeps, so the
+    daily job pays only the day's pairs."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        "user_id",
+    ).distinct()
+    f = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        du.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.1 "Joins": engine surface beyond the reference's
 # registry probe — broadcast for dims, semi/anti for existence)

@@ -63,6 +63,8 @@ _FRONT = [
     "dau_wau_stickiness",
     "queue_lag_stats",
     "wire_roundtrip_nation",
+    "user_value_deciles",
+    "daily_new_vs_returning",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout

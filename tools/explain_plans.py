@@ -1308,6 +1308,22 @@ COMMENTARY.update({
         "Exact percentile is the sf-scale spelling; approx_percentile "
         "is the documented 100 TB swap (user_value_sketches)."
     ),
+    "user_value_deciles": (
+        "User-LTV deciles: the events-sized stage is the per-user "
+        "value sum (partial-aggregated before its shuffle); ntile + "
+        "percent_rank then need ONE total order over the user-level "
+        "rollup — a single-partition window over users ≪ events, the "
+        "same documented class as the global top-n windows. Fully "
+        "tie-broken order keeps both engines' decile assignment "
+        "identical."
+    ),
+    "daily_new_vs_returning": (
+        "New vs returning actives per day: one events-sized distinct "
+        "to active-user-day pairs, a user-keyed min (the first_seen "
+        "fold the retention loop maintains at scale), and a day-keyed "
+        "conditional rollup. No second events pass; the join carries "
+        "pairs, not events."
+    ),
     "wire_roundtrip_nation": (
         "decode∘encode pinned as the identity: the wire JSON is "
         "built and then re-parsed by the consumer-side from_wire "
