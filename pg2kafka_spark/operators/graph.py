@@ -350,3 +350,86 @@ def guarded_local_checkpoint(df: DataFrame) -> DataFrame:
     the r13 bench warmup."""
     with _CKPT_LOCK:
         return df.localCheckpoint()
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic — the same
+    engine-portability discipline as the portable k-means: every
+    rank is a bigint in units of 1/``scale``, every per-edge
+    contribution is a truncating integer division, so the per-node
+    sums are order-independent and DuckDB reproduces the iteration
+    bit-for-bit (the floating-point formulation would drift in the
+    last ulp with summation order). Returns ``(node, rank_fp)`` after
+    ``iters`` power iterations from the uniform start.
+
+    Semantics notes, shared verbatim with the oracle: damping is the
+    integer percentage ``damping_pct``; contributions split an
+    out-node's damped rank proportionally to edge weight
+    (``weight_col``, default 1); dangling mass (nodes without
+    out-edges) is DROPPED, the common large-graph simplification —
+    ranks are comparable, not a strict probability distribution.
+
+    Scale shape: the node and out-weight tables are one aggregation
+    each; every iteration is one src-keyed join of the edge list
+    against the current ranks plus one dst-keyed partial-aggregated
+    sum — the standard edge-partitioned power iteration, O(|E|) per
+    round, no global state beyond the rank table. Overflow bound:
+    ``rank ≤ scale`` (mass never grows), so the per-edge product is
+    ≤ scale·damping_pct·weight — keep ``scale·weight`` under ~1e14.
+    """
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w.alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar: sizes the uniform start
+    outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    base_fp = ((100 - damping_pct) * scale) // (100 * n_nodes)
+    pr = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("bigint").alias("rank_fp")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e.src == pr.node)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"rank_fp * {damping_pct} * w div (100 * out_w)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_c"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_fp).cast("bigint")
+                    + F.coalesce(F.col("in_c"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("rank_fp"),
+            )
+        )
+        pr = guarded_local_checkpoint(pr)
+    return pr

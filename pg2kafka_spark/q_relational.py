@@ -3598,6 +3598,114 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000_000
+_PR_DAMP = 85
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point power iteration — generated from the SAME
+    constants as the query (the k-means-oracle discipline): every
+    rank a bigint in 1/SCALE units, every contribution a truncating
+    integer division, so per-node sums are order-independent and the
+    iteration reproduces bit-for-bit."""
+    s, d, base = _PR_SCALE, _PR_DAMP, 100 - _PR_DAMP
+    parts = [
+        """e AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1)",
+        f"pr0 AS (SELECT node, CAST({s} // n AS BIGINT) AS rank_fp "
+        "FROM nodes CROSS JOIN params)",
+    ]
+    for it in range(_PR_ITERS):
+        parts.append(f"""pr{it + 1} AS (
+      SELECT nd.node,
+             CAST(CAST((CAST({base} AS BIGINT) * {s}) // (100 * p.n) AS BIGINT)
+                  + COALESCE(c.in_c, 0) AS BIGINT) AS rank_fp
+      FROM nodes nd CROSS JOIN params p
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum((pr.rank_fp * {d} * e.w) // (100 * o.out_w))
+                 AS BIGINT) AS in_c
+        FROM e JOIN pr{it} pr ON pr.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY 1
+      ) c ON c.node = nd.node
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n_name AS nation, rank_fp
+    FROM pr{_PR_ITERS} JOIN nation ON n_nationkey = node
+    """
+    )
+
+
+@query("nation_trade_pagerank", oracle=_pagerank_oracle())
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the NATION TRADE GRAPH (supplier nation →
+    customer nation, edge weight = line items shipped) — which
+    nations order flow concentrates on, the iterative-algorithm
+    counterpart to connected components. Computed by
+    ``operators/graph.pagerank_fixed_point``: 3 power iterations in
+    fixed-point integer arithmetic, so the whole iteration —
+    uniform start, damped weighted split, dangling-mass drop — is
+    hash-checked against a 3×-unrolled SQL twin generated from the
+    same constants.
+
+    Scale shape: the edge build collapses the fact table through the
+    Q7-style star joins to |nations|² weighted edges; each iteration
+    is one src-keyed edge join + one dst-keyed partial-aggregated
+    sum — the standard edge-partitioned power iteration, O(|E|)/round
+    on ANY graph size (here the graph is tiny; the plan is the one
+    you'd run on a billion-edge graph)."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_orderkey"
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    pr = pagerank_fixed_point(
+        edges,
+        iters=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        weight_col="w",
+    )
+    return pr.join(
+        F.broadcast(nation), pr.node == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "rank_fp")
+
+
 @query(
     "funnel_conversion_latency",
     oracle="""

@@ -65,6 +65,7 @@ _FRONT = [
     "wire_roundtrip_nation",
     "user_value_deciles",
     "daily_new_vs_returning",
+    "nation_trade_pagerank",
     # formula changed in r15: the backfill partials store is now
     # cohort_day-partitioned and the serve casts the partition column
     # back to bigint — re-evidence against the current store layout

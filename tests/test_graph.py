@@ -152,3 +152,38 @@ def test_star_empty_and_shuffled_ids(spark):
         )
     )
     assert got == {7: 7, big - 1: 7, big: 7}
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    """A→B→A with equal weights: ranks must stay exactly uniform
+    through every fixed-point iteration."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    pr = {r.node: r.rank_fp for r in pagerank_fixed_point(edges).collect()}
+    assert pr[1] == pr[2]
+
+
+def test_pagerank_star_center_dominates_and_weights_matter(spark):
+    """Spokes→center star: the center outranks every spoke; doubling
+    one spoke's weight must not change ranks (each spoke's whole
+    out-mass goes to the center regardless of weight scale)."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    star = [(s, 99, 1) for s in range(1, 6)]
+    edges = spark.createDataFrame(star, "src bigint, dst bigint, w bigint")
+    pr = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(edges, weight_col="w").collect()
+    }
+    assert all(pr[99] > pr[s] for s in range(1, 6))
+    heavier = spark.createDataFrame(
+        [(1, 99, 2)] + star[1:], "src bigint, dst bigint, w bigint"
+    )
+    pr2 = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(heavier, weight_col="w").collect()
+    }
+    assert pr2 == pr

@@ -1324,6 +1324,17 @@ COMMENTARY.update({
         "conditional rollup. No second events pass; the join carries "
         "pairs, not events."
     ),
+    "nation_trade_pagerank": (
+        "Fixed-point integer PageRank over the nation trade graph: "
+        "the fact table collapses through Q7-style star joins to "
+        "|nations|-squared weighted edges ONCE; each of the 3 power "
+        "iterations is one src-keyed edge join + one dst-keyed "
+        "partial-aggregated sum (localCheckpoint per round keeps the "
+        "plan O(1) per iteration) — the edge-partitioned shape you'd "
+        "run on a billion-edge graph. All arithmetic is truncating "
+        "bigint, so the 3x-unrolled SQL twin reproduces it "
+        "bit-for-bit."
+    ),
     "wire_roundtrip_nation": (
         "decode∘encode pinned as the identity: the wire JSON is "
         "built and then re-parsed by the consumer-side from_wire "
