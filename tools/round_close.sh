@@ -26,8 +26,12 @@ echo "== [1+2/6] pytest (2 shards) + full-surface parity (concurrent)"
 # _ensure_ann_index) key their paths off tempfile.gettempdir(), and
 # two processes building the same store path concurrently would race
 # the exists-check/overwrite window.
+# Shard balance from the r15 close durations: rest 25:16 vs stream
+# 14:06 — graph (fixpoint loops) and bpe (fold-equivalence corpus)
+# move over to even the walls.
 STREAM_SHARD="tests/test_streaming.py tests/test_retention.py \
-tests/test_annindex.py tests/test_multimodal_real.py"
+tests/test_annindex.py tests/test_multimodal_real.py \
+tests/test_graph.py tests/test_bpe_production.py"
 mkdir -p /tmp/rc_pytest_tmp /tmp/rc_pytest_stream_tmp /tmp/rc_parity_tmp
 pytest_log=$(mktemp)
 stream_log=$(mktemp)
