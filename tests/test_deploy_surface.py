@@ -323,3 +323,40 @@ class TestCsvAllStringHeaderQuarantine:
             raise AssertionError("collision must raise")
         except ValueError as e:
             assert "_corrupt_record" in str(e)
+
+
+def test_from_wire_quarantines_malformed_payloads(spark):
+    """Consumer-side decode: malformed wire values decode to NULL
+    data (PERMISSIVE), clean ones recover the typed row — consumers
+    gate on data IS NULL exactly like the text sources."""
+    from pg2kafka_spark.operators.wire import from_wire
+
+    msgs = spark.createDataFrame(
+        [
+            ('{"external_id":"1","statement":"INSERT",'
+             '"data":{"uid":7,"plan":"pro"}}',),
+            ("{this is not json",),
+        ],
+        "value string",
+    )
+    out = from_wire(msgs, "uid bigint, plan string").collect()
+    by_ok = {r.data is not None: r for r in out}
+    assert by_ok[True].data.uid == 7 and by_ok[True].data.plan == "pro"
+    assert by_ok[False].external_id is None
+
+
+def test_source_signature_tracks_content_identity(spark, tmp_path):
+    """The at-rest store cache key must change when the source's
+    bytes change (even same-second, same-size rewrites — mtime_ns)
+    and stay stable across reads."""
+    import os
+
+    from pg2kafka_spark.catalog import source_signature
+
+    d = tmp_path / "t.parquet"
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(str(d))
+    s1 = source_signature(str(tmp_path), "t")
+    assert s1 == source_signature(str(tmp_path), "t")
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    os.utime(os.path.join(d, part), ns=(1, 1))
+    assert source_signature(str(tmp_path), "t") != s1

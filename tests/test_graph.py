@@ -187,3 +187,16 @@ def test_pagerank_star_center_dominates_and_weights_matter(spark):
         for r in pagerank_fixed_point(heavier, weight_col="w").collect()
     }
     assert pr2 == pr
+
+
+def test_pagerank_dangling_node_keeps_base_rank(spark):
+    """A sink node (in-edges only) must still appear with base +
+    inbound mass; its own mass is dropped (the documented dangling
+    simplification), so total mass shrinks but never errors."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    pr = {r.node: r.rank_fp for r in pagerank_fixed_point(edges).collect()}
+    assert set(pr) == {1, 2}
+    assert pr[2] > pr[1] > 0
+    assert pr[1] + pr[2] <= 1_000_000_000

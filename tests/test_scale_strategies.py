@@ -457,3 +457,25 @@ def test_spread_small_input_spreads_small_and_fails_open(spark):
         assert spread_small_input(df) is df
     finally:
         df._jdf = real_jdf
+
+
+def test_spread_small_input_identity_above_threshold(spark):
+    """The at-scale branch: when the optimizer's size estimate says
+    the input already exceeds parallelism × 128 MiB, the helper must
+    return the SAME frame — spreading a 100 TB scan would be a
+    full-table shuffle."""
+    from unittest import mock
+
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    df = spark.range(10)
+    big = mock.Mock()
+    big.queryExecution.return_value.optimizedPlan.return_value.stats.return_value.sizeInBytes.return_value = (
+        1 << 60
+    )
+    real = df._jdf
+    try:
+        df._jdf = big
+        assert spread_small_input(df) is df
+    finally:
+        df._jdf = real
