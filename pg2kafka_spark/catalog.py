@@ -99,9 +99,19 @@ def source_signature(sf_dir: str, table: str) -> str:
     src_dir = os.path.join(sf_dir, f"{table}.parquet")
     src = src_dir if os.path.exists(src_dir) else sf_dir
     if os.path.isdir(src):
-        for f in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, f))
-            sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        # Full-tree walk, not a top-level listdir: a partitioned
+        # source rewritten in place inside a subdirectory (same leaf
+        # name/size, parent mtime untouched) must still change the
+        # digest, else a regenerated source serves stale derived
+        # stores — the exact failure the mtime_ns keying exists to
+        # prevent (r15 advice).
+        for dirpath, dirnames, filenames in os.walk(src):
+            dirnames.sort()
+            for f in sorted(filenames):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                rel = os.path.relpath(p, src)
+                sig.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     elif os.path.isfile(src):
         st = os.stat(src)
         sig.append(f"{st.st_size}:{st.st_mtime_ns}")

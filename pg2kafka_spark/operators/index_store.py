@@ -199,12 +199,24 @@ def save_ivf_pq_index(
     vec_col: str = "embedding",
     train_sample: int | None = None,
     train_corpus: DataFrame | None = None,
+    keep_raw: bool = False,
 ) -> None:
     """The COMPRESSED index at rest (FAISS ``IVFx,PQy`` storage
     shape): coarse centroids + PQ codebooks (both tiny tables) and a
     cid-partitioned cells layout holding ``(id, codes[m])`` — the
     ``m·log2(n_codes)`` bits per vector that make a billion-vector
     index fit storage budgets; the raw vectors are NOT stored.
+
+    ``keep_raw=True`` ALSO writes ``raw/`` — ``(id, vec)``
+    cid-partitioned, the uncompressed side store that makes the index
+    self-retrainable: PQ code words are not invertible, so without it
+    a drift-gated retrain must re-read the source corpus
+    (``streaming/annindex.retrain_pq_index``). The trade is explicit:
+    raw costs the full ``dim × 8`` bytes/vector the codes avoided
+    (e.g. 64-dim doubles = 512 B vs 8 B of codes — the serving index
+    stays tiny; the side store is cold storage the serve path never
+    reads, only retrain does). Skip it when the source corpus is
+    durably retained elsewhere.
 
     ``train_corpus`` (default: the corpus itself) trains BOTH the
     coarse quantizer and every subspace codebook on a different frame
@@ -229,6 +241,10 @@ def save_ivf_pq_index(
     codes.join(cells, id_col).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{path}/cells")
+    if keep_raw:
+        c.withColumnRenamed("__cv", "vec").join(cells, id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cid").parquet(f"{path}/raw")
 
 
 def load_ivf_pq_topk(

@@ -110,6 +110,7 @@ def from_wire(
     data_schema: str,
     value_col: str = "value",
     timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    rescue: bool = False,
 ) -> DataFrame:
     """CONSUMER-side decode — the inverse of :func:`wire_value`, the
     parse every downstream service of the reference writes by hand
@@ -122,16 +123,29 @@ def from_wire(
     quarantine (PERMISSIVE parse, malformed payloads decode to
     NULL row).
 
-    Scale shape: a single JVM-side JacksonParser projection inside
-    codegen next to whatever scan carries the messages — the decode
-    twin of the encode's splice, no Python, no second pass."""
+    ``rescue=True`` adds a ``rescued`` column — ``map<string,string>``
+    of the payload keys NOT in the pinned schema, each value the raw
+    JSON text. A pinned ``from_json`` silently drops unknown keys, so
+    an upstream ``ALTER TABLE ADD COLUMN`` (which the reference's
+    schemaless jsonb capture forwards on the wire unasked,
+    sql/triggers.sql:21-29) would otherwise be invisible downstream;
+    with rescue the drifted keys are observable (alert on
+    ``size(rescued) > 0``, backfill from the raw text after the
+    schema catches up). Empty map = no drift; NULL = the payload
+    itself failed to parse (the quarantine gate above).
+
+    Scale shape: JVM-side JacksonParser projections inside codegen
+    next to whatever scan carries the messages — the decode twin of
+    the encode's splice, no Python, no shuffle; ``rescue`` adds two
+    more parser passes over the same in-register string (envelope as
+    map to slice the raw ``data`` fragment, fragment as map to diff
+    keys), still map-only."""
     full = (
         "uuid string, external_id string, statement string, "
         f"created_at string, data struct<{data_schema}>"
     )
     w = F.from_json(F.col(value_col), full)
-    return messages.select(
-        "*",
+    cols = [
         w.getField("uuid").alias("uuid"),
         w.getField("external_id").alias("external_id"),
         w.getField("statement").alias("statement"),
@@ -139,7 +153,24 @@ def from_wire(
             w.getField("created_at"), timestamp_format
         ).alias("created_at"),
         w.getField("data").alias("data"),
-    )
+    ]
+    if rescue:
+        from pyspark.sql.types import StructType
+
+        known = [f.name for f in StructType.fromDDL(data_schema).fields]
+        # map<string,string> parse keeps unknown structure: non-string
+        # JSON values (numbers, nested objects) come through as their
+        # raw text, so nothing the producer added is lost.
+        raw_data = F.from_json(
+            F.col(value_col), "map<string,string>"
+        ).getItem("data")
+        cols.append(
+            F.map_filter(
+                F.from_json(raw_data, "map<string,string>"),
+                lambda k, _v: ~k.isin(known),
+            ).alias("rescued")
+        )
+    return messages.select("*", *cols)
 
 
 def to_wire(

@@ -385,6 +385,72 @@ def wire_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wire_rescued_keys",
+    oracle="""
+    WITH wire AS (
+      SELECT CAST(n_nationkey AS VARCHAR) AS external_id,
+             CAST(to_json(struct_pack(
+               n_nationkey := n_nationkey, n_name := n_name,
+               n_regionkey := n_regionkey,
+               n_name_lc := lower(n_name),
+               n_key_sq := n_nationkey * n_nationkey)) AS VARCHAR) AS data
+      FROM nation
+    ), ks AS (
+      SELECT external_id, data, unnest(json_keys(data)) AS k FROM wire
+    )
+    SELECT external_id, k AS rescued_key,
+           json_extract_string(data, '$.' || k) AS rescued_value
+    FROM ks
+    WHERE k NOT IN ('n_nationkey', 'n_name', 'n_regionkey')
+    """,
+)
+def wire_rescued_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 SCHEMA DRIFT (r16): a drifted producer — upstream added
+    two columns the consumer's pinned schema doesn't know — encoded
+    to the wire, decoded with ``from_wire(rescue=True)``, and the
+    RESCUED key/value pairs emitted one row each. The reference
+    forwards added columns unasked (schemaless jsonb row_to_json,
+    sql/triggers.sql:21-29, README.md:75-90); a pinned from_json
+    would silently drop them, so the rescued map is what makes the
+    drift observable downstream. The oracle re-derives the rescued
+    set independently in DuckDB JSON functions: build the same
+    payload, ``json_keys`` minus the pinned names, raw-text values
+    via ``json_extract_string`` — hash-matching proves the rescue
+    path recovers exactly the unknown keys with their values intact
+    (string AND numeric). Map-only both halves: encode, three
+    JacksonParser passes, one explode — no shuffle."""
+    from pg2kafka_spark.operators.wire import from_wire
+
+    nation = load_table(spark, "nation", sf_dir)
+    payload = F.to_json(
+        F.struct(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.lower("n_name").alias("n_name_lc"),
+            (F.col("n_nationkey") * F.col("n_nationkey")).alias("n_key_sq"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    drifted = nation.select(
+        F.concat(
+            F.lit('{"external_id":"'),
+            F.col("n_nationkey").cast("string"),
+            F.lit('","statement":"SNAPSHOT","data":'),
+            payload,
+            F.lit("}"),
+        ).alias("value")
+    )
+    decoded = from_wire(
+        drifted, "n_nationkey int, n_name string, n_regionkey int", rescue=True
+    )
+    return decoded.select(
+        "external_id",
+        F.explode("rescued").alias("rescued_key", "rescued_value"),
+    )
+
+
+@query(
     "topic_routing",
     oracle="""
     SELECT DISTINCT

@@ -3172,20 +3172,22 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     h = source_signature(sf_dir, "embeddings")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annindex_{h}")
 
-    def _has_data(d: str) -> bool:
-        if not os.path.isdir(d):
-            return False
-        for cur, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
+    # Skip gate is a _COMPLETE marker written as the build's LAST
+    # step, not per-directory data presence: every subdir has data
+    # after the FIRST accretion batch, so a process killed between
+    # the two batches would otherwise leave a half-populated store
+    # that later sessions with the same source signature serve
+    # silently wrong (r15 advice). Marker missing + data present =
+    # interrupted build → wipe and rebuild (the appends below must
+    # not stack onto a partial store).
+    marker = os.path.join(root, "_COMPLETE")
     with store_build_lock(root):
-        if all(
-            _has_data(os.path.join(root, d))
-            for d in ("centroids", "cells", "drift")
-        ):
+        if os.path.exists(marker):
             return root
+        if os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root)
         emb = load_table(spark, "embeddings", sf_dir)
         store = emb.filter(F.col("vec_id") < 400)
         save_ivf_index(store, root)
@@ -3206,6 +3208,8 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
             drift_stats(assigned).withColumn(
                 "batch_id", F.lit(bid)
             ).write.mode("append").parquet(f"{root}/drift")
+        with open(marker, "w"):
+            pass
         return root
 
 
@@ -3258,20 +3262,18 @@ def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
     h = source_signature(sf_dir, "embeddings")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_annpq_{h}")
 
-    def _has_data(d: str) -> bool:
-        if not os.path.isdir(d):
-            return False
-        for cur, _dirs, files in os.walk(d):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
+    # Same _COMPLETE-marker skip gate as _ensure_ann_index (r15
+    # advice): data-presence passes after the first accretion batch,
+    # so only a marker written as the final step proves the store is
+    # whole; a partial store is wiped, never appended onto.
+    marker = os.path.join(root, "_COMPLETE")
     with store_build_lock(root):
-        if all(
-            _has_data(os.path.join(root, d))
-            for d in ("centroids", "codebooks", "cells", "drift")
-        ):
+        if os.path.exists(marker):
             return root
+        if os.path.isdir(root):
+            import shutil
+
+            shutil.rmtree(root)
         emb = load_table(spark, "embeddings", sf_dir)
         store = emb.filter(F.col("vec_id") < 400)
         save_ivf_pq_index(store, root)
@@ -3293,6 +3295,8 @@ def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
             drift_stats(assigned).withColumn(
                 "batch_id", F.lit(bid)
             ).write.mode("append").parquet(f"{root}/drift")
+        with open(marker, "w"):
+            pass
         return root
 
 

@@ -3028,7 +3028,7 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     import os
     import tempfile
 
-    from pg2kafka_spark.catalog import source_signature
+    from pg2kafka_spark.catalog import source_signature, store_build_lock
     from pg2kafka_spark.operators.bucketed import write_bucketed
 
     h = hashlib.md5(
@@ -3046,27 +3046,36 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             f.endswith(".parquet") for f in os.listdir(d)
         )
 
-    fresh = (
-        spark.catalog.tableExists(tc)
-        and spark.catalog.tableExists(to)
-        and _has_data("customer")
-        and _has_data("orders")
-    )
-    if not fresh:
-        for t in (tc, to):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-        customer = load_table(spark, "customer", sf_dir).select(
-            "c_custkey", "c_mktsegment"
+    # store_build_lock: the bench warms plans from a thread pool —
+    # without the lock two threads can pass the exists-check together
+    # and race the DROP/overwrite (the same race the retention and
+    # ANN ensures were locked against; r15 advice).
+    with store_build_lock(root):
+        fresh = (
+            spark.catalog.tableExists(tc)
+            and spark.catalog.tableExists(to)
+            and _has_data("customer")
+            and _has_data("orders")
         )
-        orders = load_table(spark, "orders", sf_dir).select(
-            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-        )
-        write_bucketed(
-            customer, tc, "c_custkey", 16, path=os.path.join(root, "customer")
-        )
-        write_bucketed(
-            orders, to, "c_custkey", 16, path=os.path.join(root, "orders")
-        )
+        if not fresh:
+            for t in (tc, to):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            customer = load_table(spark, "customer", sf_dir).select(
+                "c_custkey", "c_mktsegment"
+            )
+            orders = load_table(spark, "orders", sf_dir).select(
+                F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+            )
+            write_bucketed(
+                customer,
+                tc,
+                "c_custkey",
+                16,
+                path=os.path.join(root, "customer"),
+            )
+            write_bucketed(
+                orders, to, "c_custkey", 16, path=os.path.join(root, "orders")
+            )
     return tc, to
 
 

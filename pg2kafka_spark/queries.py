@@ -37,39 +37,22 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
 # regenerated at round close). r10 + r12 + r14 ran pipeline-fronted
-# windows; r11 + r13 ran CDC + relational. r15 (this round) rotates
-# the CDC core + relational consumer surface back to the front per
-# the r14 verdict's item 5 — those families last saw driver rows in
-# r13, and two rounds of drift is the limit. Order:
+# windows; r11 + r13 + r15 ran CDC + relational (r15's window also
+# re-evidenced the r15-new pipeline serve queries via its tier 0).
+# r16 (this round) rotates the PIPELINE families back to the front
+# per the r15 verdict's item 6. Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) CDC core + relational oracle-backed (freshest driver
-#       evidence r13),
-#   (2) pipeline oracle-backed names OUTSIDE the r14 window
-#       (freshest evidence r12),
-#   (3) pipeline oracle-backed names the r14 window covered
-#       (fresh r14 rows),
+#   (1) pipeline oracle-backed names whose last driver row is r12
+#       (they sat outside both the r14 and r15 windows — stalest),
+#   (2) pipeline oracle-backed names the r14 window covered,
+#   (3) CDC core + relational oracle-backed (fresh r15 rows),
 #   (4) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r16 NOTE: rotate the pipeline families to the front; keep
-# alternating.
+# r17 NOTE: rotate CDC + relational to the front; keep alternating.
 _FRONT = [
-    # NEW in r15 — no driver row exists yet
-    "weekly_retention_served_cohort_window",
-    "ann_ivf_served_incremental",
-    "ann_ivf_pq_served_incremental",
-    "session_top_paths_windowed",
-    "embedding_cell_drift",
-    "dau_wau_stickiness",
-    "queue_lag_stats",
-    "wire_roundtrip_nation",
-    "user_value_deciles",
-    "daily_new_vs_returning",
-    "nation_trade_pagerank",
-    # formula changed in r15: the backfill partials store is now
-    # cohort_day-partitioned and the serve casts the partition column
-    # back to bigint — re-evidence against the current store layout
-    "weekly_retention_served",
+    # NEW in r16 — no driver row exists yet
+    "wire_rescued_keys",
 ]
 # names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
 _R14_WINDOW = {
@@ -98,6 +81,30 @@ _R14_WINDOW = {
     "near_dup_canonical", "leakage_free_split",
     "doc_duplicate_ngrams",
 }
+# names that took a fresh r15 driver row (CORRECTNESS_r15.json keys) —
+# mostly CDC/relational plus the r15-new pipeline serve queries
+_R15_WINDOW = {
+    "weekly_retention_served_cohort_window", "ann_ivf_served_incremental",
+    "ann_ivf_pq_served_incremental", "session_top_paths_windowed",
+    "embedding_cell_drift", "dau_wau_stickiness", "queue_lag_stats",
+    "wire_roundtrip_nation", "user_value_deciles",
+    "daily_new_vs_returning", "nation_trade_pagerank",
+    "weekly_retention_served", "latest_state_per_user", "state_asof",
+    "snapshot_part", "update_diff_events", "update_diff_json",
+    "unprocessed_page", "unprocessed_pages_count", "wire_encode_nation",
+    "topic_routing", "event_asof_order", "order_event_attribution",
+    "replayed_state_from_diffs", "scd2_user_history", "pricing_summary",
+    "top_orders", "events_hourly", "revenue_by_region",
+    "customer_order_stats", "customers_without_orders",
+    "customers_with_orders", "brand_supplier_revenue",
+    "shipping_priority", "order_rank_per_customer", "order_gap_days",
+    "running_customer_total", "sessionize_events", "session_top_paths",
+    "session_path_conversion", "session_path_conversion_windowed",
+    "session_funnel_counts", "session_transition_matrix",
+    "finished_only_customers", "both_status_customers",
+    "union_segments", "rollup_returns", "cube_priority_status",
+    "user_event_type_pivot", "order_line_arrays",
+}
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
     __name__ as _qrel_mod,
@@ -115,11 +122,11 @@ def _tier(n: str) -> tuple:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
         return (4, _reg_pos[n])
-    if n in _cdc_rel_names:
-        return (1, _reg_pos[n])
-    if n not in _R14_WINDOW:
+    if n in _cdc_rel_names or n in _R15_WINDOW:
+        return (3, _reg_pos[n])
+    if n in _R14_WINDOW:
         return (2, _reg_pos[n])
-    return (3, _reg_pos[n])
+    return (1, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)

@@ -26,6 +26,17 @@ State under ``<path>`` (the ``save_ivf_index`` layout plus one log):
   a frozen quantizer degrades exactly when new vectors stop fitting
   the old cells (mean assignment similarity drops) or pile into few
   cells (top share rises). ``retrain_flag`` evaluates the log.
+* ``raw`` (COMPRESSED indexes only, optional) — ``(id, vec)``
+  cid-partitioned, accreted in lockstep with the code cells. PQ code
+  words are not invertible, so without it a retrain needs the source
+  corpus re-read; with it ``retrain_pq_index`` is self-contained.
+  The trade (r16): raw re-pays the full ``dim × 8`` bytes/vector the
+  codes compressed away (64-dim doubles ≈ 512 B vs 8 B of codes),
+  but it is COLD storage — the serve path reads only
+  centroids/codebooks/cells, so the serving working set stays
+  compressed; raw is touched once per drift-gated retrain. Skip it
+  (``keep_raw=False``, the default) when the source corpus is
+  durably retained elsewhere.
 
 Crash contract (at-least-once, never loss): cells are written FIRST,
 the drift row second — a crash between the two costs only a log row
@@ -126,11 +137,16 @@ def start_pq_index_ingest_stream(
     by ``save_ivf_pq_index``).
 
     Retrain asymmetry vs the raw loop: code words are NOT invertible,
-    so the compressed layout cannot self-retrain from its own cells —
-    when ``retrain_flag`` over this index's drift log fires, rebuild
-    with ``save_ivf_pq_index`` from the SOURCE corpus (which a
-    production pipeline retains; the index is a projection of it),
-    behind the same sentinel swap."""
+    so the compressed layout cannot self-retrain from its own cells.
+    Two ways out: bootstrap with ``save_ivf_pq_index(keep_raw=True)``
+    — then this loop ALSO accretes each batch's raw vectors to the
+    ``raw/`` side store (detected by the directory's presence) and
+    ``retrain_pq_index`` rebuilds with no external corpus handle —
+    or retain the source corpus and rebuild from it when
+    ``retrain_flag`` fires, behind the same sentinel swap. The side
+    store costs the full ``dim × 8`` bytes/vector the codes avoided;
+    it is cold storage only retrain reads (the serve path never
+    touches it)."""
     import os
 
     if os.path.exists(_retrain_sentinel(index_path)):
@@ -141,6 +157,7 @@ def start_pq_index_ingest_stream(
         )
     coarse = spark.read.parquet(f"{index_path}/centroids")
     books = spark.read.parquet(f"{index_path}/codebooks")
+    keep_raw = os.path.isdir(f"{index_path}/raw")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -159,6 +176,15 @@ def start_pq_index_ingest_stream(
         assigned.drop("cell_sim").write.mode("append").partitionBy(
             "cid"
         ).parquet(f"{index_path}/cells")
+        if keep_raw:
+            # raw side store accretes in lockstep (codes first, raw
+            # second, drift last — a crash replays the whole batch
+            # and retrain's id-dedup absorbs the duplicates)
+            batch_df.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("vec")
+            ).join(assigned.select(id_col, "cid"), id_col).write.mode(
+                "append"
+            ).partitionBy("cid").parquet(f"{index_path}/raw")
         drift_stats(assigned, id_col).withColumn(
             "batch_id", F.lit(int(batch_id))
         ).write.mode("append").parquet(f"{index_path}/drift")
@@ -295,9 +321,9 @@ def compact_cells(
 def retrain_index(
     spark: SparkSession,
     index_path: str,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     iters: int = 2,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     train_sample: int | None = None,
 ) -> None:
@@ -314,12 +340,26 @@ def retrain_index(
     directory swap is sentinel-bracketed, and both the ingest loop
     and a crashed-mid-swap state fail loudly rather than accrete to
     or serve a half-swapped index. The drift log is RESET (its rows
-    scored the old quantizer)."""
+    scored the old quantizer) — reset to an EMPTY directory, not a
+    missing one, so the next cycle's ``retrain_flag`` read succeeds.
+
+    ``n_centroids``/``dim`` default to the EXISTING index's geometry
+    (centroid count / centroid vector length read from the centroids
+    table), so a scheduled retrain never silently reshapes a
+    non-default index (r15 advice); pass them only to deliberately
+    re-size."""
     import os
     import shutil
 
     from pg2kafka_spark.operators.index_store import save_ivf_index
 
+    if n_centroids is None or dim is None:
+        cents = spark.read.parquet(f"{index_path}/centroids")
+        row = cents.agg(
+            F.count("*").alias("n"), F.max(F.size("__ce")).alias("d")
+        ).collect()[0]
+        n_centroids = int(row.n) if n_centroids is None else n_centroids
+        dim = int(row.d) if dim is None else dim
     corpus = (
         spark.read.parquet(f"{index_path}/cells")
         .select(id_col, F.col("vec"))
@@ -342,6 +382,92 @@ def retrain_index(
     old = index_path.rstrip("/") + ".__old__"
     os.rename(index_path, old)
     os.rename(staging, index_path)
+    os.makedirs(f"{index_path}/drift", exist_ok=True)
+    os.remove(sentinel)
+    shutil.rmtree(old)
+
+
+def retrain_pq_index(
+    spark: SparkSession,
+    index_path: str,
+    iters: int = 1,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    train_sample: int | None = None,
+) -> None:
+    """Scheduled retrain for the COMPRESSED index — closes the
+    documented PQ retrain asymmetry: code words are not invertible,
+    so the corpus is read back from the ``raw/`` side store
+    (``save_ivf_pq_index(keep_raw=True)`` + the ingest loop's
+    lockstep raw accretion), duplicate ids from at-least-once replays
+    folded away, and the whole layout rebuilt with
+    ``save_ivf_pq_index`` over it — coarse quantizer AND codebooks
+    retrain, every stored vector re-codes, and the new layout carries
+    the raw store forward (``keep_raw=True``) so the NEXT retrain is
+    equally self-contained. Equal to a rebuild from the source corpus
+    by construction (raw holds the same (id, vec) rows) — pinned by
+    tests. Geometry (n_centroids, m, sub_dim, n_codes, dim) is
+    inferred from the live centroids/codebooks tables, same
+    no-silent-reshape rule as :func:`retrain_index`.
+
+    Same between-runs + sentinel-bracketed swap contract as
+    ``retrain_index``; drift log reset to empty. Raises if the index
+    has no raw side store — rebuild from the retained source corpus
+    instead (the storage-for-independence trade the module header
+    documents)."""
+    import os
+    import shutil
+
+    from pg2kafka_spark.operators.index_store import save_ivf_pq_index
+
+    raw_dir = f"{index_path}/raw"
+    if not os.path.isdir(raw_dir):
+        raise RuntimeError(
+            f"index {index_path!r} has no raw/ side store — it was "
+            "built without keep_raw=True, so a retrain must rebuild "
+            "from the retained SOURCE corpus (save_ivf_pq_index); "
+            "codes alone are not invertible"
+        )
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    books = spark.read.parquet(f"{index_path}/codebooks")
+    geo = cents.agg(
+        F.count("*").alias("n"), F.max(F.size("__ce")).alias("d")
+    ).collect()[0]
+    # cid values are seed-vector ids, NOT 0..n-1 — count rows per
+    # subspace for n_codes; the subspace index m IS contiguous.
+    bgeo = books.agg(
+        (F.max("m") + F.lit(1)).alias("m"),
+        F.max(F.size("__ce")).alias("sub_dim"),
+        (F.count("*") / (F.max("m") + F.lit(1))).alias("n_codes"),
+    ).collect()[0]
+    corpus = (
+        spark.read.parquet(raw_dir)
+        .select(id_col, "vec")
+        .dropDuplicates([id_col])
+    )
+    staging = index_path.rstrip("/") + ".__retrain__"
+    save_ivf_pq_index(
+        corpus,
+        staging,
+        n_centroids=int(geo.n),
+        m=int(bgeo.m),
+        sub_dim=int(bgeo.sub_dim),
+        n_codes=int(bgeo.n_codes),
+        iters=iters,
+        train_iters=train_iters,
+        dim=int(geo.d),
+        id_col=id_col,
+        vec_col="vec",
+        train_sample=train_sample,
+        keep_raw=True,
+    )
+    sentinel = _retrain_sentinel(index_path)
+    with open(sentinel, "w"):
+        pass
+    old = index_path.rstrip("/") + ".__old__"
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    os.makedirs(f"{index_path}/drift", exist_ok=True)
     os.remove(sentinel)
     shutil.rmtree(old)
 
@@ -360,6 +486,8 @@ def run_index_maintenance(
     max_top_share: float = 0.6,
     compact: bool = False,
     timeout_s: int = 600,
+    retrain_iters: int = 2,
+    retrain_train_sample: int | None = None,
 ) -> bool:
     """One scheduled maintenance cycle, the nightly-job spelling that
     mirrors ``run_retention_maintenance``: drain the vector backlog
@@ -391,7 +519,17 @@ def run_index_maintenance(
         max_files_per_trigger=max_files_per_trigger,
         available_now=True,
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout with the stream STILL
+    # RUNNING; retraining/compacting then is the exact between-runs
+    # race this module documents — the staged swap would silently drop
+    # vectors appended during the read-to-swap window (r15 advice).
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"index drain exceeded {timeout_s}s; stream stopped, "
+            "retrain/compaction skipped — re-run the cycle (drain is "
+            "checkpointed, so no progress is lost)"
+        )
     if retrain_on_flag:
         latest = (
             retrain_flag(spark, index_path, min_mean_sim, max_top_share)
@@ -399,7 +537,16 @@ def run_index_maintenance(
             .collect()
         )
         if latest and latest[0].retrain:
-            retrain_index(spark, index_path, id_col=id_col)
+            # geometry (n_centroids/dim) is inferred from the live
+            # index inside retrain_index, so a non-default index keeps
+            # its shape; only the training knobs thread through.
+            retrain_index(
+                spark,
+                index_path,
+                iters=retrain_iters,
+                id_col=id_col,
+                train_sample=retrain_train_sample,
+            )
             return True
     if compact:
         compact_cells(spark, index_path, id_col)
@@ -421,8 +568,25 @@ def retrain_flag(
     retrains (save_ivf_index over store + accreted cells) when the
     latest row flags. Thresholds are corpus-specific knobs, not
     universal constants — calibrate against the bootstrap corpus's
-    own drift row."""
-    log = spark.read.parquet(f"{index_path}/drift")
+    own drift row.
+
+    A missing or empty drift directory (a just-retrained index with
+    no backlog since — the swap resets the log) is NO-RETRAIN, not a
+    crash: return an empty log (r15 advice)."""
+    import os
+
+    drift_dir = f"{index_path}/drift"
+    if not os.path.isdir(drift_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(drift_dir)
+    ):
+        schema = (
+            "batch_id bigint, n_vectors bigint, mean_cell_sim double, "
+            "min_cell_sim double, top_cell_share double"
+        )
+        return spark.createDataFrame([], schema).withColumn(
+            "retrain", F.lit(False)
+        )
+    log = spark.read.parquet(drift_dir)
     return log.withColumn(
         "retrain",
         (F.col("mean_cell_sim") < F.lit(float(min_mean_sim)))

@@ -370,6 +370,17 @@ def run_retention_maintenance(
         max_files_per_trigger=max_files_per_trigger,
         available_now=True,
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout with the stream STILL
+    # RUNNING; compacting then would race appends (the between-runs
+    # precondition compact_first_seen documents) and the staged swap
+    # would drop rows landed during the read-to-swap window. Stop the
+    # stream and refuse the compaction for this cycle (r15 advice).
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"retention drain exceeded {timeout_s}s; stream stopped, "
+            "compaction skipped — re-run the cycle (drain is "
+            "checkpointed, so no progress is lost)"
+        )
     if compact and os.path.isdir(first_seen_dir):
         compact_first_seen(spark, first_seen_dir, user_col)

@@ -214,12 +214,47 @@ def test_run_index_maintenance_retrains_when_flagged(spark, tmp_path):
         min_mean_sim=2.0,  # impossible bar -> always flags
     )
     assert retrained is True
-    # drift log reset with the old quantizer
-    assert not os.path.isdir(f"{path}/drift")
+    # drift log reset with the old quantizer — reset to EMPTY, not
+    # missing (r15 advice: a later cycle with no backlog must not
+    # crash reading the log), and retrain_flag over it is no-retrain
+    assert os.path.isdir(f"{path}/drift")
+    from pg2kafka_spark.streaming.annindex import retrain_flag
+
+    assert retrain_flag(spark, path).count() == 0
     # retrained index == one built fresh over the full corpus
     served = load_ivf_topk(spark, path, _queries(spark), k=3)
     fresh = S.ivf_topk(emb, _queries(spark), k=3)
     assert _topk_rows(served) == _topk_rows(fresh)
+
+
+def test_retrain_preserves_nondefault_geometry(spark, tmp_path):
+    """A scheduled retrain must keep a non-default index's shape:
+    n_centroids/dim are inferred from the live centroids table, not
+    reset to the bootstrap defaults (r15 advice). Also pins the
+    fresh-bootstrap edge: retrain_flag over an index with NO drift
+    directory is no-retrain, not a crash."""
+    from pg2kafka_spark.streaming.annindex import retrain_flag, retrain_index
+
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "index5")
+    save_ivf_index(store, path, n_centroids=5)
+    # bootstrap layout has no drift dir yet — must read as no-retrain
+    assert retrain_flag(spark, path).count() == 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    index_ingest_batch(
+        emb.filter(F.col("vec_id") >= STORE_CUT), cents
+    ).drop("cell_sim").write.mode("append").partitionBy("cid").parquet(
+        f"{path}/cells"
+    )
+    retrain_index(spark, path)
+    retrained_cents = spark.read.parquet(f"{path}/centroids")
+    assert retrained_cents.count() == 5
+    fresh_path = str(tmp_path / "fresh5")
+    save_ivf_index(emb, fresh_path, n_centroids=5)
+    assert _topk_rows(
+        load_ivf_topk(spark, path, _queries(spark), k=3)
+    ) == _topk_rows(load_ivf_topk(spark, fresh_path, _queries(spark), k=3))
 
 
 def test_run_index_maintenance_healthy_keeps_quantizer(spark, tmp_path):
@@ -366,6 +401,72 @@ def test_pq_streamed_accretion_serves_one_pass_result(spark, tmp_path):
     assert _topk_rows(served, "pq_sim") == _topk_rows(one_pass, "pq_sim")
     drift = spark.read.parquet(f"{path}/drift")
     assert drift.select("batch_id").distinct().count() == 2
+
+
+def test_pq_retrain_from_raw_side_store_needs_no_source(spark, tmp_path):
+    """r16: the PQ retrain asymmetry closed. Bootstrap with
+    keep_raw=True, accrete through the stream (raw accretes in
+    lockstep with the codes), then retrain reading ONLY the index
+    directory — result equal to a from-scratch save_ivf_pq_index over
+    the full corpus, raw store carried forward, drift log reset
+    empty. An index built WITHOUT the side store refuses to
+    self-retrain (codes are not invertible)."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import (
+        retrain_pq_index,
+        start_pq_index_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(store, path, keep_raw=True)
+
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 400), (400, 500)],
+        incoming,
+    )
+    q = start_pq_index_ingest_stream(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(120)
+    # the raw side store accreted in lockstep: every vector present
+    raw_ids = spark.read.parquet(f"{path}/raw").select("vec_id").distinct()
+    assert raw_ids.count() == emb.count()
+
+    retrain_pq_index(spark, path)
+
+    # retrained-from-raw == built-from-source over the same corpus
+    fresh = str(tmp_path / "pq_fresh")
+    save_ivf_pq_index(emb, fresh)
+    assert _topk_rows(
+        load_ivf_pq_topk(spark, path, _queries(spark), k=3), "pq_sim"
+    ) == _topk_rows(
+        load_ivf_pq_topk(spark, fresh, _queries(spark), k=3), "pq_sim"
+    )
+    # layout invariants: raw carried forward, drift reset to empty
+    assert os.path.isdir(f"{path}/raw")
+    assert retrain_flag(spark, path).count() == 0
+
+    # no side store -> self-retrain must refuse
+    bare = str(tmp_path / "pq_bare")
+    save_ivf_pq_index(store, bare)
+    try:
+        retrain_pq_index(spark, bare)
+        raise AssertionError("retrain without raw/ must raise")
+    except RuntimeError as e:
+        assert "raw" in str(e)
 
 
 def test_pq_replayed_batch_is_absorbed_before_reconstruction(

@@ -345,6 +345,44 @@ def test_from_wire_quarantines_malformed_payloads(spark):
     assert by_ok[False].external_id is None
 
 
+def test_from_wire_rescues_drifted_producer_columns(spark):
+    """Schema drift e2e (r16): the producer's table grew columns the
+    consumer's pinned schema doesn't know (the reference's jsonb
+    capture forwards them unasked). rescue=True surfaces exactly the
+    unknown keys with raw-text values — numbers and nested objects
+    included — while the typed decode stays intact; an undrifted
+    payload rescues an EMPTY map and a malformed one rescues NULL
+    (same quarantine gate as data)."""
+    from pg2kafka_spark.operators.wire import from_wire
+
+    msgs = spark.createDataFrame(
+        [
+            # drifted: upstream added added_s (string), added_n
+            # (number) and added_o (nested object)
+            ('{"external_id":"1","statement":"UPDATE",'
+             '"data":{"uid":7,"plan":"pro","added_s":"x",'
+             '"added_n":25,"added_o":{"a":1}}}',),
+            # clean producer, no drift
+            ('{"external_id":"2","statement":"INSERT",'
+             '"data":{"uid":8,"plan":"basic"}}',),
+            ("{not json",),
+        ],
+        "value string",
+    )
+    out = from_wire(msgs, "uid bigint, plan string", rescue=True)
+    rows = {r.external_id: r for r in out.collect()}
+    drifted = rows["1"]
+    # typed decode unaffected by the unknown keys
+    assert drifted.data.uid == 7 and drifted.data.plan == "pro"
+    assert drifted.rescued == {
+        "added_s": "x",
+        "added_n": "25",
+        "added_o": '{"a":1}',
+    }
+    assert rows["2"].rescued == {}
+    assert rows[None].rescued is None
+
+
 def test_source_signature_tracks_content_identity(spark, tmp_path):
     """The at-rest store cache key must change when the source's
     bytes change (even same-second, same-size rewrites — mtime_ns)
