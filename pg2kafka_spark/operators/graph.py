@@ -360,6 +360,7 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     weight_col: str | None = None,
+    conserve_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic — the same
     engine-portability discipline as the portable k-means: every
@@ -374,8 +375,15 @@ def pagerank_fixed_point(
     integer percentage ``damping_pct``; contributions split an
     out-node's damped rank proportionally to edge weight
     (``weight_col``, default 1); dangling mass (nodes without
-    out-edges) is DROPPED, the common large-graph simplification —
-    ranks are comparable, not a strict probability distribution.
+    out-edges) is DROPPED by default, the common large-graph
+    simplification — ranks are comparable, not a strict probability
+    distribution. ``conserve_dangling=True`` (r16) instead
+    redistributes each iteration's dangling mass uniformly — the
+    textbook formulation a ranking consumer usually wants: total mass
+    stays ``scale`` up to per-division truncation, so ranks read as a
+    distribution. Costs one tiny extra aggregate per iteration (the
+    dangling node SET is fixed — computed once — only its current
+    mass is re-summed, a 1-row scalar broadcast into the update).
 
     Scale shape: the node and out-weight tables are one aggregation
     each; every iteration is one src-keyed join of the edge list
@@ -406,6 +414,11 @@ def pagerank_fixed_point(
     pr = nodes.select(
         "node", F.lit(scale // n_nodes).cast("bigint").alias("rank_fp")
     )
+    dangling = (
+        nodes.join(outw, nodes.node == outw.src, "left_anti")
+        if conserve_dangling
+        else None
+    )
     for _ in range(iters):
         contrib = (
             e.join(pr, e.src == pr.node)
@@ -419,9 +432,34 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("c").alias("in_c"))
         )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
+        if conserve_dangling:
+            # the dangling nodes' damped mass from the PREVIOUS
+            # ranks, split uniformly: one 1-row aggregate
+            # (overflow-safe: dm ≤ scale, ×damping ≤ ~1e11)
+            # broadcast-crossed into the update
+            dm = pr.join(dangling, "node").agg(
+                F.coalesce(F.sum("rank_fp"), F.lit(0))
+                .cast("bigint")
+                .alias("dm")
+            )
+            pr = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        F.lit(base_fp).cast("bigint")
+                        + F.expr(
+                            f"(dm * {damping_pct}) div {100 * n_nodes}"
+                        )
+                        + F.coalesce(F.col("in_c"), F.lit(0))
+                    )
+                    .cast("bigint")
+                    .alias("rank_fp"),
+                )
+            )
+        else:
+            pr = nodes.join(contrib, "node", "left").select(
                 "node",
                 (
                     F.lit(base_fp).cast("bigint")
@@ -430,6 +468,5 @@ def pagerank_fixed_point(
                 .cast("bigint")
                 .alias("rank_fp"),
             )
-        )
         pr = guarded_local_checkpoint(pr)
     return pr

@@ -310,6 +310,37 @@ def queue_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("queue_lag_stats_approx")
+def queue_lag_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PB-scale twin of ``queue_lag_stats`` (r16, the
+    ``orders_table_profile_approx`` precedent): Greenwald-Khanna
+    ``approx_percentile`` (accuracy 10000 ≈ 0.01% rank error)
+    replaces the exact percentile, whose single-reduce collects every
+    age value — the GK sketch partial-aggregates map-side, so the
+    shuffle carries O(sketch) bytes per partition instead of the
+    column. Rows-only by design (a GK estimate is engine-specific);
+    the exact twin IS the oracle evidence, and
+    tests/test_cdc_semantics.py pins every non-sketch column equal to
+    it and both percentiles within rank tolerance."""
+    ev = load_table(spark, "events", sf_dir)
+    now = ev.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    u = ev.filter(F.col("event_type") != "error").select(
+        F.unix_micros("ts").alias("ts_us")
+    )
+    return u.crossJoin(F.broadcast(now)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unprocessed"),
+        F.max(F.col("now_us") - F.col("ts_us"))
+        .cast("bigint")
+        .alias("oldest_age_us"),
+        F.expr("approx_percentile(now_us - ts_us, 0.5, 10000)")
+        .cast("double")
+        .alias("p50_age_us"),
+        F.expr("approx_percentile(now_us - ts_us, 0.95, 10000)")
+        .cast("double")
+        .alias("p95_age_us"),
+    )
+
+
 @query(
     "wire_encode_nation",
     oracle="""

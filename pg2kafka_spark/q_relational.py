@@ -3715,6 +3715,129 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_name").alias("nation"), "rank_fp")
 
 
+def _pagerank_conserving_oracle() -> str:
+    """Unrolled CONSERVING fixed-point power iteration (r16): same
+    generated-from-the-constants discipline as ``_pagerank_oracle``
+    plus one dangling-mass scalar CTE per iteration."""
+    s, d, base = _PR_SCALE, _PR_DAMP, 100 - _PR_DAMP
+    parts = [
+        """e AS (
+      SELECT s_nationkey AS src, c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE sn.n_regionkey < 3
+      GROUP BY 1, 2
+    )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1)",
+        "dang AS (SELECT node FROM nodes LEFT JOIN outw "
+        "ON src = node WHERE src IS NULL)",
+        f"pr0 AS (SELECT node, CAST({s} // n AS BIGINT) AS rank_fp "
+        "FROM nodes CROSS JOIN params)",
+    ]
+    for it in range(_PR_ITERS):
+        parts.append(
+            f"""dg{it} AS (
+      SELECT CAST(COALESCE(sum(pr.rank_fp), 0) AS BIGINT) AS dm
+      FROM pr{it} pr JOIN dang dgn ON dgn.node = pr.node
+    )"""
+        )
+        parts.append(f"""pr{it + 1} AS (
+      SELECT nd.node,
+             CAST(CAST((CAST({base} AS BIGINT) * {s}) // (100 * p.n) AS BIGINT)
+                  + (dg.dm * {d}) // (100 * p.n)
+                  + COALESCE(c.in_c, 0) AS BIGINT) AS rank_fp
+      FROM nodes nd CROSS JOIN params p CROSS JOIN dg{it} dg
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum((pr.rank_fp * {d} * e.w) // (100 * o.out_w))
+                 AS BIGINT) AS in_c
+        FROM e JOIN pr{it} pr ON pr.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY 1
+      ) c ON c.node = nd.node
+    )""")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n_name AS nation, rank_fp
+    FROM pr{_PR_ITERS} JOIN nation ON n_nationkey = node
+    """
+    )
+
+
+@query(
+    "nation_trade_pagerank_conserving",
+    oracle=_pagerank_conserving_oracle(),
+)
+def nation_trade_pagerank_conserving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONSERVING PageRank twin (r16, the r15 verdict's 7a): same
+    fixed-point iteration as ``nation_trade_pagerank`` but each
+    round's dangling mass is redistributed uniformly instead of
+    dropped, so ranks form a distribution (sum ≈ scale up to
+    truncation) — what a ranking consumer usually wants. The graph is
+    made genuinely asymmetric to EXERCISE the dangling path: only
+    suppliers in regions 0–2 export, so the nations of regions 3–4
+    receive order flow but have no out-edges — structurally dangling
+    at every scale factor. Hash-checked against a 3×-unrolled SQL
+    twin with one dangling-mass scalar CTE per iteration, generated
+    from the same constants.
+
+    Scale shape: identical per-iteration plan as the dropping variant
+    plus one 1-row aggregate (sum of ≤|nodes| ranks) broadcast into
+    the update — O(|E|)/round unchanged; the dangling node SET is
+    computed once (anti-join), only its mass re-sums per round."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_orderkey"
+    )
+    nation = load_table(spark, "nation", sf_dir)
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") < 3)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey")
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey"
+    )
+    edges = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    pr = pagerank_fixed_point(
+        edges,
+        iters=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        weight_col="w",
+        conserve_dangling=True,
+    )
+    return pr.join(
+        F.broadcast(nation), pr.node == nation.n_nationkey
+    ).select(F.col("n_name").alias("nation"), "rank_fp")
+
+
 @query(
     "funnel_conversion_latency",
     oracle="""

@@ -354,3 +354,18 @@ def test_scd2_intervals_tile_each_key_history(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] <= a["valid_to"]
+
+
+def test_queue_lag_stats_approx_tracks_exact(spark, sf_dir):
+    """The ⊘ PB-scale twin (r16): every non-sketch column EQUAL to
+    the exact view; the GK approx percentiles within 1% relative of
+    the exact interpolated ones (accuracy 10000 ⇒ ≤0.01% rank error;
+    the value gap at sf0.001 measures <0.1%)."""
+    from pg2kafka_spark.queries import QUERIES
+
+    exact = QUERIES["queue_lag_stats"](spark, sf_dir).collect()[0]
+    approx = QUERIES["queue_lag_stats_approx"](spark, sf_dir).collect()[0]
+    assert approx.n_unprocessed == exact.n_unprocessed
+    assert approx.oldest_age_us == exact.oldest_age_us
+    for col in ("p50_age_us", "p95_age_us"):
+        assert abs(approx[col] - exact[col]) <= 0.01 * exact[col], col

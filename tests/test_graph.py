@@ -200,3 +200,36 @@ def test_pagerank_dangling_node_keeps_base_rank(spark):
     assert set(pr) == {1, 2}
     assert pr[2] > pr[1] > 0
     assert pr[1] + pr[2] <= 1_000_000_000
+
+
+def test_pagerank_conserving_redistributes_dangling_mass(spark):
+    """conserve_dangling=True (r16): total mass stays scale up to
+    per-division truncation (a distribution, not just comparable
+    ranks), strictly exceeding the dropping variant's total on a
+    graph with a sink; on a sink-free graph the two variants are
+    IDENTICAL (no dangling mass to move)."""
+    from pg2kafka_spark.operators.graph import pagerank_fixed_point
+
+    scale = 1_000_000_000
+    sink = spark.createDataFrame(
+        [(1, 2), (3, 2)], "src bigint, dst bigint"
+    )
+    drop = {
+        r.node: r.rank_fp for r in pagerank_fixed_point(sink).collect()
+    }
+    cons = {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(sink, conserve_dangling=True).collect()
+    }
+    assert sum(cons.values()) > sum(drop.values())
+    # truncation loss only: < 1 unit per division site per iteration
+    assert scale - sum(cons.values()) < 100
+    assert cons[2] > cons[1] == cons[3] > 0
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    assert {
+        r.node: r.rank_fp for r in pagerank_fixed_point(cycle).collect()
+    } == {
+        r.node: r.rank_fp
+        for r in pagerank_fixed_point(cycle, conserve_dangling=True).collect()
+    }

@@ -10,7 +10,14 @@ Fixture lineage mirrors tools/stress_bench.py: synthetic batches are
 deterministic element-wise perturbations of the sf0.1 embeddings with
 shifted ids — no randomness, re-runnable bit-for-bit.
 
-Usage: [BATCHES=15] [BATCH_SCALE=10] PYTHONPATH=. python tools/annindex_stress.py
+MODE=pq (r16) runs the COMPRESSED loop instead: bootstrap
+``save_ivf_pq_index(keep_raw=True)``, accrete code words + the raw
+side store in lockstep, and finish with one ``retrain_pq_index`` from
+the accreted raw store alone — the self-contained retrain's measured
+cost at the accreted size, plus the raw/codes storage ratio (the
+side-store trade quantified).
+
+Usage: [BATCHES=15] [BATCH_SCALE=10] [MODE=pq] PYTHONPATH=. python tools/annindex_stress.py
 """
 
 from __future__ import annotations
@@ -23,16 +30,35 @@ import time
 from pyspark.sql import functions as F
 
 from pg2kafka_spark.catalog import load_table
-from pg2kafka_spark.operators.index_store import load_ivf_topk, save_ivf_index
+from pg2kafka_spark.operators.index_store import (
+    load_ivf_pq_topk,
+    load_ivf_topk,
+    save_ivf_index,
+    save_ivf_pq_index,
+)
 from pg2kafka_spark.session import get_spark
-from pg2kafka_spark.streaming.annindex import drift_stats, index_ingest_batch
+from pg2kafka_spark.streaming.annindex import (
+    drift_stats,
+    index_ingest_batch,
+    pq_index_ingest_batch,
+    retrain_pq_index,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for cur, _dirs, files in os.walk(d):
+        for f in files:
+            total += os.path.getsize(os.path.join(cur, f))
+    return total
 
 
 def main() -> None:
     n_batches = int(os.environ.get("BATCHES", "15"))
     batch_scale = int(os.environ.get("BATCH_SCALE", "10"))
+    pq = os.environ.get("MODE", "").lower() == "pq"
     spark = get_spark("annindex-stress")
     emb = load_table(spark, "embeddings", SF_DIR).select(
         "vec_id", "embedding"
@@ -42,11 +68,15 @@ def main() -> None:
     shutil.rmtree(path, ignore_errors=True)
 
     t0 = time.monotonic()
-    save_ivf_index(emb, path)
+    if pq:
+        save_ivf_pq_index(emb, path, keep_raw=True)
+    else:
+        save_ivf_index(emb, path)
     # force the write before timing batches
     boot_n = spark.read.parquet(f"{path}/cells").count()
     boot_s = time.monotonic() - t0
     cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks") if pq else None
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -85,10 +115,25 @@ def main() -> None:
         batch = one_batch(bid).localCheckpoint()
         bn = batch.count()
         t = time.monotonic()
-        assigned = index_ingest_batch(batch, cents).localCheckpoint()
+        if pq:
+            assigned = pq_index_ingest_batch(
+                batch, cents, books
+            ).localCheckpoint()
+        else:
+            assigned = index_ingest_batch(batch, cents).localCheckpoint()
         assigned.drop("cell_sim").write.mode("append").partitionBy(
             "cid"
         ).parquet(f"{path}/cells")
+        if pq:
+            # the raw side store accretes in lockstep, as the ingest
+            # stream does — part of the timed per-batch cost
+            from pg2kafka_spark.operators.similarity import as_double
+
+            batch.select(
+                "vec_id", as_double(F.col("embedding")).alias("vec")
+            ).join(assigned.select("vec_id", "cid"), "vec_id").write.mode(
+                "append"
+            ).partitionBy("cid").parquet(f"{path}/raw")
         drift_stats(assigned).withColumn("batch_id", F.lit(bid)).write.mode(
             "append"
         ).parquet(f"{path}/drift")
@@ -97,12 +142,33 @@ def main() -> None:
         serve_s = None
         if (bid + 1) % 5 == 0 or bid == n_batches - 1:
             t = time.monotonic()
-            load_ivf_topk(spark, path, queries, k=3).count()
+            if pq:
+                load_ivf_pq_topk(
+                    spark, path, queries, k=3, absorb_duplicates=True
+                ).count()
+            else:
+                load_ivf_topk(spark, path, queries, k=3).count()
             serve_s = time.monotonic() - t
         print(
             f"| batch {bid} | {index_rows} | {bn} | {ingest_s:.2f} | "
             f"{f'{serve_s:.2f}' if serve_s is not None else '—'} |",
             flush=True,
+        )
+    if pq:
+        codes_b = _dir_bytes(f"{path}/cells")
+        raw_b = _dir_bytes(f"{path}/raw")
+        t = time.monotonic()
+        retrain_pq_index(spark, path)
+        retrain_s = time.monotonic() - t
+        retrained_n = spark.read.parquet(f"{path}/cells").count()
+        print(
+            f"\nself-contained retrain from raw/ over {retrained_n} "
+            f"vectors: {retrain_s:.2f} s"
+        )
+        print(
+            f"storage: codes {codes_b / 1e6:.1f} MB vs raw side store "
+            f"{raw_b / 1e6:.1f} MB ({raw_b / max(codes_b, 1):.1f}x — "
+            "the documented side-store trade)"
         )
     shutil.rmtree(path, ignore_errors=True)
 

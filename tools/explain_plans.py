@@ -1342,6 +1342,34 @@ COMMENTARY.update({
         "over one nation scan — no shuffle anywhere, and the oracle "
         "is the source table itself."
     ),
+    "wire_rescued_keys": (
+        "Schema-drift rescue (r16): a drifted producer's unknown "
+        "payload keys recovered as a map<string,string> of raw JSON "
+        "text — three JacksonParser passes (typed envelope, envelope "
+        "as map to slice the raw data fragment, fragment as map to "
+        "diff keys vs the pinned schema) all inside one codegen "
+        "stage over one scan, then one explode. No shuffle; the "
+        "oracle re-derives the rescued set with DuckDB json_keys "
+        "minus the pinned names."
+    ),
+    "queue_lag_stats_approx": (
+        "PB-scale lag twin: Greenwald-Khanna approx_percentile "
+        "partial-aggregates map-side, so the shuffle carries "
+        "O(sketch) bytes per partition instead of every age value "
+        "the exact percentile's single-reduce collects. Rows-only "
+        "(GK estimates are engine-specific); the exact twin is the "
+        "oracle evidence and tests pin count/oldest equal + "
+        "percentiles within 1%."
+    ),
+    "nation_trade_pagerank_conserving": (
+        "Conserving PageRank twin (r16): identical per-iteration "
+        "edge-partitioned plan as nation_trade_pagerank plus one "
+        "1-row dangling-mass aggregate broadcast-crossed into each "
+        "update — ranks form a distribution (sum = scale up to "
+        "truncation). The supplier side is region-restricted so "
+        "regions 3-4 are structurally dangling at every SF; the "
+        "3x-unrolled oracle adds one scalar CTE per iteration."
+    ),
 })
 
 
