@@ -124,12 +124,54 @@ _STORE_LOCKS: dict = {}
 _STORE_LOCKS_GUARD = _threading.Lock()
 
 
-def store_build_lock(root: str) -> _threading.Lock:
+class _StoreBuildLock:
+    """Thread lock + advisory file lock on ``<root>.lock``, acquired
+    in that order. The file lock is what makes the guard hold across
+    PROCESSES; the kernel releases it if the holder dies, so a
+    crashed build never wedges later sessions."""
+
+    def __init__(self, root: str, tlock: _threading.Lock):
+        self._root = root
+        self._tlock = tlock
+        self._fh = None
+
+    def __enter__(self):
+        self._tlock.acquire()
+        try:
+            import fcntl
+
+            self._fh = open(self._root.rstrip("/") + ".lock", "a")
+            fcntl.flock(self._fh, fcntl.LOCK_EX)
+        except BaseException:
+            if self._fh is not None:
+                self._fh.close()
+                self._fh = None
+            self._tlock.release()
+            raise
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        self._fh = None
+        self._tlock.release()
+        return False
+
+
+def store_build_lock(root: str) -> _StoreBuildLock:
     """Per-store-path build lock: the bench warms query plans from a
     thread pool, and two serve queries backed by the SAME session
-    store (retention partials, ANN index) would otherwise race the
-    exists-check/overwrite window of their ensure function — observed
-    as mid-write chmod failures on the shared path. Threads only;
-    cross-PROCESS isolation is separate TMPDIRs (tools/round_close.sh)."""
+    store (retention partials, ANN index, bucketed tables) would
+    otherwise race the exists-check/overwrite window of their ensure
+    function — observed as mid-write chmod failures on the shared
+    path. r16: ALSO a file lock, so two PROCESSES sharing a tempdir
+    (a bench beside a parity sweep) serialize the same way — the
+    separate-TMPDIR convention in tools/run_tests.sh remains the
+    belt-and-braces for full isolation, but is no longer load-bearing
+    for correctness. Every caller re-checks store existence INSIDE
+    the lock, so the loser of the race serves the winner's build."""
     with _STORE_LOCKS_GUARD:
-        return _STORE_LOCKS.setdefault(root, _threading.Lock())
+        tlock = _STORE_LOCKS.setdefault(root, _threading.Lock())
+    return _StoreBuildLock(root, tlock)

@@ -42,3 +42,39 @@ def test_events_ts_epoch_matches_duckdb(spark):
         f"FROM '{sf_dir}/events.parquet'"
     ).fetchone()
     assert (got.lo, got.hi, int(got.s)) == (exp[0], exp[1], int(exp[2]))
+
+
+def test_store_build_lock_excludes_across_processes(tmp_path):
+    """r16: the build lock must hold across PROCESSES, not just
+    threads — a bench and a parity sweep sharing one tempdir race the
+    same store path. A child process holds the lock for ~1.2 s; the
+    parent's acquisition must block until it releases."""
+    import multiprocessing as mp
+    import time
+
+    from pg2kafka_spark.catalog import store_build_lock
+
+    root = str(tmp_path / "store")
+
+    def hold(path, held):
+        from pg2kafka_spark.catalog import store_build_lock as sbl
+
+        with sbl(path):
+            held.set()
+            time.sleep(1.2)
+
+    ctx = mp.get_context("fork")
+    held = ctx.Event()
+    p = ctx.Process(target=hold, args=(root, held))
+    p.start()
+    try:
+        assert held.wait(10), "child never acquired"
+        t0 = time.monotonic()
+        with store_build_lock(root):
+            waited = time.monotonic() - t0
+        assert waited > 0.5, f"parent did not block on the file lock ({waited:.2f}s)"
+    finally:
+        p.join(10)
+    # reentrant-by-sequence: a fresh acquisition succeeds immediately
+    with store_build_lock(root):
+        pass
