@@ -510,3 +510,52 @@ def test_pq_replayed_batch_is_absorbed_before_reconstruction(
         "pq_sim",
     )
     assert got == want
+
+
+def test_run_index_maintenance_timeout_aborts_before_retrain(
+    spark, tmp_path
+):
+    """r16 (r15 advice): an index drain exceeding the timeout stops
+    the stream and raises — retrain/compaction never race a live
+    stream — and a re-run completes from the checkpoint losslessly."""
+    import pytest
+
+    from pg2kafka_spark.streaming.annindex import run_index_maintenance
+
+    emb, path = _bootstrap(spark, tmp_path)
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 370), (370, 440), (440, 500)],
+        incoming,
+    )
+    with pytest.raises(TimeoutError):
+        run_index_maintenance(
+            spark,
+            incoming,
+            "vec_id bigint, embedding array<float>",
+            index_path=path,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            timeout_s=1,  # 3 files at 1/trigger never drain in 1 s
+        )
+    # recovery: the re-run drains the rest and serves the full corpus
+    run_index_maintenance(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    served = load_ivf_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    one_pass = S.ivf_topk(
+        emb,
+        _queries(spark),
+        k=3,
+        train_corpus=emb.filter(F.col("vec_id") < STORE_CUT),
+    )
+    assert _topk_rows(served) == _topk_rows(one_pass)

@@ -585,3 +585,52 @@ def test_compact_sketches_preserves_estimates(spark, tmp_path):
     assert after_df.count() == len(before)  # one row per cell
     assert after_df.count() <= n_before
     assert served() == before
+
+
+def test_run_retention_maintenance_timeout_aborts_before_compaction(
+    spark, tmp_path
+):
+    """r16 (r15 advice): a drain that exceeds the timeout must STOP
+    the stream and raise — never run compact_first_seen while the
+    stream could still be appending — and a re-run with a sane
+    timeout completes the cycle losslessly (the drain is
+    checkpointed)."""
+    import pytest
+
+    from pg2kafka_spark.streaming.retention import run_retention_maintenance
+
+    ev_raw = load_table(spark, "events", SF).select("user_id", "ts")
+    slices = _day_slices(_events(spark), 3)
+    incoming = str(tmp_path / "incoming")
+    fs_dir = str(tmp_path / "first_seen")
+    part_dir = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    _write_day_slice_files(spark, ev_raw, slices, incoming)
+
+    with pytest.raises(TimeoutError):
+        run_retention_maintenance(
+            spark,
+            incoming,
+            "user_id bigint, ts timestamp",
+            first_seen_dir=fs_dir,
+            partials_dir=part_dir,
+            checkpoint_dir=ckpt,
+            max_files_per_trigger=1,
+            timeout_s=1,  # expires while the drain is still running
+            # (3 files at 1/trigger never finish in 1 s)
+        )
+    # recovery: the normal cycle finishes and compacts
+    run_retention_maintenance(
+        spark,
+        incoming,
+        "user_id bigint, ts timestamp",
+        first_seen_dir=fs_dir,
+        partials_dir=part_dir,
+        checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    cands = spark.read.parquet(fs_dir)
+    assert cands.count() == cands.select("user_id").distinct().count()
+    assert _triangle_rows(
+        retention_from_partials(spark.read.parquet(part_dir))
+    ) == _batch_triangle(spark)
