@@ -321,6 +321,52 @@ def components_with_isolates(
     )
 
 
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "component_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """MAINTAINED component labels (r16): fold a new batch of
+    candidate pairs into yesterday's fixpoint WITHOUT re-running
+    components over the historical pair graph — the daily-ingest
+    spelling of ``connected_components``, the same incremental
+    contract as the dedup fingerprint store and the retention
+    partials.
+
+    The old label table is itself a connectivity-exact compression of
+    the old graph: the star edges ``(node → component_id)`` connect
+    exactly what the old edges connected (component_id is the min
+    NODE id of the component — our CC convention — so it is a node of
+    the component, and min labels are preserved). Running the same
+    min-label propagation over ``stars ∪ new_edges`` therefore equals
+    the cold rebuild over ``old_edges ∪ new_edges`` — pinned by the
+    registered query's oracle (the FULL-graph recursive closure) and
+    an equality test.
+
+    Scale shape: the folded edge list is |V_old| star edges (diameter
+    ≤ 2 after one round) + |batch| new pairs — independent of how
+    many historical PAIRS ever existed; rounds track how many old
+    components the new batch chains together, not old cluster
+    diameters. Labels must be node-id-valued (any CC output here
+    qualifies)."""
+    stars = labels.select(
+        F.col(node_col).alias(src), F.col(label_col).alias(dst)
+    )
+    # keep self-stars (roots label themselves): they carry edge-less
+    # old nodes through CC so the output still covers every labeled
+    # node; a self-edge is a no-op message in the propagation.
+    merged = stars.unionByName(
+        new_edges.select(F.col(src), F.col(dst))
+    )
+    return connected_components(
+        merged, src, dst, node_col, label_col, max_iter
+    )
+
+
 def canonical_per_component(
     labeled: DataFrame,
     order_cols: list[Column],

@@ -1890,6 +1890,54 @@ def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_components_incremental",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_EDGES
+    + """
+    SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def near_dup_components_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTAINED duplicate-cluster labels (r16): yesterday's label
+    table (components over pairs among doc_id < 300) folded with
+    today's batch (every pair touching a doc_id ≥ 300) through
+    ``operators/graph.incremental_components`` — the historical pair
+    graph is never re-read; its labels stand in as star edges. The
+    oracle is the FULL-graph recursive closure — the SAME oracle as
+    ``near_dup_components`` — so hash-matching proves warm-start ≡
+    cold rebuild, the incremental contract the dedup store and
+    retention partials carry, now for the graph stage.
+
+    Scale: the daily fold joins |V| star edges + |batch| pairs —
+    independent of historical pair count; rounds track how many old
+    clusters the batch bridges, not old cluster diameters (stars have
+    diameter ≤ 2)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
+    cut = 300  # yesterday: doc_id < 300; today's ingest: the rest
+    old_pairs = pairs.filter(
+        (F.col("id_a") < cut) & (F.col("id_b") < cut)
+    )
+    new_pairs = pairs.filter(
+        (F.col("id_a") >= cut) | (F.col("id_b") >= cut)
+    )
+    labels_old = G.components_with_isolates(
+        G.connected_components(old_pairs, node_col="doc_id"),
+        docs.filter(F.col("doc_id") < cut).select("doc_id"),
+        node_col="doc_id",
+    )
+    comps = G.incremental_components(
+        labels_old, new_pairs, node_col="doc_id"
+    )
+    return G.components_with_isolates(
+        comps, docs.select("doc_id"), node_col="doc_id"
+    )
+
+
+@query(
     "near_dup_canonical",
     oracle="WITH RECURSIVE "
     + _JACCARD_EDGES

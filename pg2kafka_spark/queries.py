@@ -53,6 +53,8 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 _FRONT = [
     # NEW in r16 — no driver row exists yet
     "wire_rescued_keys",
+    "near_dup_components_incremental",
+    "nation_trade_pagerank_conserving",
 ]
 # names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
 _R14_WINDOW = {

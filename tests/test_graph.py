@@ -233,3 +233,45 @@ def test_pagerank_conserving_redistributes_dangling_mass(spark):
         r.node: r.rank_fp
         for r in pagerank_fixed_point(cycle, conserve_dangling=True).collect()
     }
+
+
+def test_incremental_components_equals_cold_rebuild(spark):
+    """The maintained-labels fold: a new batch that (a) bridges two
+    old components, (b) introduces brand-new nodes, and (c) leaves a
+    third component untouched must produce exactly the cold rebuild
+    over the union of all edges — and old singletons survive the fold
+    via their self-stars."""
+    from pg2kafka_spark.operators.graph import (
+        connected_components,
+        components_with_isolates,
+        incremental_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (3, 4), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    old_nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 4, 7, 8, 9)], "node bigint"
+    )  # 9 = old isolate
+    labels = components_with_isolates(
+        connected_components(old_edges), old_nodes
+    )
+    new_edges = spark.createDataFrame(
+        [(2, 3), (10, 11), (11, 9)], "id_a bigint, id_b bigint"
+    )  # bridges {1,2}+{3,4}; new nodes 10,11 chained onto old isolate 9
+    warm = {
+        r.node: r.component_id
+        for r in incremental_components(labels, new_edges).collect()
+    }
+    cold = {
+        r.node: r.component_id
+        for r in connected_components(
+            old_edges.unionByName(new_edges)
+        ).collect()
+    }
+    # cold CC doesn't see edge-less node 9's old membership; warm
+    # carries every labeled node. Compare on the union semantics:
+    assert warm == {**cold, 9: warm[9]}
+    assert warm[1] == warm[2] == warm[3] == warm[4] == 1
+    assert warm[9] == warm[10] == warm[11] == 9
+    assert warm[7] == warm[8] == 7

@@ -1361,6 +1361,17 @@ COMMENTARY.update({
         "oracle evidence and tests pin count/oldest equal + "
         "percentiles within 1%."
     ),
+    "near_dup_components_incremental": (
+        "Maintained duplicate-cluster labels: yesterday's label table "
+        "stands in for the whole historical pair graph as |V| star "
+        "edges (connectivity-exact, diameter <= 2), folded with "
+        "today's batch pairs through the same min-label propagation. "
+        "Daily cost is independent of historical pair count; rounds "
+        "track how many old clusters the batch bridges. Hash-matched "
+        "against the FULL-graph recursive closure — warm-start == "
+        "cold rebuild, the incremental contract extended to the "
+        "graph stage."
+    ),
     "nation_trade_pagerank_conserving": (
         "Conserving PageRank twin (r16): identical per-iteration "
         "edge-partitioned plan as nation_trade_pagerank plus one "
