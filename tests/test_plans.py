@@ -90,6 +90,16 @@ def test_wire_encode_is_map_only(spark, sf_dir):
     assert "Exchange" not in p
 
 
+def test_wire_rescue_decode_is_map_only(spark, sf_dir):
+    # encode → three JacksonParser passes → key diff → explode, all
+    # in one stage over one scan: the rescue path adds parsers, never
+    # a shuffle (r16)
+    p = plan_of(spark, "wire_rescued_keys", sf_dir)
+    assert "Exchange" not in p
+    assert "Generate" in p  # the rescued-map explode
+    assert "from_json" in p
+
+
 def test_ivf_broadcasts_centroids_and_probes(spark, sf_dir):
     # corpus side must stream: centroid/probe sides broadcast, no
     # corpus self-join, no cartesian against the big side
