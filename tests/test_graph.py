@@ -275,3 +275,113 @@ def test_incremental_components_equals_cold_rebuild(spark):
     assert warm[1] == warm[2] == warm[3] == warm[4] == 1
     assert warm[9] == warm[10] == warm[11] == 9
     assert warm[7] == warm[8] == 7
+
+
+def _write_pair_slices(spark, pair_lists, incoming):
+    import os
+    import shutil
+
+    os.makedirs(incoming, exist_ok=True)
+    t0 = 1_700_000_000
+    for i, pl in enumerate(pair_lists):
+        df = spark.createDataFrame(pl, "id_a bigint, id_b bigint")
+        stage = os.path.join(incoming, f"__stage_{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(incoming, f"batch_{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+
+
+def test_components_stream_folds_equal_one_pass(spark, tmp_path):
+    """The 4th maintained-state loop (r16): candidate-pair batches
+    streamed through start_components_stream leave a label table
+    identical to cold connected_components over ALL pairs — the same
+    streamed ≡ one-pass evidence the dedup/retention/ANN loops
+    carry."""
+    from pg2kafka_spark.operators.graph import connected_components
+    from pg2kafka_spark.streaming.graphstore import (
+        start_components_stream,
+    )
+
+    slices = [
+        [(1, 2), (3, 4)],          # two clusters
+        [(2, 3), (10, 11)],        # bridge them + a new cluster
+        [(11, 12), (4, 1)],        # grow + a redundant edge
+    ]
+    incoming = str(tmp_path / "incoming")
+    labels_dir = str(tmp_path / "labels")
+    _write_pair_slices(spark, slices, incoming)
+    q = start_components_stream(
+        spark,
+        incoming,
+        "id_a bigint, id_b bigint",
+        labels_dir=labels_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(120)
+    folded = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir).collect()
+    )
+    all_pairs = spark.createDataFrame(
+        [p for sl in slices for p in sl], "id_a bigint, id_b bigint"
+    )
+    cold = sorted(
+        tuple(r) for r in connected_components(all_pairs).collect()
+    )
+    assert folded == cold
+
+
+def test_components_fold_is_replay_idempotent(spark, tmp_path):
+    """Crash-before-checkpoint replay: folding the SAME batch twice
+    leaves the label table unchanged (the labels' star edges already
+    connect what the batch connected)."""
+    from pg2kafka_spark.streaming.graphstore import fold_pairs_batch
+
+    labels_dir = str(tmp_path / "labels")
+    batch = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    fold_pairs_batch(spark, batch, labels_dir)
+    once = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir).collect()
+    )
+    fold_pairs_batch(spark, batch, labels_dir)  # the replay
+    twice = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir).collect()
+    )
+    assert twice == once
+
+
+def test_components_store_mid_swap_raises(spark, tmp_path):
+    """A fold crashed inside the swap bracket must fail the next
+    reader AND the next stream loudly — never read as 'no labels
+    yet' (that would silently fork every historical cluster)."""
+    import pytest
+
+    from pg2kafka_spark.streaming.graphstore import (
+        _labels_or_empty,
+        _swap_sentinel,
+        fold_pairs_batch,
+        start_components_stream,
+    )
+
+    labels_dir = str(tmp_path / "labels")
+    batch = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    fold_pairs_batch(spark, batch, labels_dir)
+    with open(_swap_sentinel(labels_dir), "w"):
+        pass
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        _labels_or_empty(spark, labels_dir)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        start_components_stream(
+            spark,
+            str(tmp_path / "incoming"),
+            "id_a bigint, id_b bigint",
+            labels_dir=labels_dir,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        )
