@@ -54,6 +54,7 @@ _FRONT = [
     # NEW in r16 — no driver row exists yet
     "wire_rescued_keys",
     "near_dup_components_incremental",
+    "near_dup_components_served",
     "nation_trade_pagerank_conserving",
 ]
 # names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)

@@ -1372,6 +1372,16 @@ COMMENTARY.update({
         "cold rebuild, the incremental contract extended to the "
         "graph stage."
     ),
+    "near_dup_components_served": (
+        "The maintained label store SERVED: bootstrap + two batch "
+        "folds land the at-rest (node, component_id) table "
+        "(streaming/graphstore.py), and this query pays only one "
+        "labels scan + the isolate join — |V| rows regardless of how "
+        "many pair batches ever folded. Hash-matched against the "
+        "full-graph recursive closure: bootstrap -> fold -> serve == "
+        "one-pass components, the same served evidence shape as the "
+        "retention and ANN stores."
+    ),
     "nation_trade_pagerank_conserving": (
         "Conserving PageRank twin (r16): identical per-iteration "
         "edge-partitioned plan as nation_trade_pagerank plus one "
