@@ -553,6 +553,82 @@ def run_index_maintenance(
     return False
 
 
+def run_pq_index_maintenance(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    sub_dim: int = 8,
+    max_files_per_trigger: int | None = None,
+    retrain_on_flag: bool = True,
+    min_mean_sim: float = 0.15,
+    max_top_share: float = 0.6,
+    timeout_s: int = 600,
+    retrain_iters: int = 1,
+    retrain_train_iters: int = 2,
+    retrain_train_sample: int | None = None,
+) -> bool:
+    """The COMPRESSED index's scheduled cycle (r16): mirror of
+    :func:`run_index_maintenance` — drain the vector backlog with an
+    availableNow run, then, with the stream STOPPED, evaluate the
+    drift log and ``retrain_pq_index`` when the latest batch flags.
+    Requires the index to carry the ``raw/`` side store
+    (``save_ivf_pq_index(keep_raw=True)``) when ``retrain_on_flag``
+    is set — the retrain rebuilds quantizer + codebooks + codes from
+    it with no source re-read; without the side store schedule the
+    rebuild from the retained corpus yourself. Same drain-timeout
+    abort contract as the raw cycle."""
+    import os
+
+    if os.path.exists(_retrain_sentinel(index_path)):
+        raise RuntimeError(
+            f"index {index_path!r} is mid-retrain (sentinel present) — "
+            "a concurrent retrain is running or crashed mid-swap; "
+            "complete/clear it before resuming ingest"
+        )
+    q = start_pq_index_ingest_stream(
+        spark,
+        incoming_dir,
+        schema,
+        index_path=index_path,
+        checkpoint_dir=checkpoint_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        sub_dim=sub_dim,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"index drain exceeded {timeout_s}s; stream stopped, "
+            "retrain skipped — re-run the cycle (drain is "
+            "checkpointed, so no progress is lost)"
+        )
+    if retrain_on_flag:
+        latest = (
+            retrain_flag(spark, index_path, min_mean_sim, max_top_share)
+            .limit(1)
+            .collect()
+        )
+        if latest and latest[0].retrain:
+            retrain_pq_index(
+                spark,
+                index_path,
+                iters=retrain_iters,
+                train_iters=retrain_train_iters,
+                id_col=id_col,
+                train_sample=retrain_train_sample,
+            )
+            return True
+    return False
+
+
 def retrain_flag(
     spark: SparkSession,
     index_path: str,

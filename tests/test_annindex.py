@@ -559,3 +559,47 @@ def test_run_index_maintenance_timeout_aborts_before_retrain(
         train_corpus=emb.filter(F.col("vec_id") < STORE_CUT),
     )
     assert _topk_rows(served) == _topk_rows(one_pass)
+
+
+def test_run_pq_index_maintenance_retrains_from_raw(spark, tmp_path):
+    """The compressed scheduled cycle (r16): drain, evaluate, retrain
+    from the raw side store — with a threshold that always flags, the
+    cycle returns True and leaves an index equal to a from-scratch
+    save_ivf_pq_index over the full corpus; the drift log resets."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import (
+        run_pq_index_maintenance,
+    )
+
+    emb = _emb(spark)
+    store = emb.filter(F.col("vec_id") < STORE_CUT)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(store, path, keep_raw=True)
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 400), (400, 500)],
+        incoming,
+    )
+    retrained = run_pq_index_maintenance(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        min_mean_sim=2.0,  # impossible bar -> always flags
+    )
+    assert retrained is True
+    assert retrain_flag(spark, path).count() == 0
+    fresh = str(tmp_path / "pq_fresh")
+    save_ivf_pq_index(emb, fresh)
+    assert _topk_rows(
+        load_ivf_pq_topk(spark, path, _queries(spark), k=3), "pq_sim"
+    ) == _topk_rows(
+        load_ivf_pq_topk(spark, fresh, _queries(spark), k=3), "pq_sim"
+    )
