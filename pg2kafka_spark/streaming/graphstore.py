@@ -91,11 +91,15 @@ def fold_pairs_batch(
     node_col: str = "node",
     label_col: str = "component_id",
     max_iter: int = 25,
+    n_partitions: int | None = None,
 ) -> None:
     """Fold ONE batch of candidate pairs into the at-rest label table
     (staged, sentinel-bracketed swap). This is the unit of work the
     stream runs per micro-batch; callable directly for a scheduled
-    batch job. Idempotent: re-folding the same pairs is a no-op."""
+    batch job. Idempotent: re-folding the same pairs is a no-op.
+    ``n_partitions`` sizes the swap write (hash on the node id) — the
+    at-scale knob the module header names; default keeps the fold's
+    own partitioning (fine while the label table is small)."""
     labels = _labels_or_empty(spark, labels_dir)
     if labels is None:
         new_labels = connected_components(
@@ -104,6 +108,10 @@ def fold_pairs_batch(
     else:
         new_labels = incremental_components(
             labels, batch_df, src, dst, node_col, label_col, max_iter
+        )
+    if n_partitions:
+        new_labels = new_labels.repartition(
+            int(n_partitions), node_col
         )
     staging = labels_dir.rstrip("/") + ".__fold__"
     new_labels.write.mode("overwrite").parquet(staging)
