@@ -8,17 +8,18 @@
 #   make test            # or: bash tools/run_tests.sh
 #   PYTEST_ARGS="-k wire" bash tools/run_tests.sh   # forwarded to ALL lanes
 #
-# Lane split (4 lanes × 8 cores on the 32-core box — the two stream
+# Lane split (5 lanes × 8 cores on the 32-core box — the stream
 # lanes are trigger-latency-bound and mostly idle-wait, so the CPU
-# budget is effectively ~3 lanes): the streaming/stateful files
-# (foreachBatch e2e, availableNow drains) split across TWO lanes —
+# oversubscription is mild): streaming e2e files across THREE lanes —
 # a wall-bound lane cannot be helped by more cores, only by fewer
-# files per process; the two heaviest CPU files (pipeline ops +
-# oracle parity) in a third; the rest in a fourth. Re-measured r16
-# (loaded host, discount ~25% for quiet): 2-lane walls 17:16/14:30;
-# first 4-lane cut left annindex+retention+graph at 14:56 alone, so
-# graph rides with stream_a — wall ≈ max(lane) ≈ 11-13 min loaded,
-# ~9-11 quiet. Each lane gets its OWN
+# files per process, and annindex (bootstraps + retrains, the
+# heaviest single file) gets a lane alone; the two heaviest CPU
+# files (pipeline ops + oracle parity) in a fourth; the rest in a
+# fifth. r16 measurements under shifting external host load: 2-lane
+# walls 17:16/14:30; annindex+retention together read 14:56–19:20
+# across identical-code runs (the load swing), so they split. Wall ≈
+# max(lane) ≈ annindex ~10 min loaded, less quiet. Each lane gets
+# its OWN
 # TMPDIR: the at-rest session stores (_ensure_bucketed_tables,
 # _ensure_retention_store, _ensure_ann_index, _ensure_components_store)
 # key their paths off tempfile.gettempdir(); the r16 build lock holds
@@ -29,15 +30,18 @@ cd "$(dirname "$0")/.."
 
 STREAM_A="tests/test_streaming.py tests/test_multimodal_real.py \
 tests/test_bpe_production.py tests/test_graph.py"
-STREAM_B="tests/test_annindex.py tests/test_retention.py"
+STREAM_B="tests/test_annindex.py"
+STREAM_C="tests/test_retention.py"
 HEAVY_SHARD="tests/test_pipeline_ops.py tests/test_oracle_parity.py"
 PYTEST_ARGS="${PYTEST_ARGS:-}"
 
 mkdir -p /tmp/rt_pytest_tmp /tmp/rt_pytest_stream_a_tmp \
-  /tmp/rt_pytest_stream_b_tmp /tmp/rt_pytest_heavy_tmp
+  /tmp/rt_pytest_stream_b_tmp /tmp/rt_pytest_stream_c_tmp \
+  /tmp/rt_pytest_heavy_tmp
 rest_log=$(mktemp)
 stream_a_log=$(mktemp)
 stream_b_log=$(mktemp)
+stream_c_log=$(mktemp)
 heavy_log=$(mktemp)
 t0=$SECONDS
 
@@ -50,17 +54,21 @@ TMPDIR=/tmp/rt_pytest_stream_b_tmp python -m pytest $STREAM_B -q \
   --durations=10 $PYTEST_ARGS > "$stream_b_log" 2>&1 &
 stream_b_pid=$!
 # shellcheck disable=SC2086
+TMPDIR=/tmp/rt_pytest_stream_c_tmp python -m pytest $STREAM_C -q \
+  --durations=10 $PYTEST_ARGS > "$stream_c_log" 2>&1 &
+stream_c_pid=$!
+# shellcheck disable=SC2086
 TMPDIR=/tmp/rt_pytest_heavy_tmp python -m pytest $HEAVY_SHARD -q \
   --durations=10 $PYTEST_ARGS > "$heavy_log" 2>&1 &
 heavy_pid=$!
 # shellcheck disable=SC2086
 TMPDIR=/tmp/rt_pytest_tmp python -m pytest tests/ -q --durations=10 \
-  $(for f in $STREAM_A $STREAM_B $HEAVY_SHARD; do printf -- "--ignore=%s " "$f"; done) \
+  $(for f in $STREAM_A $STREAM_B $STREAM_C $HEAVY_SHARD; do printf -- "--ignore=%s " "$f"; done) \
   $PYTEST_ARGS > "$rest_log" 2>&1 &
 rest_pid=$!
 
 rc=0
-for lane in rest heavy stream_a stream_b; do
+for lane in rest heavy stream_a stream_b stream_c; do
   pid_var="${lane}_pid"
   wait "${!pid_var}"; lane_rc=$?
   echo "$lane shard done at $((SECONDS - t0))s (rc=$lane_rc)"
@@ -71,8 +79,9 @@ tail -n 18 "$rest_log"
 tail -n 18 "$heavy_log"
 tail -n 18 "$stream_a_log"
 tail -n 18 "$stream_b_log"
+tail -n 18 "$stream_c_log"
 if [ "$rc" -ne 0 ]; then
-  echo "FAILED (logs: $rest_log $heavy_log $stream_a_log $stream_b_log)"
+  echo "FAILED (logs: $rest_log $heavy_log $stream_a_log $stream_b_log $stream_c_log)"
   exit 1
 fi
-echo "OK: all four shards green in $((SECONDS - t0))s"
+echo "OK: all five shards green in $((SECONDS - t0))s"
