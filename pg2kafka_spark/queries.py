@@ -39,23 +39,25 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # regenerated at round close). r10 + r12 + r14 ran pipeline-fronted
 # windows; r11 + r13 + r15 ran CDC + relational (r15's window also
 # re-evidenced the r15-new pipeline serve queries via its tier 0).
-# r16 (this round) rotates the PIPELINE families back to the front
-# per the r15 verdict's item 6. Order:
+# r16 ran a pipeline-fronted window (CORRECTNESS_r16: 50/50 green).
+# r17 (this round) rotates CDC + RELATIONAL back to the front per the
+# r16 verdict's item 3 — 93 CDC/rel oracle-backed names compete for
+# 50 slots, so the intra-family order prefers the names the r15
+# window MISSED (their last driver rows are r13 — stalest). Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) pipeline oracle-backed names whose last driver row is r12
-#       (they sat outside both the r14 and r15 windows — stalest),
-#   (2) pipeline oracle-backed names the r14 window covered,
-#   (3) CDC core + relational oracle-backed (fresh r15 rows),
-#   (4) rows-only queries last (their portable twins are
+#   (1) CDC/relational oracle-backed outside both the r15 and r16
+#       windows (last driver row r13 — stalest),
+#   (2) CDC/relational oracle-backed the r15 window covered,
+#   (3) pipeline oracle-backed outside the r16 window,
+#   (4) pipeline oracle-backed the r16 window covered (freshest),
+#   (5) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r17 NOTE: rotate CDC + relational to the front; keep alternating.
+# r18 NOTE: rotate the pipeline families to the front; keep
+# alternating, and keep tier 0 = new/changed-this-round.
 _FRONT = [
-    # NEW in r16 — no driver row exists yet
-    "wire_rescued_keys",
-    "near_dup_components_incremental",
-    "near_dup_components_served",
-    "nation_trade_pagerank_conserving",
+    # NEW in r17 — no driver row exists yet
+    "near_dup_canonical_served",
 ]
 # names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
 _R14_WINDOW = {
@@ -108,6 +110,34 @@ _R15_WINDOW = {
     "union_segments", "rollup_returns", "cube_priority_status",
     "user_event_type_pivot", "order_line_arrays",
 }
+# names that took a fresh r16 driver row (CORRECTNESS_r16.json keys) —
+# the pipeline/ANN families plus r16's four new queries
+_R16_WINDOW = {
+    "bow_dedup_documents", "bpe_compression_by_source",
+    "bpe_encode_documents", "bpe_merge_steps", "bpe_pair_counts",
+    "bpe_token_frequencies", "corpus_report", "corpus_vocabulary",
+    "cross_source_dup_matrix", "daily_ingest_keep_list",
+    "decontamination_scrub", "doc_bigram_surprisal", "doc_fingerprint",
+    "doc_pack_spans_strict", "doc_quality", "doc_quality_classifier",
+    "doc_segment_scrub", "doc_surprisal_band_fit",
+    "doc_surprisal_band_stratified", "doc_token_stats",
+    "doc_training_order", "doc_weighted_sample",
+    "dsir_importance_weights", "dsir_resample",
+    "embedding_ann_ivf_incremental", "embedding_ann_ivf_pq",
+    "embedding_ann_ivf_sampled", "embedding_ann_ivf_sq8",
+    "embedding_ann_pq", "embedding_ann_pq_sampled",
+    "embedding_knn_graph", "embedding_prototype_prune",
+    "embedding_topk_filtered", "exact_dedup_documents",
+    "hilbert_layout_stats", "incremental_near_dup_batch",
+    "lang_id_heuristic", "minhash_signatures_portable",
+    "nation_trade_pagerank_conserving",
+    "near_dup_components_incremental", "near_dup_components_served",
+    "shingle_jaccard_pairs", "source_capped_sample",
+    "source_epoch_allocation", "source_minhash_overlap",
+    "source_quality_drift", "source_temperature_sample",
+    "training_corpus_assembly", "wire_rescued_keys",
+    "zorder_layout_stats",
+}
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
     __name__ as _qrel_mod,
@@ -124,12 +154,14 @@ def _tier(n: str) -> tuple:
     if n in _FRONT:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
-        return (4, _reg_pos[n])
-    if n in _cdc_rel_names or n in _R15_WINDOW:
-        return (3, _reg_pos[n])
-    if n in _R14_WINDOW:
+        return (5, _reg_pos[n])
+    if n in _cdc_rel_names:
+        if n not in _R15_WINDOW and n not in _R16_WINDOW:
+            return (1, _reg_pos[n])
         return (2, _reg_pos[n])
-    return (1, _reg_pos[n])
+    if n in _R16_WINDOW:
+        return (4, _reg_pos[n])
+    return (3, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)
