@@ -1953,7 +1953,11 @@ def _ensure_components_store(spark: SparkSession, sf_dir: str) -> str:
 
     h = source_signature(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"pg2kafka_cclabels_{h}")
-    marker = root.rstrip("/") + ".__complete__"
+    # Marker lives INSIDE the store root (the _ensure_ann_index
+    # convention) so wiping the root atomically clears the skip gate —
+    # a sibling marker would survive an rm -rf of the store and make
+    # later sessions serve a labels path that no longer exists.
+    marker = os.path.join(root, "_COMPLETE")
     labels_dir = os.path.join(root, "labels")
     with store_build_lock(root):
         if os.path.exists(marker):
@@ -2045,6 +2049,53 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.1).select("id_a", "id_b")
     comps = G.connected_components(pairs, node_col="doc_id")
+    labeled = G.components_with_isolates(
+        comps, docs.select("doc_id", "n_chars"), node_col="doc_id"
+    )
+    return G.canonical_per_component(
+        labeled, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    ).select("doc_id", "component_id", "comp_size", "is_canonical")
+
+
+@query(
+    "near_dup_canonical_served",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_EDGES
+    + """,
+    full_t AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(c.component_id, d.doc_id) AS component_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS comp_size,
+           (row_number() OVER (PARTITION BY component_id
+                               ORDER BY n_chars DESC, doc_id ASC)) = 1
+             AS is_canonical
+    FROM full_t
+    """,
+)
+def near_dup_canonical_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical-document selection SERVED from the maintained label
+    store (r17, r16 verdict item 6): the keep-list decision a daily
+    pipeline actually reads — ``canonical_per_component`` composed
+    over the at-rest labels the streaming fold keeps up
+    (streaming/graphstore.py), so the serve pays one labels scan, the
+    isolate join, and ONE window pass on component_id; the historical
+    pair log is never touched. Same rank spelling as
+    ``near_dup_canonical`` and the same recursive-closure oracle, so
+    the hash match proves store-served canonicals ≡ recompute-from-
+    scratch canonicals end to end.
+
+    Scale: |V| label rows + one uniform component_id shuffle,
+    independent of how many pair batches ever folded."""
+    docs = load_table(spark, "documents", sf_dir)
+    labels_dir = _ensure_components_store(spark, sf_dir)
+    comps = spark.read.parquet(labels_dir).withColumnRenamed(
+        "node", "doc_id"
+    )
     labeled = G.components_with_isolates(
         comps, docs.select("doc_id", "n_chars"), node_col="doc_id"
     )

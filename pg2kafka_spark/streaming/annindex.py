@@ -376,10 +376,15 @@ def retrain_index(
         vec_col="vec",
         train_sample=train_sample,
     )
+    old = index_path.rstrip("/") + ".__old__"
+    # A crash between the sentinel removal and the old-dir rmtree of a
+    # PRIOR retrain leaves a stale __old__; clear it before writing
+    # the sentinel so the rename below can't fail ENOTEMPTY and wedge
+    # the store mid-swap.
+    shutil.rmtree(old, ignore_errors=True)
     sentinel = _retrain_sentinel(index_path)
     with open(sentinel, "w"):
         pass
-    old = index_path.rstrip("/") + ".__old__"
     os.rename(index_path, old)
     os.rename(staging, index_path)
     os.makedirs(f"{index_path}/drift", exist_ok=True)
@@ -434,12 +439,31 @@ def retrain_pq_index(
         F.count("*").alias("n"), F.max(F.size("__ce")).alias("d")
     ).collect()[0]
     # cid values are seed-vector ids, NOT 0..n-1 — count rows per
-    # subspace for n_codes; the subspace index m IS contiguous.
-    bgeo = books.agg(
-        (F.max("m") + F.lit(1)).alias("m"),
-        F.max(F.size("__ce")).alias("sub_dim"),
-        (F.count("*") / (F.max("m") + F.lit(1))).alias("n_codes"),
-    ).collect()[0]
+    # subspace for n_codes; the subspace index m IS contiguous. Count
+    # PER subspace and require agreement: a ragged codebook table
+    # (k-means collapsed below n_codes in one subspace) must fail
+    # loudly, not silently retrain at a truncated size.
+    bgeo = (
+        books.groupBy("m")
+        .agg(
+            F.count("*").alias("nc"),
+            F.max(F.size("__ce")).alias("sd"),
+        )
+        .agg(
+            (F.max("m") + F.lit(1)).alias("m"),
+            F.max("sd").alias("sub_dim"),
+            F.max("nc").alias("n_codes"),
+            F.min("nc").alias("n_codes_min"),
+        )
+        .collect()[0]
+    )
+    if int(bgeo.n_codes) != int(bgeo.n_codes_min):
+        raise RuntimeError(
+            f"index {index_path!r} has a ragged codebook table "
+            f"(per-subspace code counts span {int(bgeo.n_codes_min)}"
+            f"..{int(bgeo.n_codes)}) — refusing to infer n_codes; "
+            "rebuild from the source corpus with explicit geometry"
+        )
     corpus = (
         spark.read.parquet(raw_dir)
         .select(id_col, "vec")
@@ -461,10 +485,14 @@ def retrain_pq_index(
         train_sample=train_sample,
         keep_raw=True,
     )
+    old = index_path.rstrip("/") + ".__old__"
+    # Same stale-__old__ guard as retrain_index: a crash after a prior
+    # retrain's sentinel removal leaves __old__ behind; clear it before
+    # this swap's sentinel so the rename can't wedge ENOTEMPTY.
+    shutil.rmtree(old, ignore_errors=True)
     sentinel = _retrain_sentinel(index_path)
     with open(sentinel, "w"):
         pass
-    old = index_path.rstrip("/") + ".__old__"
     os.rename(index_path, old)
     os.rename(staging, index_path)
     os.makedirs(f"{index_path}/drift", exist_ok=True)

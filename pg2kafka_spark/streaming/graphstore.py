@@ -115,10 +115,15 @@ def fold_pairs_batch(
         )
     staging = labels_dir.rstrip("/") + ".__fold__"
     new_labels.write.mode("overwrite").parquet(staging)
+    old = labels_dir.rstrip("/") + ".__old__"
+    # A crash after the sentinel removal but before the old-dir rmtree
+    # leaves a value-complete-but-stale __old__ behind; clearing it
+    # BEFORE writing the sentinel keeps the rename below from failing
+    # ENOTEMPTY and wedging the store mid-swap.
+    shutil.rmtree(old, ignore_errors=True)
     sentinel = _swap_sentinel(labels_dir)
     with open(sentinel, "w"):
         pass
-    old = labels_dir.rstrip("/") + ".__old__"
     if os.path.isdir(labels_dir):
         os.rename(labels_dir, old)
     os.rename(staging, labels_dir)
@@ -181,3 +186,57 @@ def start_components_stream(
     else:
         writer = writer.trigger(processingTime="10 seconds")
     return writer.start()
+
+
+def run_components_maintenance(
+    spark: SparkSession,
+    incoming_dir: str,
+    schema,
+    labels_dir: str,
+    checkpoint_dir: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "component_id",
+    max_iter: int = 25,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 600,
+) -> None:
+    """One scheduled maintenance cycle for the label store — the
+    nightly-job spelling that mirrors ``run_index_maintenance`` /
+    ``run_retention_maintenance``: drain the candidate-pair backlog
+    with an availableNow run of :func:`start_components_stream`, with
+    the same drain-timeout contract (stop + raise, never proceed over
+    a still-running drain). Unlike the other three loops there is NO
+    post-drain compaction or retrain step: the state is a REPLACED
+    fold, not a log — every micro-batch already rewrites the label
+    table to its compacted form, so the cycle is drain-only. The
+    mid-swap sentinel check lives in ``start_components_stream``; a
+    timeout leaves the checkpoint intact, so re-running the cycle
+    resumes the drain with no progress lost (the fold is
+    idempotent)."""
+    q = start_components_stream(
+        spark,
+        incoming_dir,
+        schema,
+        labels_dir=labels_dir,
+        checkpoint_dir=checkpoint_dir,
+        src=src,
+        dst=dst,
+        node_col=node_col,
+        label_col=label_col,
+        max_iter=max_iter,
+        max_files_per_trigger=max_files_per_trigger,
+        available_now=True,
+    )
+    # awaitTermination returns False on timeout with the stream STILL
+    # RUNNING; returning then would let a caller read/serve labels
+    # while folds continue behind its back — the between-runs race
+    # discipline of the other maintained-state loops.
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"label-store drain exceeded {timeout_s}s; stream stopped "
+            "— re-run the cycle (drain is checkpointed and the fold "
+            "is idempotent, so no progress is lost)"
+        )
