@@ -3023,7 +3023,17 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
     write_bucketed's overwrite mode makes the rebuild safe. Keyed by
     the SOURCES' identity (r15 — was path-only, which would have
     served a stale bucketed layout against regenerated testdata, the
-    wrong-answer class the retention store's keying pre-empts)."""
+    wrong-answer class the retention store's keying pre-empts).
+
+    r17: a shared on-disk ``_COMPLETE`` marker gates the rebuild
+    across PROCESSES (the ANN-store convention) — the session-local
+    catalog check alone made every new process sharing a tempdir
+    rebuild and overwrite files a sibling might be reading
+    (store_build_lock only serializes build-vs-build). With the
+    marker + data present, a catalog miss REGISTERS the existing
+    layout (CREATE ... CLUSTERED BY ... LOCATION) instead of
+    rewriting it; the marker is written last and removed before any
+    rebuild, so a crashed build never gates."""
     import hashlib
     import os
     import tempfile
@@ -3046,36 +3056,62 @@ def _ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]
             f.endswith(".parquet") for f in os.listdir(d)
         )
 
+    marker = os.path.join(root, "_COMPLETE")
+
+    def _register(table: str, sub: str) -> None:
+        # Register the at-rest layout without rewriting it: bucket
+        # metadata lives in the catalog, so a fresh process re-declares
+        # the same (c_custkey, 16) contract over the existing files
+        # instead of overwriting bytes a sibling process may be reading.
+        d = os.path.join(root, sub)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(d).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {table} ({ddl}) USING parquet "
+            f"CLUSTERED BY (c_custkey) INTO 16 BUCKETS "
+            f"LOCATION '{d}'"
+        )
+
     # store_build_lock: the bench warms plans from a thread pool —
     # without the lock two threads can pass the exists-check together
     # and race the DROP/overwrite (the same race the retention and
     # ANN ensures were locked against; r15 advice).
     with store_build_lock(root):
-        fresh = (
-            spark.catalog.tableExists(tc)
-            and spark.catalog.tableExists(to)
+        complete = (
+            os.path.exists(marker)
             and _has_data("customer")
             and _has_data("orders")
         )
-        if not fresh:
-            for t in (tc, to):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            customer = load_table(spark, "customer", sf_dir).select(
-                "c_custkey", "c_mktsegment"
-            )
-            orders = load_table(spark, "orders", sf_dir).select(
-                F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-            )
-            write_bucketed(
-                customer,
-                tc,
-                "c_custkey",
-                16,
-                path=os.path.join(root, "customer"),
-            )
-            write_bucketed(
-                orders, to, "c_custkey", 16, path=os.path.join(root, "orders")
-            )
+        if complete:
+            if not spark.catalog.tableExists(tc):
+                _register(tc, "customer")
+            if not spark.catalog.tableExists(to):
+                _register(to, "orders")
+            return tc, to
+        if os.path.exists(marker):
+            os.remove(marker)
+        for t in (tc, to):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        customer = load_table(spark, "customer", sf_dir).select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        write_bucketed(
+            customer,
+            tc,
+            "c_custkey",
+            16,
+            path=os.path.join(root, "customer"),
+        )
+        write_bucketed(
+            orders, to, "c_custkey", 16, path=os.path.join(root, "orders")
+        )
+        with open(marker, "w"):
+            pass
     return tc, to
 
 

@@ -131,3 +131,60 @@ def test_mismatched_bucket_counts_degrade_to_shuffle(spark, bucketed_tables):
             cocluster_join(spark, "b_orders", "b_lineitem_16", "o_orderkey")
         )
     assert "Exchange" in p
+
+
+def test_ensure_bucketed_registers_without_rewriting(spark):
+    """Cross-process completeness gate (r17, catalog.py advice): a
+    process whose session catalog lacks the bucketed tables but whose
+    shared tempdir holds a _COMPLETE-marked layout must REGISTER the
+    existing files (CREATE ... CLUSTERED BY ... LOCATION), never
+    rewrite them — a rewrite would race a sibling process mid-read.
+    Simulated by dropping the catalog entries (a fresh process's
+    empty catalog) with files + marker intact."""
+    import os
+
+    from pg2kafka_spark.q_relational import _ensure_bucketed_tables
+
+    tc, to = _ensure_bucketed_tables(spark, SF)
+    h = tc.removeprefix("bkt_customer_")
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"pg2kafka_bucketed_{h}")
+    assert os.path.exists(os.path.join(root, "_COMPLETE"))
+    before = {r.c_mktsegment: r.n for r in (
+        cocluster_join(spark, tc, to, "c_custkey")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    )}
+
+    def _mtimes():
+        out = {}
+        for sub in ("customer", "orders"):
+            d = os.path.join(root, sub)
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    out[f] = os.path.getmtime(os.path.join(d, f))
+        return out
+
+    m0 = _mtimes()
+    for t in (tc, to):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    tc2, to2 = _ensure_bucketed_tables(spark, SF)
+    assert (tc2, to2) == (tc, to)
+    assert _mtimes() == m0, "register path must not rewrite files"
+    # the re-registered tables keep the (c_custkey, 16) contract: the
+    # co-located join plans without an Exchange on the join key
+    with _no_broadcast(spark):
+        p = _formatted(cocluster_join(spark, tc2, to2, "c_custkey"))
+    assert "Exchange hashpartitioning(c_custkey" not in p
+    after = {r.c_mktsegment: r.n for r in (
+        cocluster_join(spark, tc2, to2, "c_custkey")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n")).collect()
+    )}
+    assert after == before
+
+    # stale / missing marker ⇒ full rebuild (files rewritten)
+    os.remove(os.path.join(root, "_COMPLETE"))
+    tc3, to3 = _ensure_bucketed_tables(spark, SF)
+    assert (tc3, to3) == (tc, to)
+    assert os.path.exists(os.path.join(root, "_COMPLETE"))
+    assert _mtimes() != m0, "marker removal must force the rebuild"
