@@ -833,3 +833,18 @@ def test_queue_lag_pushes_predicate_and_broadcasts_now(spark, sf_dir):
     assert "PushedFilters" in p and "event_type" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_canonical_served_reads_labels_not_pair_log(spark, sf_dir):
+    """near_dup_canonical_served (r17): the serve plan must read the
+    AT-REST label parquet plus the documents scan — never re-run pair
+    discovery (no shingle self-join: a serve that re-paid discovery
+    would scale with the pair history, not |V|) — and compute rank +
+    size in ONE window pass over component_id."""
+    p = plan_of(spark, "near_dup_canonical_served", sf_dir)
+    # two parquet scans only: labels + documents (isolate join side)
+    assert p.count("Scan parquet  (") == 2
+    # one window pass computes rank + comp_size together
+    assert p.count("Window") >= 1
+    # no pair-discovery self-join artifacts in the serve path
+    assert "posexplode" not in p and "SortMergeJoin" not in p

@@ -1382,6 +1382,16 @@ COMMENTARY.update({
         "one-pass components, the same served evidence shape as the "
         "retention and ANN stores."
     ),
+    "near_dup_canonical_served": (
+        "Canonical selection SERVED from the maintained label store "
+        "(r17): the keep-list a daily pipeline reads — one labels "
+        "scan, the isolate join, and ONE window pass on component_id "
+        "(row_number + count in a single WindowExec, no second "
+        "aggregate-and-join round trip); the historical pair log is "
+        "never touched. Same rank spelling and recursive-closure "
+        "oracle as near_dup_canonical, so the hash match proves "
+        "store-served canonicals == recompute-from-scratch."
+    ),
     "nation_trade_pagerank_conserving": (
         "Conserving PageRank twin (r16): identical per-iteration "
         "edge-partitioned plan as nation_trade_pagerank plus one "
