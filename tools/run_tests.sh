@@ -1,6 +1,6 @@
 #!/bin/bash
 # Default developer test entry (r15 verdict item 4): the full suite in
-# THREE concurrent pytest lanes — the same sharding round_close.sh
+# SIX concurrent pytest lanes — the same sharding round_close.sh
 # runs, promoted out of the round-close path so the everyday
 # `make test` pays the overlapped wall instead of the 20+ min
 # single-process run.
@@ -8,23 +8,22 @@
 #   make test            # or: bash tools/run_tests.sh
 #   PYTEST_ARGS="-k wire" bash tools/run_tests.sh   # forwarded to ALL lanes
 #
-# Lane split (5 lanes × 8 cores on the 32-core box — the stream
-# lanes are trigger-latency-bound and mostly idle-wait, so the CPU
+# Lane split (6 lanes on the 32-core box — the stream lanes are
+# trigger-latency-bound and mostly idle-wait, so the CPU
 # oversubscription is mild): streaming e2e files across THREE lanes —
 # a wall-bound lane cannot be helped by more cores, only by fewer
 # files per process, and annindex (bootstraps + retrains, the
-# heaviest single file) gets a lane alone; the two heaviest CPU
-# files (pipeline ops + oracle parity) in a fourth; the rest in a
-# fifth. r16 measurements under shifting external host load: 2-lane
-# walls 17:16/14:30; annindex+retention together read 14:56–19:20
-# across identical-code runs (the load swing), so they split. Wall ≈
-# max(lane) ≈ annindex ~10 min loaded, less quiet. Each lane gets
-# its OWN
-# TMPDIR: the at-rest session stores (_ensure_bucketed_tables,
-# _ensure_retention_store, _ensure_ann_index, _ensure_components_store)
-# key their paths off tempfile.gettempdir(); the r16 build lock holds
-# across processes, but separate TMPDIRs keep the lanes from
-# serializing on a shared store build.
+# heaviest single file) gets a lane alone; the two heaviest CPU files
+# each get their OWN lane (r17, r16 verdict item 5: together they
+# bound the r16 wall at 903 s while `rest` finished at 550 s — split,
+# the max lane drops to whichever of the two is longer alone); the
+# rest in a sixth. Each lane gets its OWN TMPDIR: the at-rest session
+# stores (_ensure_bucketed_tables, _ensure_retention_store,
+# _ensure_ann_index, _ensure_components_store) key their paths off
+# tempfile.gettempdir(); the r16 build lock holds across processes
+# (and r17's _COMPLETE gate makes the bucketed ensure register rather
+# than rewrite), but separate TMPDIRs keep the lanes from serializing
+# on a shared store build.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
@@ -32,17 +31,19 @@ STREAM_A="tests/test_streaming.py tests/test_multimodal_real.py \
 tests/test_bpe_production.py tests/test_graph.py"
 STREAM_B="tests/test_annindex.py"
 STREAM_C="tests/test_retention.py"
-HEAVY_SHARD="tests/test_pipeline_ops.py tests/test_oracle_parity.py"
+HEAVY_A="tests/test_pipeline_ops.py"
+HEAVY_B="tests/test_oracle_parity.py"
 PYTEST_ARGS="${PYTEST_ARGS:-}"
 
 mkdir -p /tmp/rt_pytest_tmp /tmp/rt_pytest_stream_a_tmp \
   /tmp/rt_pytest_stream_b_tmp /tmp/rt_pytest_stream_c_tmp \
-  /tmp/rt_pytest_heavy_tmp
+  /tmp/rt_pytest_heavy_a_tmp /tmp/rt_pytest_heavy_b_tmp
 rest_log=$(mktemp)
 stream_a_log=$(mktemp)
 stream_b_log=$(mktemp)
 stream_c_log=$(mktemp)
-heavy_log=$(mktemp)
+heavy_a_log=$(mktemp)
+heavy_b_log=$(mktemp)
 t0=$SECONDS
 
 # shellcheck disable=SC2086  # shard vars / PYTEST_ARGS are word lists
@@ -58,17 +59,21 @@ TMPDIR=/tmp/rt_pytest_stream_c_tmp python -m pytest $STREAM_C -q \
   --durations=10 $PYTEST_ARGS > "$stream_c_log" 2>&1 &
 stream_c_pid=$!
 # shellcheck disable=SC2086
-TMPDIR=/tmp/rt_pytest_heavy_tmp python -m pytest $HEAVY_SHARD -q \
-  --durations=10 $PYTEST_ARGS > "$heavy_log" 2>&1 &
-heavy_pid=$!
+TMPDIR=/tmp/rt_pytest_heavy_a_tmp python -m pytest $HEAVY_A -q \
+  --durations=10 $PYTEST_ARGS > "$heavy_a_log" 2>&1 &
+heavy_a_pid=$!
+# shellcheck disable=SC2086
+TMPDIR=/tmp/rt_pytest_heavy_b_tmp python -m pytest $HEAVY_B -q \
+  --durations=10 $PYTEST_ARGS > "$heavy_b_log" 2>&1 &
+heavy_b_pid=$!
 # shellcheck disable=SC2086
 TMPDIR=/tmp/rt_pytest_tmp python -m pytest tests/ -q --durations=10 \
-  $(for f in $STREAM_A $STREAM_B $STREAM_C $HEAVY_SHARD; do printf -- "--ignore=%s " "$f"; done) \
+  $(for f in $STREAM_A $STREAM_B $STREAM_C $HEAVY_A $HEAVY_B; do printf -- "--ignore=%s " "$f"; done) \
   $PYTEST_ARGS > "$rest_log" 2>&1 &
 rest_pid=$!
 
 rc=0
-for lane in rest heavy stream_a stream_b stream_c; do
+for lane in rest heavy_a heavy_b stream_a stream_b stream_c; do
   pid_var="${lane}_pid"
   wait "${!pid_var}"; lane_rc=$?
   echo "$lane shard done at $((SECONDS - t0))s (rc=$lane_rc)"
@@ -76,12 +81,13 @@ for lane in rest heavy stream_a stream_b stream_c; do
 done
 
 tail -n 18 "$rest_log"
-tail -n 18 "$heavy_log"
+tail -n 18 "$heavy_a_log"
+tail -n 18 "$heavy_b_log"
 tail -n 18 "$stream_a_log"
 tail -n 18 "$stream_b_log"
 tail -n 18 "$stream_c_log"
 if [ "$rc" -ne 0 ]; then
-  echo "FAILED (logs: $rest_log $heavy_log $stream_a_log $stream_b_log $stream_c_log)"
+  echo "FAILED (logs: $rest_log $heavy_a_log $heavy_b_log $stream_a_log $stream_b_log $stream_c_log)"
   exit 1
 fi
-echo "OK: all five shards green in $((SECONDS - t0))s"
+echo "OK: all six shards green in $((SECONDS - t0))s"
