@@ -200,6 +200,7 @@ def save_ivf_pq_index(
     train_sample: int | None = None,
     train_corpus: DataFrame | None = None,
     keep_raw: bool = False,
+    manifest_source: str | None = None,
 ) -> None:
     """The COMPRESSED index at rest (FAISS ``IVFx,PQy`` storage
     shape): coarse centroids + PQ codebooks (both tiny tables) and a
@@ -217,6 +218,18 @@ def save_ivf_pq_index(
     stays tiny; the side store is cold storage the serve path never
     reads, only retrain does). Skip it when the source corpus is
     durably retained elsewhere.
+
+    ``manifest_source`` (r17) is the cheap alternative for exactly
+    that durably-retained case: write ``manifest/`` — ``(id,
+    source_path)`` POINTER rows naming where each vector's source row
+    lives — instead of the vectors themselves. A drift-gated retrain
+    then re-reads only the referenced source files and semi-joins the
+    manifest ids (``retrain_pq_index``), costing ~a path string per
+    vector at rest instead of ``dim × 8`` bytes, at the price of a
+    hard dependency on the source still existing (a missing path
+    fails the retrain loudly; it never silently shrinks the corpus).
+    The ingest stream accretes manifest rows in lockstep using the
+    batch files' own paths (``_metadata.file_path``).
 
     ``train_corpus`` (default: the corpus itself) trains BOTH the
     coarse quantizer and every subspace codebook on a different frame
@@ -245,6 +258,10 @@ def save_ivf_pq_index(
         c.withColumnRenamed("__cv", "vec").join(cells, id_col).write.mode(
             "overwrite"
         ).partitionBy("cid").parquet(f"{path}/raw")
+    if manifest_source is not None:
+        corpus.select(
+            F.col(id_col), F.lit(manifest_source).alias("source_path")
+        ).write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def load_ivf_pq_topk(

@@ -37,6 +37,16 @@ State under ``<path>`` (the ``save_ivf_index`` layout plus one log):
   compressed; raw is touched once per drift-gated retrain. Skip it
   (``keep_raw=False``, the default) when the source corpus is
   durably retained elsewhere.
+* ``manifest`` (COMPRESSED indexes only, optional, r17) — ``(id,
+  source_path)`` POINTER rows, the cheap alternative to ``raw`` for
+  the durably-retained case: bootstrap with
+  ``save_ivf_pq_index(manifest_source=...)`` and the ingest loop
+  accretes each batch's ids against the batch file's own path
+  (``_metadata.file_path``). ``retrain_pq_index`` re-reads only the
+  referenced files semi-joined on the manifest ids — ~a path string
+  per vector at rest instead of ``dim × 8`` bytes, but a missing
+  source path fails the retrain loudly (the corpus never silently
+  shrinks).
 
 Crash contract (at-least-once, never loss): cells are written FIRST,
 the drift row second — a crash between the two costs only a log row
@@ -138,15 +148,20 @@ def start_pq_index_ingest_stream(
 
     Retrain asymmetry vs the raw loop: code words are NOT invertible,
     so the compressed layout cannot self-retrain from its own cells.
-    Two ways out: bootstrap with ``save_ivf_pq_index(keep_raw=True)``
+    Three ways out: bootstrap with ``save_ivf_pq_index(keep_raw=True)``
     — then this loop ALSO accretes each batch's raw vectors to the
     ``raw/`` side store (detected by the directory's presence) and
     ``retrain_pq_index`` rebuilds with no external corpus handle —
-    or retain the source corpus and rebuild from it when
-    ``retrain_flag`` fires, behind the same sentinel swap. The side
-    store costs the full ``dim × 8`` bytes/vector the codes avoided;
-    it is cold storage only retrain reads (the serve path never
-    touches it)."""
+    or bootstrap with ``manifest_source=...`` (r17) — the loop
+    accretes ``(id, source_path)`` POINTER rows to ``manifest/``
+    using each batch file's own path, and ``retrain_pq_index``
+    re-reads only the referenced files, costing a path string per
+    vector at rest instead of ``dim × 8`` bytes but requiring the
+    landing files to be durably retained — or retain the source
+    corpus and rebuild from it when ``retrain_flag`` fires, behind
+    the same sentinel swap. The raw side store costs the full bytes
+    the codes avoided; both side stores are cold storage only retrain
+    reads (the serve path never touches them)."""
     import os
 
     if os.path.exists(_retrain_sentinel(index_path)):
@@ -158,6 +173,7 @@ def start_pq_index_ingest_stream(
     coarse = spark.read.parquet(f"{index_path}/centroids")
     books = spark.read.parquet(f"{index_path}/codebooks")
     keep_raw = os.path.isdir(f"{index_path}/raw")
+    keep_manifest = os.path.isdir(f"{index_path}/manifest")
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -165,6 +181,13 @@ def start_pq_index_ingest_stream(
             "maxFilesPerTrigger", int(max_files_per_trigger)
         )
     stream = reader.parquet(incoming_dir)
+    if keep_manifest:
+        # the landing file IS the durable source the manifest points
+        # at; capture its path per row before foreachBatch detaches
+        # the frame from the file source
+        stream = stream.select(
+            "*", F.col("_metadata.file_path").alias("__src")
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
@@ -185,6 +208,12 @@ def start_pq_index_ingest_stream(
             ).join(assigned.select(id_col, "cid"), id_col).write.mode(
                 "append"
             ).partitionBy("cid").parquet(f"{index_path}/raw")
+        if keep_manifest:
+            # pointer rows accrete in the same lockstep position as
+            # raw; retrain's id-dedup absorbs crash-replay duplicates
+            batch_df.select(
+                F.col(id_col), F.col("__src").alias("source_path")
+            ).write.mode("append").parquet(f"{index_path}/manifest")
         drift_stats(assigned, id_col).withColumn(
             "batch_id", F.lit(int(batch_id))
         ).write.mode("append").parquet(f"{index_path}/drift")
@@ -398,26 +427,33 @@ def retrain_pq_index(
     iters: int = 1,
     train_iters: int = 2,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
     train_sample: int | None = None,
 ) -> None:
     """Scheduled retrain for the COMPRESSED index — closes the
     documented PQ retrain asymmetry: code words are not invertible,
-    so the corpus is read back from the ``raw/`` side store
+    so the corpus is read back from a side store — ``raw/``
     (``save_ivf_pq_index(keep_raw=True)`` + the ingest loop's
-    lockstep raw accretion), duplicate ids from at-least-once replays
-    folded away, and the whole layout rebuilt with
-    ``save_ivf_pq_index`` over it — coarse quantizer AND codebooks
-    retrain, every stored vector re-codes, and the new layout carries
-    the raw store forward (``keep_raw=True``) so the NEXT retrain is
-    equally self-contained. Equal to a rebuild from the source corpus
-    by construction (raw holds the same (id, vec) rows) — pinned by
+    lockstep raw accretion) or, r17, the ``manifest/`` pointer store
+    (``manifest_source=...``): the manifest's distinct source paths
+    are re-read and semi-joined on the manifest ids, so only
+    referenced rows enter the rebuild and a missing source file fails
+    LOUDLY (the corpus never silently shrinks). Duplicate ids from
+    at-least-once replays folded away, and the whole layout rebuilt
+    with ``save_ivf_pq_index`` over it — coarse quantizer AND
+    codebooks retrain, every stored vector re-codes, and the new
+    layout carries the side store forward (raw or the deduped
+    manifest) so the NEXT retrain is equally self-contained. Equal to
+    a rebuild from the source corpus by construction — pinned by
     tests. Geometry (n_centroids, m, sub_dim, n_codes, dim) is
     inferred from the live centroids/codebooks tables, same
-    no-silent-reshape rule as :func:`retrain_index`.
+    no-silent-reshape rule as :func:`retrain_index`. ``vec_col``
+    names the embedding column IN THE SOURCE FILES (manifest mode
+    only; the raw store always stores ``vec``).
 
     Same between-runs + sentinel-bracketed swap contract as
     ``retrain_index``; drift log reset to empty. Raises if the index
-    has no raw side store — rebuild from the retained source corpus
+    has neither side store — rebuild from the retained source corpus
     instead (the storage-for-independence trade the module header
     documents)."""
     import os
@@ -426,12 +462,16 @@ def retrain_pq_index(
     from pg2kafka_spark.operators.index_store import save_ivf_pq_index
 
     raw_dir = f"{index_path}/raw"
-    if not os.path.isdir(raw_dir):
+    manifest_dir = f"{index_path}/manifest"
+    has_raw = os.path.isdir(raw_dir)
+    has_manifest = os.path.isdir(manifest_dir)
+    if not has_raw and not has_manifest:
         raise RuntimeError(
-            f"index {index_path!r} has no raw/ side store — it was "
-            "built without keep_raw=True, so a retrain must rebuild "
-            "from the retained SOURCE corpus (save_ivf_pq_index); "
-            "codes alone are not invertible"
+            f"index {index_path!r} has no raw/ or manifest/ side "
+            "store — it was built without keep_raw=True or "
+            "manifest_source, so a retrain must rebuild from the "
+            "retained SOURCE corpus (save_ivf_pq_index); codes alone "
+            "are not invertible"
         )
     cents = spark.read.parquet(f"{index_path}/centroids")
     books = spark.read.parquet(f"{index_path}/codebooks")
@@ -464,12 +504,54 @@ def retrain_pq_index(
             f"..{int(bgeo.n_codes)}) — refusing to infer n_codes; "
             "rebuild from the source corpus with explicit geometry"
         )
-    corpus = (
-        spark.read.parquet(raw_dir)
-        .select(id_col, "vec")
-        .dropDuplicates([id_col])
-    )
     staging = index_path.rstrip("/") + ".__retrain__"
+    if has_raw:
+        corpus = (
+            spark.read.parquet(raw_dir)
+            .select(id_col, "vec")
+            .dropDuplicates([id_col])
+        )
+        corpus_vec_col = "vec"
+        manifest = None
+    else:
+        manifest = spark.read.parquet(manifest_dir).dropDuplicates(
+            [id_col]
+        )
+        # distinct FILE paths, not rows — control-plane sized; a path
+        # that no longer exists fails the read loudly below
+        paths = [
+            r.source_path
+            for r in manifest.select("source_path").distinct().collect()
+        ]
+        # existence pre-check for a clearer error than the scan's own
+        # PATH_NOT_FOUND — local paths only ( _metadata.file_path
+        # yields file: URIs); remote schemes (s3://, hdfs://) rely on
+        # the read itself failing loudly
+        def _local(p: str) -> str | None:
+            if p.startswith("file:"):
+                return p.removeprefix("file:")
+            return None if "://" in p else p
+
+        missing = [
+            p
+            for p in paths
+            if _local(p) is not None and not os.path.exists(_local(p))
+        ]
+        if missing:
+            raise RuntimeError(
+                f"index {index_path!r} manifest references source "
+                f"paths that no longer exist (e.g. {missing[0]!r}, "
+                f"{len(missing)} total) — refusing a retrain that "
+                "would silently shrink the corpus; restore the source "
+                "or rebuild from a retained corpus"
+            )
+        corpus = (
+            spark.read.parquet(*paths)
+            .select(id_col, vec_col)
+            .join(manifest.select(id_col), id_col, "left_semi")
+            .dropDuplicates([id_col])
+        )
+        corpus_vec_col = vec_col
     save_ivf_pq_index(
         corpus,
         staging,
@@ -481,10 +563,15 @@ def retrain_pq_index(
         train_iters=train_iters,
         dim=int(geo.d),
         id_col=id_col,
-        vec_col="vec",
+        vec_col=corpus_vec_col,
         train_sample=train_sample,
-        keep_raw=True,
+        keep_raw=has_raw,
     )
+    if manifest is not None:
+        # carry the pointer store forward DEDUPED so the next retrain
+        # is equally self-contained (and replay duplicates are folded
+        # at rest, not just at read time)
+        manifest.write.mode("overwrite").parquet(f"{staging}/manifest")
     old = index_path.rstrip("/") + ".__old__"
     # Same stale-__old__ guard as retrain_index: a crash after a prior
     # retrain's sentinel removal leaves __old__ behind; clear it before
@@ -604,12 +691,12 @@ def run_pq_index_maintenance(
     :func:`run_index_maintenance` — drain the vector backlog with an
     availableNow run, then, with the stream STOPPED, evaluate the
     drift log and ``retrain_pq_index`` when the latest batch flags.
-    Requires the index to carry the ``raw/`` side store
-    (``save_ivf_pq_index(keep_raw=True)``) when ``retrain_on_flag``
-    is set — the retrain rebuilds quantizer + codebooks + codes from
-    it with no source re-read; without the side store schedule the
-    rebuild from the retained corpus yourself. Same drain-timeout
-    abort contract as the raw cycle."""
+    Requires the index to carry a side store when ``retrain_on_flag``
+    is set — ``raw/`` (``save_ivf_pq_index(keep_raw=True)``; rebuilds
+    with no source re-read) or ``manifest/`` (``manifest_source=...``;
+    re-reads only the manifest-referenced source files, r17); without
+    either, schedule the rebuild from the retained corpus yourself.
+    Same drain-timeout abort contract as the raw cycle."""
     import os
 
     if os.path.exists(_retrain_sentinel(index_path)):
@@ -651,6 +738,7 @@ def run_pq_index_maintenance(
                 iters=retrain_iters,
                 train_iters=retrain_train_iters,
                 id_col=id_col,
+                vec_col=vec_col,
                 train_sample=retrain_train_sample,
             )
             return True
