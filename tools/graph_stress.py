@@ -16,7 +16,15 @@ with incremental_components and (b) cold-rebuild over the full
 accumulated pair list, assert EQUAL labels, and report both walls.
 
 Usage: [NODES=200000] [BATCHES=8] [BATCH_PAIRS=100000]
-       PYTHONPATH=. python tools/graph_stress.py
+       [MODE=direct|stream] PYTHONPATH=. python tools/graph_stress.py
+
+MODE=direct (default) times the bare fold (incremental_components →
+fold math only). MODE=stream (r17) drives each batch through the
+CHECKPOINTED loop end to end — the batch lands as a parquet file in
+an incoming dir and ``run_components_maintenance`` drains it
+(availableNow) into the sentinel-bracketed label store — so the
+measured wall includes the stream trigger, the staged swap, and the
+checkpoint commit, i.e. exactly what a nightly cycle pays.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ def main() -> None:
     v = int(os.environ.get("NODES", "200000"))
     n_batches = int(os.environ.get("BATCHES", "8"))
     batch_pairs = int(os.environ.get("BATCH_PAIRS", "100000"))
+    mode = os.environ.get("MODE", "direct")
     spark = get_spark("graph-stress")
 
     k = 20  # cluster span; heads at multiples of k
@@ -77,9 +86,23 @@ def main() -> None:
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
+    if mode == "stream":
+        import tempfile
+
+        from pg2kafka_spark.streaming.graphstore import (
+            run_components_maintenance,
+        )
+
+        work = tempfile.mkdtemp(prefix="graph_stress_stream_")
+        incoming = os.path.join(work, "incoming")
+        labels_dir = os.path.join(work, "labels")
+        ckpt = os.path.join(work, "ckpt")
+        os.makedirs(incoming, exist_ok=True)
+
     history = None
     labels = None
-    print("| step | pairs in history | warm fold s | cold rebuild s |")
+    mode_col = "warm fold s" if mode == "direct" else "stream cycle s"
+    print(f"| step | pairs in history | {mode_col} | cold rebuild s |")
     print("|---|---|---|---|")
     for b in range(n_batches):
         nb = batch(b).localCheckpoint()
@@ -87,7 +110,24 @@ def main() -> None:
             nb if history is None else history.unionByName(nb)
         ).localCheckpoint()
         hist_n = history.count()
-        if labels is None:
+        if mode == "stream":
+            # land the batch as a file; the maintenance cycle drains
+            # it through the checkpointed, sentinel-bracketed loop
+            nb.write.mode("overwrite").parquet(
+                os.path.join(incoming, f"batch_{b:03d}")
+            )
+            t = time.monotonic()
+            run_components_maintenance(
+                spark,
+                os.path.join(incoming, "*"),
+                "id_a bigint, id_b bigint",
+                labels_dir=labels_dir,
+                checkpoint_dir=ckpt,
+                timeout_s=1800,
+            )
+            warm_s = time.monotonic() - t
+            labels = spark.read.parquet(labels_dir)
+        elif labels is None:
             t = time.monotonic()
             labels = connected_components(nb)
             warm_s = time.monotonic() - t
