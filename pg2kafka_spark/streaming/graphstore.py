@@ -145,11 +145,14 @@ def start_components_stream(
     max_iter: int = 25,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    n_partitions: int | None = None,
 ):
     """Maintenance stream for the label store: drain candidate-pair
     files from ``incoming_dir`` and fold each micro-batch into
     ``labels_dir``. availableNow for the nightly-drain spelling;
-    processingTime for a live tail — same knobs as the other loops."""
+    processingTime for a live tail — same knobs as the other loops.
+    ``n_partitions`` threads through to the fold's swap write (hash
+    on the node id) — the at-scale knob the module header names."""
     if os.path.exists(_swap_sentinel(labels_dir)):
         raise RuntimeError(
             f"label store {labels_dir!r} is mid-swap (sentinel "
@@ -176,6 +179,7 @@ def start_components_stream(
             node_col,
             label_col,
             max_iter,
+            n_partitions,
         )
 
     writer = stream.writeStream.foreachBatch(_process).option(
@@ -201,6 +205,7 @@ def run_components_maintenance(
     max_iter: int = 25,
     max_files_per_trigger: int | None = None,
     timeout_s: int = 600,
+    n_partitions: int | None = None,
 ) -> None:
     """One scheduled maintenance cycle for the label store — the
     nightly-job spelling that mirrors ``run_index_maintenance`` /
@@ -228,6 +233,7 @@ def run_components_maintenance(
         max_iter=max_iter,
         max_files_per_trigger=max_files_per_trigger,
         available_now=True,
+        n_partitions=n_partitions,
     )
     # awaitTermination returns False on timeout with the stream STILL
     # RUNNING; returning then would let a caller read/serve labels
