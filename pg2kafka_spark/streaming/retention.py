@@ -235,6 +235,11 @@ def compact_sketches(
     staging = sketches_dir.rstrip("/") + ".__compact__"
     folded.write.mode("overwrite").parquet(staging)
     old = sketches_dir.rstrip("/") + ".__old__"
+    # clear a stale __old__ left by a crash after a prior swap's
+    # renames but before its rmtree — the rename below would
+    # otherwise fail ENOTEMPTY and wedge the store (r17, same guard
+    # as the graphstore fold and the annindex retrains)
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(sketches_dir, old)
     os.rename(staging, sketches_dir)
     shutil.rmtree(old)
@@ -266,10 +271,15 @@ def compact_first_seen(
     folded = df.groupBy(user_col).agg(F.min("f_us").alias("f_us"))
     staging = first_seen_dir.rstrip("/") + ".__compact__"
     folded.write.mode("overwrite").parquet(staging)
+    old = first_seen_dir.rstrip("/") + ".__old__"
+    # clear a stale __old__ left by a crash between a prior swap's
+    # sentinel removal and its rmtree — BEFORE this swap's sentinel,
+    # so the rename can't fail ENOTEMPTY with the sentinel stranded
+    # (r17, same guard as the graphstore fold and annindex retrains)
+    shutil.rmtree(old, ignore_errors=True)
     sentinel = _compaction_sentinel(first_seen_dir)
     with open(sentinel, "w"):
         pass
-    old = first_seen_dir.rstrip("/") + ".__old__"
     os.rename(first_seen_dir, old)
     os.rename(staging, first_seen_dir)
     os.remove(sentinel)

@@ -634,3 +634,26 @@ def test_run_retention_maintenance_timeout_aborts_before_compaction(
     assert _triangle_rows(
         retention_from_partials(spark.read.parquet(part_dir))
     ) == _batch_triangle(spark)
+
+
+def test_compactions_recover_from_stale_old_dir(spark, tmp_path):
+    """r17 (advice, same class as the graphstore fold): a crash after
+    a prior swap's sentinel removal but before its __old__ rmtree
+    leaves a stale __old__; the NEXT compaction must clear it and
+    swap cleanly instead of wedging ENOTEMPTY mid-swap."""
+    import os
+
+    from pg2kafka_spark.streaming.retention import compact_first_seen
+
+    fs_dir = str(tmp_path / "first_seen")
+    spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], "user_id bigint, f_us bigint"
+    ).write.parquet(fs_dir)
+    old = fs_dir.rstrip("/") + ".__old__"
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, "stale.parquet"), "w") as fh:
+        fh.write("stale")
+    compact_first_seen(spark, fs_dir)  # must not raise
+    assert not os.path.exists(old)
+    got = {(r.user_id, r.f_us) for r in spark.read.parquet(fs_dir).collect()}
+    assert got == {(1, 5), (2, 7)}
