@@ -17,7 +17,9 @@
 # each get their OWN lane (r17, r16 verdict item 5: together they
 # bound the r16 wall at 903 s while `rest` finished at 550 s — split,
 # the max lane drops to whichever of the two is longer alone); the
-# rest in a sixth. Each lane gets its OWN TMPDIR: the at-rest session
+# rest in a sixth. test_graph rides with retention (the shortest
+# stream lane, ~4 min solo) after growing its maintenance/serve
+# coverage in r17. Each lane gets its OWN TMPDIR: the at-rest session
 # stores (_ensure_bucketed_tables, _ensure_retention_store,
 # _ensure_ann_index, _ensure_components_store) key their paths off
 # tempfile.gettempdir(); the r16 build lock holds across processes
@@ -28,9 +30,9 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 STREAM_A="tests/test_streaming.py tests/test_multimodal_real.py \
-tests/test_bpe_production.py tests/test_graph.py"
+tests/test_bpe_production.py"
 STREAM_B="tests/test_annindex.py"
-STREAM_C="tests/test_retention.py"
+STREAM_C="tests/test_retention.py tests/test_graph.py"
 HEAVY_A="tests/test_pipeline_ops.py"
 HEAVY_B="tests/test_oracle_parity.py"
 PYTEST_ARGS="${PYTEST_ARGS:-}"
