@@ -682,3 +682,55 @@ def test_pq_retrain_from_manifest_pointer_store(spark, tmp_path):
         raise AssertionError("retrain over a missing source must raise")
     except RuntimeError as e:
         assert "no longer exist" in str(e)
+
+
+def test_run_pq_index_maintenance_retrains_from_manifest(spark, tmp_path):
+    """r17: the scheduled compressed cycle end to end over the
+    MANIFEST pointer store — drain (pointer rows accrete in lockstep),
+    evaluate, retrain from the manifest-referenced source files; the
+    cycle returns True, the drift log resets, the index equals a
+    from-scratch build over the full corpus, and the carried-forward
+    manifest still covers every vector."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import (
+        run_pq_index_maintenance,
+    )
+
+    emb = _emb(spark)
+    src_store = str(tmp_path / "src_store")
+    emb.filter(F.col("vec_id") < STORE_CUT).write.parquet(src_store)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(
+        spark.read.parquet(src_store), path, manifest_source=src_store
+    )
+    incoming = str(tmp_path / "incoming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 400), (400, 500)],
+        incoming,
+    )
+    retrained = run_pq_index_maintenance(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        min_mean_sim=2.0,  # impossible bar -> always flags
+    )
+    assert retrained is True
+    assert retrain_flag(spark, path).count() == 0
+    assert not os.path.isdir(f"{path}/raw")
+    man = spark.read.parquet(f"{path}/manifest")
+    assert man.select("vec_id").distinct().count() == emb.count()
+    fresh = str(tmp_path / "pq_fresh")
+    save_ivf_pq_index(emb, fresh)
+    assert _topk_rows(
+        load_ivf_pq_topk(spark, path, _queries(spark), k=3), "pq_sim"
+    ) == _topk_rows(
+        load_ivf_pq_topk(spark, fresh, _queries(spark), k=3), "pq_sim"
+    )
