@@ -314,6 +314,83 @@ def synth_real_media(documents: DataFrame) -> DataFrame:
     return src.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
 
 
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL container-domain downsampling — the resize/resample stage
+    of the multimodal plumbing (decode → exact integer resample →
+    re-encode), the op a training pipeline runs to normalize media
+    before feature extraction:
+
+    * images (BMP-24): ``factor×factor`` box-mean — each output pixel
+      is the integer mean (floor) of its source block; dimensions
+      must divide by ``factor`` (raises loudly otherwise — silent
+      crop is the data-lobotomy class this repo refuses everywhere);
+    * audio (WAV PCM-16): decimation by ``factor`` — every
+      ``factor``-th sample at ``rate/factor``, so duration is
+      preserved and the container stays self-describing.
+
+    All-integer arithmetic end to end, so the output containers are
+    bit-deterministic on any executor — and analytically derivable
+    for the synthetic fixtures, which is what lets
+    ``multimodal_resize_parity`` hash-check this path against a
+    DuckDB oracle that never sees a container byte. Same
+    partition-preserving ``mapInPandas`` shape and MEDIA_SCHEMA as
+    encode/decode, so the stage composes with ``decode_media`` /
+    ``decode_media_checked`` / ``sample_frames``. At 100 TB this
+    stage is map-only: no shuffle, scales with bytes scanned."""
+    factor = int(factor)
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+
+    def resize_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mtype, content, source in zip(
+                pdf["media_id"],
+                pdf["media_type"],
+                pdf["content"],
+                pdf["source"],
+            ):
+                data = bytes(content)
+                if data[:4] == b"RIFF":
+                    rate, samples = decode_wav_pcm16(data)
+                    out = encode_wav_pcm16(
+                        samples[::factor], max(rate // factor, 1)
+                    )
+                elif data[:2] == b"BM":
+                    px = decode_bmp_rgb(data)
+                    h, w, _ = px.shape
+                    if h % factor or w % factor:
+                        raise ValueError(
+                            f"image {int(mid)} is {h}x{w}: not "
+                            f"divisible by resize factor {factor} — "
+                            "refusing a silent crop"
+                        )
+                    blocks = px.astype(np.int64).reshape(
+                        h // factor, factor, w // factor, factor, 3
+                    )
+                    out_px = (
+                        blocks.sum(axis=(1, 3)) // (factor * factor)
+                    ).astype(np.uint8)
+                    out = encode_bmp_rgb(out_px)
+                else:
+                    raise ValueError(
+                        "unsupported container in resize_media"
+                    )
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "media_type": mtype,
+                        "content": out,
+                        "source": source,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize_batches, schema=MEDIA_SCHEMA)
+
+
 #: Output schema of the frame-sampling stage.
 FRAME_SCHEMA = T.StructType(
     [

@@ -1403,6 +1403,74 @@ def multimodal_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize_parity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_md5_word_le(0)} AS w0, {_md5_word_le(1)} AS w1,
+             {_md5_word_le(2)} AS w2
+      FROM (SELECT doc_id, md5(text) AS h FROM documents)
+    ),
+    audio AS (
+      -- odd doc_ids, decimated by 2: samples are the EVEN-index
+      -- subset of the synth waveform (t = 2i), re-encoded at 4 kHz —
+      -- 1000 samples keep duration_ms at 250; container = 44 B
+      -- header + 2000 B PCM
+      SELECT w.doc_id AS media_id, 'audio' AS media_type,
+             CAST(2044 AS BIGINT) AS n_bytes,
+             CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+             CAST(250 AS BIGINT) AS duration_ms,
+             CAST(sum(CAST(round_even(
+               12000 * sin(2*pi()*(200.0 + (w0 % 800))*(2*i.i)/8000.0), 0)
+               AS BIGINT)) AS BIGINT) AS sum_a,
+             CAST(sum(abs(CAST(round_even(
+               12000 * sin(2*pi()*(200.0 + (w0 % 800))*(2*i.i)/8000.0), 0)
+               AS BIGINT))) AS BIGINT) AS sum_b,
+             CAST(count(*) AS BIGINT) AS sum_c
+      FROM w CROSS JOIN range(1000) i(i)
+      WHERE w.doc_id % 2 = 1
+      GROUP BY w.doc_id
+    ),
+    image AS (
+      -- even doc_ids, 2x2 box-mean 16x16 -> 8x8: block sum =
+      -- 32r+32c+16+4k (k = w_ch%97) divides exactly by 4, so each
+      -- output pixel is 8r+8c+4+k (max 212, no clipping); container
+      -- = 54 B header + 8 rows x 24 B (no padding) = 246 B
+      SELECT w.doc_id AS media_id, 'image' AS media_type,
+             CAST(246 AS BIGINT) AS n_bytes,
+             CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             CAST(NULL AS BIGINT) AS duration_ms,
+             CAST(sum(8*r.r + 8*c.c + 4 + (w0 % 97)) AS BIGINT) AS sum_a,
+             CAST(sum(8*r.r + 8*c.c + 4 + (w1 % 97)) AS BIGINT) AS sum_b,
+             CAST(sum(8*r.r + 8*c.c + 4 + (w2 % 97)) AS BIGINT) AS sum_c
+      FROM w CROSS JOIN range(8) r(r) CROSS JOIN range(8) c(c)
+      WHERE w.doc_id % 2 = 0
+      GROUP BY w.doc_id
+    )
+    SELECT * FROM audio UNION ALL SELECT * FROM image
+    """,
+)
+def multimodal_resize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize/resample stage under an EXACT oracle (r17 — closes
+    the decode/feature/resize/frame-sample multimodal quartet):
+    documents → real WAV/BMP containers (synth_real_media) →
+    ``resize_media`` (2×2 integer box-mean for images, 2× decimation
+    to 4 kHz for audio, decode → resample → re-encode through the
+    actual codecs) → ``decode_media_checked`` integer census of the
+    RESIZED containers. The oracle re-derives every resized
+    sample/pixel analytically from md5(text) — decimation is the
+    even-index subset of the known waveform; the 2×2 box sum of the
+    gradient image divides exactly by 4 — so a hash match proves the
+    whole decode→resample→encode→decode round trip is value-exact,
+    including the re-encoded containers' header math (2044 / 246
+    bytes). Map-only end to end: three mapInPandas stages, no
+    shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    media = M.synth_real_media(docs)
+    resized = M.resize_media(media, factor=2)
+    return M.decode_media_checked(resized)
+
+
+@query(
     "media_near_dup_real",
     oracle=f"""
     WITH alldocs AS (

@@ -58,6 +58,7 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 _FRONT = [
     # NEW in r17 — no driver row exists yet
     "near_dup_canonical_served",
+    "multimodal_resize_parity",
 ]
 # names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
 _R14_WINDOW = {

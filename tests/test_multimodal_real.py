@@ -124,6 +124,56 @@ def test_real_frame_fp_invariant_to_container_bytes():
 # Property tests: codec round-trips over arbitrary content
 # ---------------------------------------------------------------------------
 
+def test_resize_media_box_mean_and_decimation(spark):
+    """r17: the resize stage — exact 2x2 box-mean for images (known
+    block means), 2x decimation at half rate for audio (even-index
+    subset, duration preserved), non-divisible dimensions refuse
+    loudly instead of cropping."""
+    import pandas as pd
+
+    # image: 2x2 known pixels -> 1x1 mean (floor)
+    px = np.array(
+        [[[10, 20, 30], [11, 21, 31]], [[12, 22, 32], [14, 23, 33]]],
+        dtype=np.uint8,
+    )
+    samples = np.arange(-8, 8, dtype=np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"media_id": 0, "media_type": "image",
+                 "content": M.encode_bmp_rgb(px), "source": "s"},
+                {"media_id": 1, "media_type": "audio",
+                 "content": M.encode_wav_pcm16(samples, 8000),
+                 "source": "s"},
+            ]
+        ),
+        schema=M.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: bytes(r.content)
+           for r in M.resize_media(media, factor=2).collect()}
+    got_px = M.decode_bmp_rgb(out[0])
+    np.testing.assert_array_equal(
+        got_px, np.array([[[(10+11+12+14)//4, (20+21+22+23)//4,
+                            (30+31+32+33)//4]]], dtype=np.uint8)
+    )
+    rate, got_samples = M.decode_wav_pcm16(out[1])
+    assert rate == 4000
+    np.testing.assert_array_equal(got_samples, samples[::2])
+
+    # 3x3 image does not divide by 2 -> loud refusal, never a crop
+    odd = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 2, "media_type": "image",
+              "content": M.encode_bmp_rgb(
+                  np.zeros((3, 3, 3), dtype=np.uint8)),
+              "source": "s"}]
+        ),
+        schema=M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="divisible|crop"):
+        M.resize_media(odd, factor=2).collect()
+
+
 try:
     from hypothesis import given, settings, strategies as st
 

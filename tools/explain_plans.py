@@ -1382,6 +1382,19 @@ COMMENTARY.update({
         "one-pass components, the same served evidence shape as the "
         "retention and ANN stores."
     ),
+    "multimodal_resize_parity": (
+        "The resize/resample stage under an exact oracle (r17): real "
+        "containers -> resize_media (2x2 integer box-mean images, 2x "
+        "decimation audio; decode -> resample -> re-encode through "
+        "the actual codecs) -> integer census of the RESIZED "
+        "containers. Three partition-preserving mapInPandas stages, "
+        "map-only end to end — zero Exchange; at 100 TB the stage "
+        "scales with bytes scanned, embarrassingly parallel. The "
+        "oracle re-derives every resized sample/pixel analytically "
+        "from md5(text), so the hash match proves the whole "
+        "decode->resample->encode->decode round trip value-exact "
+        "including the re-encoded header math."
+    ),
     "near_dup_canonical_served": (
         "Canonical selection SERVED from the maintained label store "
         "(r17): the keep-list a daily pipeline reads — one labels "
