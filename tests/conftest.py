@@ -36,3 +36,43 @@ def _release_tracked_storage():
     from pg2kafka_spark.operators.dedup import release_sketch_caches
 
     release_sketch_caches()
+
+
+@pytest.fixture
+def wall_budget(spark):
+    """Host-load-aware wall-clock budget for the runtime canaries
+    (r17: the two absolute budgets flaked only when six pytest lanes
+    + a parity sweep shared the box — BASELINE.md's sentinel
+    discipline, applied in-process). Times the bench's fixed sentinel
+    plan (lineitem returnflag agg, sf0.01, median of 3) right before
+    the budgeted work and scales a base budget by contention: quiet
+    in-suite reading is ~0.25 s; the budget grows proportionally
+    above that, capped at 4x so a genuine complexity-class regression
+    (10-100x) still fails under any load."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pg2kafka_spark.catalog import load_table
+
+    df = (
+        load_table(spark, "lineitem", "/root/testdata/sf0.01")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        )
+    )
+    reads = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        df.collect()
+        reads.append(_time.perf_counter() - t0)
+    sentinel = sorted(reads)[1]
+    factor = min(max(sentinel / 0.25, 1.0), 4.0)
+
+    def budget(base_s: float) -> float:
+        return base_s * factor
+
+    budget.sentinel = sentinel
+    return budget

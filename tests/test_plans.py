@@ -180,11 +180,11 @@ def test_embedding_near_dup_blocks_are_groups_not_rows(spark, sf_dir):
     assert p.count(" Exchange (") == 1
 
 
-def test_portable_minhash_linear_runtime_budget(spark):
+def test_portable_minhash_linear_runtime_budget(spark, wall_budget):
     """Wall-time backstop for the same pathology: 60 docs x 1500
     tokens is ~0.5 s linear but minutes quadratic (tokens x doc_chars
-    interpreted fold steps). Generous 60 s budget - only a
-    complexity-class regression can blow it."""
+    interpreted fold steps). Generous 60 s budget, load-scaled (r17) -
+    only a complexity-class regression can blow it."""
     import time
 
     from pg2kafka_spark.operators.dedup import minhash_signatures_portable
@@ -195,7 +195,7 @@ def test_portable_minhash_linear_runtime_budget(spark):
     )
     t0 = time.perf_counter()
     assert minhash_signatures_portable(df, k=8).count() == 60 * 8
-    assert time.perf_counter() - t0 < 60
+    assert time.perf_counter() - t0 < wall_budget(60)
 
 
 def test_decontamination_broadcasts_eval_grams(spark, sf_dir):
