@@ -2766,7 +2766,11 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
     in one pass (the nightly-backfill spelling; the day-by-day and
     streaming folds are pinned equal to it by tests/test_retention.py).
     Same idempotence convention as `_ensure_bucketed_tables`: skip
-    only when the external path still holds data files. Layout is
+    only when the store's `_COMPLETE` marker (written LAST, removed
+    before any rebuild — r17, the ANN-store convention) and data
+    files are both present; a bare data check would accept another
+    process's overwrite-in-flight `_temporary` task files as a
+    complete store. Layout is
     `<root>/partials` (ingest_day, cohort_day, week_offset, user_id)
     and `<root>/first_seen` (user_id, f_us) — at 100 TB partition
     partials by cohort_day so triangle queries prune."""
@@ -2807,8 +2811,17 @@ def _ensure_retention_store(spark: SparkSession, sf_dir: str) -> str:
 def _build_retention_store(
     spark, sf_dir, root, part_dir, fs_dir, _has_data
 ) -> str:
-    if _has_data(part_dir) and _has_data(fs_dir):
+    import os
+
+    marker = os.path.join(root, "_COMPLETE")
+    if (
+        os.path.exists(marker)
+        and _has_data(part_dir)
+        and _has_data(fs_dir)
+    ):
         return root
+    if os.path.exists(marker):
+        os.remove(marker)
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
@@ -2830,6 +2843,8 @@ def _build_retention_store(
     # the prune the module's 100 TB note prescribes (r14 verdict #2)
     partials.write.mode("overwrite").partitionBy("cohort_day").parquet(part_dir)
     f.write.mode("overwrite").parquet(fs_dir)
+    with open(marker, "w"):
+        pass
     return root
 
 
