@@ -485,3 +485,29 @@ def test_canonical_served_equals_recompute(spark):
         for r in QUERIES["near_dup_canonical"](spark, sf).collect()
     )
     assert served == recomputed
+
+
+def test_components_store_wipe_clears_skip_gate(spark):
+    """r17 (advice): the completeness marker lives INSIDE the store
+    root, so an rm -rf of the store atomically clears the skip gate —
+    a surviving sibling marker used to make later sessions serve a
+    labels path that no longer exists."""
+    import os
+    import shutil
+
+    from pg2kafka_spark.q_pipeline import _ensure_components_store
+
+    sf = "/root/testdata/sf0.001"
+    labels_dir = _ensure_components_store(spark, sf)
+    root = os.path.dirname(labels_dir)
+    assert os.path.exists(os.path.join(root, "_COMPLETE"))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir).collect()
+    )
+    shutil.rmtree(root)  # the tmp-reaper / manual-wipe scenario
+    labels_dir2 = _ensure_components_store(spark, sf)
+    assert labels_dir2 == labels_dir
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir2).collect()
+    )
+    assert after == before
