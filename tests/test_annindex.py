@@ -734,3 +734,26 @@ def test_run_pq_index_maintenance_retrains_from_manifest(spark, tmp_path):
     ) == _topk_rows(
         load_ivf_pq_topk(spark, fresh, _queries(spark), k=3), "pq_sim"
     )
+
+
+def test_retrain_recovers_from_stale_old_dir(spark, tmp_path):
+    """r17 (advice): a stale index.__old__ left by a crash between a
+    prior retrain's sentinel removal and its rmtree must not wedge
+    the next retrain ENOTEMPTY mid-swap — it is cleared before the
+    swap bracket, same guard as the graphstore fold and the retention
+    compactions."""
+    from pg2kafka_spark.streaming.annindex import retrain_index
+
+    emb, path = _bootstrap(spark, tmp_path)
+    old = path.rstrip("/") + ".__old__"
+    os.makedirs(old, exist_ok=True)
+    with open(os.path.join(old, "stale.parquet"), "w") as fh:
+        fh.write("stale")
+    retrain_index(spark, path)  # must not raise
+    assert not os.path.exists(old)
+    assert not os.path.exists(path.rstrip("/") + ".__retrain__")
+    # the retrained index still serves
+    got = load_ivf_topk(
+        spark, path, _queries(spark), k=3, absorb_duplicates=True
+    )
+    assert got.count() > 0
