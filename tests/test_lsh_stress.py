@@ -54,16 +54,23 @@ def skewed_corpus(spark):
 
 @pytest.mark.slow
 def test_hot_bucket_cap_under_5k_copy_skew(spark, skewed_corpus, wall_budget):
-    t0 = time.perf_counter()
-    pairs = D.minhash_lsh_pairs(skewed_corpus)
-    rows = pairs.collect()
-    wall = time.perf_counter() - t0
-    D.release_sketch_caches()
+    def measure():
+        t0 = time.perf_counter()
+        got = D.minhash_lsh_pairs(skewed_corpus).collect()
+        w = time.perf_counter() - t0
+        D.release_sketch_caches()
+        return w, got
+
+    wall, rows = measure()
 
     # runtime budget: uncapped, the cluster alone is ~12.5M pairs/band
-    # x 16 bands and blows far past this. Load-scaled (r17): the
-    # absolute 60 s flaked only under six concurrent pytest lanes.
+    # x 16 bands and blows far past this. Load-scaled (r17), and
+    # re-measured once before failing: the single-rep in-suite stall
+    # class (BASELINE.md r13-r14) never recurs, a quadratic blow-up
+    # recurs every rep.
     limit = wall_budget(60)
+    if wall >= limit:
+        wall = min(wall, measure()[0])
     assert wall < limit, (
         f"capped LSH took {wall:.1f}s on the skew fixture "
         f"(budget {limit:.0f}s at sentinel {wall_budget.sentinel:.2f}s)"
