@@ -1,6 +1,6 @@
 # Developer entry points. `make test` is the default suite run — the
-# full tests/ tree in two concurrent pytest lanes (tools/run_tests.sh;
-# same sharding the round close uses), ~8-12 min overlapped vs 20+ min
+# full tests/ tree in eight concurrent pytest lanes (tools/run_tests.sh;
+# same sharding the round close uses), ~12-13 min overlapped vs 20+ min
 # single-process.
 .PHONY: test test-serial bench verify plans
 

@@ -326,7 +326,10 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
       crop is the data-lobotomy class this repo refuses everywhere);
     * audio (WAV PCM-16): decimation by ``factor`` — every
       ``factor``-th sample at ``rate/factor``, so duration is
-      preserved and the container stays self-describing.
+      preserved and the container stays self-describing; the sample
+      rate AND the sample count must divide by ``factor`` (raises
+      loudly otherwise, mirroring the image branch — a floored rate
+      or a ceil'd sample subset would silently drift pitch/duration).
 
     All-integer arithmetic end to end, so the output containers are
     bit-deterministic on any executor — and analytically derivable
@@ -355,8 +358,17 @@ def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
                 data = bytes(content)
                 if data[:4] == b"RIFF":
                     rate, samples = decode_wav_pcm16(data)
+                    if rate % factor or len(samples) % factor:
+                        raise ValueError(
+                            f"audio {int(mid)} has rate {rate} and "
+                            f"{len(samples)} samples: not divisible "
+                            f"by resize factor {factor} — refusing a "
+                            "silent pitch/duration drift (same "
+                            "no-silent-degradation rule as the image "
+                            "branch)"
+                        )
                     out = encode_wav_pcm16(
-                        samples[::factor], max(rate // factor, 1)
+                        samples[::factor], rate // factor
                     )
                 elif data[:2] == b"BM":
                     px = decode_bmp_rgb(data)

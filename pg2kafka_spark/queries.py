@@ -37,80 +37,41 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
 # regenerated at round close). r10 + r12 + r14 ran pipeline-fronted
-# windows; r11 + r13 + r15 ran CDC + relational (r15's window also
-# re-evidenced the r15-new pipeline serve queries via its tier 0).
-# r16 ran a pipeline-fronted window (CORRECTNESS_r16: 50/50 green).
-# r17 (this round) rotates CDC + RELATIONAL back to the front per the
-# r16 verdict's item 3 — 93 CDC/rel oracle-backed names compete for
-# 50 slots, so the intra-family order prefers the names the r15
-# window MISSED (their last driver rows are r13 — stalest). Order:
+# windows; r11 + r13 + r15 ran CDC + relational; r16 ran pipeline;
+# r17 ran CDC + relational (CORRECTNESS_r17: 50/50 green). r18 (this
+# round) rotates the PIPELINE families back to the front per the r17
+# verdict's item 3, which names the maintained-state serve queries +
+# the graph/BPE families as the staleness candidates. Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) CDC/relational oracle-backed outside both the r15 and r16
-#       windows (last driver row r13 — stalest),
-#   (2) CDC/relational oracle-backed the r15 window covered,
-#   (3) pipeline oracle-backed outside the r16 window,
-#   (4) pipeline oracle-backed the r16 window covered (freshest),
+#   (1) the r17-verdict staleness candidates: the maintained-state
+#       serve queries plus the graph and BPE families,
+#   (2) pipeline oracle-backed outside both the r16 and r17 windows
+#       (last driver row r14 — stalest),
+#   (3) pipeline oracle-backed the r16/r17 windows covered,
+#   (4) CDC/relational oracle-backed (every one holds an r15 or r17
+#       driver row — freshest),
 #   (5) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r18 NOTE: rotate the pipeline families to the front; keep
-# alternating, and keep tier 0 = new/changed-this-round.
-_FRONT = [
-    # NEW in r17 — no driver row exists yet
-    "near_dup_canonical_served",
-    "multimodal_resize_parity",
+# r19 NOTE: rotate CDC + relational to the front; keep alternating,
+# and keep tier 0 = new/changed-this-round.
+_FRONT: list[str] = [
+    # NEW in r18 — no driver row exists yet
 ]
-# names that took a fresh r14 driver row (CORRECTNESS_r14.json keys)
-_R14_WINDOW = {
-    "weekly_retention_served", "session_path_conversion_windowed",
-    "embedding_diversity_sample", "bpe_encode_production",
-    "simhash_portable", "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable", "exact_dedup_documents",
-    "bow_dedup_documents", "shingle_jaccard_pairs",
-    "cross_source_dup_matrix", "doc_token_stats", "doc_quality",
-    "lang_id_heuristic", "doc_fingerprint", "doc_quality_extended",
-    "doc_rolling_hash", "lang_ngram_profile", "embedding_topk",
-    "embedding_topk_quantized", "embedding_near_dup_pairs",
-    "incremental_dedup_batch", "doc_char_ngram_stats",
-    "doc_repetition", "embedding_near_dup_lsh_portable",
-    "doc_pii_scrub", "embedding_ann_ivf",
-    "semantic_dedup_embeddings", "embedding_ann_lsh",
-    "near_dup_keep_list", "media_frame_fingerprints",
-    "media_frame_sample", "media_near_dup_by_frames",
-    "multimodal_features", "multimodal_features_real",
-    "multimodal_decode_parity", "media_near_dup_real",
-    "doc_chunk_windows", "doc_train_val_test_split",
-    "doc_stratified_sample", "source_mix_rebalance",
-    "doc_pack_assignments", "tfidf_top_terms",
-    "doc_unigram_surprisal", "decontamination_check",
+# r17-verdict item 3's explicit staleness candidates: the four
+# maintained-state serve queries plus the graph and BPE families
+# (near_dup_canonical_served is excluded — driver-green r17).
+_SERVE_GRAPH_BPE = [
+    "ann_ivf_served_incremental", "ann_ivf_pq_served_incremental",
+    "weekly_retention_served", "weekly_retention_served_cohort_window",
+    "near_dup_components_served",
+    "nation_trade_pagerank", "nation_trade_pagerank_conserving",
     "near_dup_components", "near_dup_components_star",
-    "near_dup_canonical", "leakage_free_split",
-    "doc_duplicate_ngrams",
-}
-# names that took a fresh r15 driver row (CORRECTNESS_r15.json keys) —
-# mostly CDC/relational plus the r15-new pipeline serve queries
-_R15_WINDOW = {
-    "weekly_retention_served_cohort_window", "ann_ivf_served_incremental",
-    "ann_ivf_pq_served_incremental", "session_top_paths_windowed",
-    "embedding_cell_drift", "dau_wau_stickiness", "queue_lag_stats",
-    "wire_roundtrip_nation", "user_value_deciles",
-    "daily_new_vs_returning", "nation_trade_pagerank",
-    "weekly_retention_served", "latest_state_per_user", "state_asof",
-    "snapshot_part", "update_diff_events", "update_diff_json",
-    "unprocessed_page", "unprocessed_pages_count", "wire_encode_nation",
-    "topic_routing", "event_asof_order", "order_event_attribution",
-    "replayed_state_from_diffs", "scd2_user_history", "pricing_summary",
-    "top_orders", "events_hourly", "revenue_by_region",
-    "customer_order_stats", "customers_without_orders",
-    "customers_with_orders", "brand_supplier_revenue",
-    "shipping_priority", "order_rank_per_customer", "order_gap_days",
-    "running_customer_total", "sessionize_events", "session_top_paths",
-    "session_path_conversion", "session_path_conversion_windowed",
-    "session_funnel_counts", "session_transition_matrix",
-    "finished_only_customers", "both_status_customers",
-    "union_segments", "rollup_returns", "cube_priority_status",
-    "user_event_type_pivot", "order_line_arrays",
-}
+    "near_dup_components_incremental", "near_dup_canonical",
+    "bpe_pair_counts", "bpe_merge_steps", "bpe_token_frequencies",
+    "bpe_encode_documents", "bpe_compression_by_source",
+    "bpe_encode_production",
+]
 # names that took a fresh r16 driver row (CORRECTNESS_r16.json keys) —
 # the pipeline/ANN families plus r16's four new queries
 _R16_WINDOW = {
@@ -139,6 +100,34 @@ _R16_WINDOW = {
     "training_corpus_assembly", "wire_rescued_keys",
     "zorder_layout_stats",
 }
+# names that took a fresh r17 driver row (CORRECTNESS_r17.json keys) —
+# the CDC/relational window plus r17's two new queries
+_R17_WINDOW = {
+    "bloom_semijoin_prune", "brand_share_by_year",
+    "bucketed_customer_order_stats", "customer_event_activity",
+    "customer_order_distribution", "discount_band_revenue_delta",
+    "disjunctive_part_revenue", "dormant_customer_balances",
+    "economy_revenue_share", "event_funnel_counts",
+    "event_funnel_stages", "event_funnel_windowed_counts",
+    "events_hourly_gapfill", "events_hourly_interpolate",
+    "excess_shipment_suppliers", "funnel_conversion_latency",
+    "grouping_sets_flag_status", "important_part_stock",
+    "json_extract_events", "large_quantity_orders",
+    "late_shipment_priority_counts", "latest_state_per_user",
+    "mktsegment_rollup_salted_join", "multimodal_resize_parity",
+    "nation_trade_volume", "near_dup_canonical_served",
+    "order_stats_global", "order_value_percentiles",
+    "orders_above_avg", "orders_table_profile",
+    "part_pair_cooccurrence", "part_supplier_diversity",
+    "part_type_profit_by_nation", "props_key_profile",
+    "props_variant_extract", "purchase_error_full_outer",
+    "regional_min_cost_supplier", "returned_item_customer_revenue",
+    "scalar_functions", "small_quantity_revenue", "snapshot_part",
+    "sole_late_suppliers", "state_asof", "top_revenue_suppliers",
+    "update_diff_events", "user_event_rollup_salted",
+    "user_heavy_hitters_cm", "user_value_sketches_portable",
+    "weekly_retention_cohorts", "weekly_retention_incremental",
+}
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
     __name__ as _qrel_mod,
@@ -156,12 +145,12 @@ def _tier(n: str) -> tuple:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
         return (5, _reg_pos[n])
+    if n in _SERVE_GRAPH_BPE:
+        return (1, _SERVE_GRAPH_BPE.index(n))
     if n in _cdc_rel_names:
-        if n not in _R15_WINDOW and n not in _R16_WINDOW:
-            return (1, _reg_pos[n])
-        return (2, _reg_pos[n])
-    if n in _R16_WINDOW:
         return (4, _reg_pos[n])
+    if n not in _R16_WINDOW and n not in _R17_WINDOW:
+        return (2, _reg_pos[n])
     return (3, _reg_pos[n])
 
 

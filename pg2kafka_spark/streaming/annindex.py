@@ -442,8 +442,9 @@ def retrain_pq_index(
     at-least-once replays folded away, and the whole layout rebuilt
     with ``save_ivf_pq_index`` over it — coarse quantizer AND
     codebooks retrain, every stored vector re-codes, and the new
-    layout carries the side store forward (raw or the deduped
-    manifest) so the NEXT retrain is equally self-contained. Equal to
+    layout carries EVERY side store forward (raw and/or the deduped
+    manifest — an index built with keep_raw=True plus manifest_source
+    keeps both) so the NEXT retrain is equally self-contained. Equal to
     a rebuild from the source corpus by construction — pinned by
     tests. Geometry (n_centroids, m, sub_dim, n_codes, dim) is
     inferred from the live centroids/codebooks tables, same
@@ -505,6 +506,17 @@ def retrain_pq_index(
             "rebuild from the source corpus with explicit geometry"
         )
     staging = index_path.rstrip("/") + ".__retrain__"
+    # Load the manifest whenever the side store exists — even when the
+    # raw/ store feeds the retrain corpus (save_ivf_pq_index permits
+    # keep_raw=True plus manifest_source, so an index can carry BOTH).
+    # The rebuilt layout must carry every side store forward, or a
+    # restarted ingest stream sees keep_manifest=False and silently
+    # stops accreting pointer rows.
+    manifest = (
+        spark.read.parquet(manifest_dir).dropDuplicates([id_col])
+        if has_manifest
+        else None
+    )
     if has_raw:
         corpus = (
             spark.read.parquet(raw_dir)
@@ -512,24 +524,26 @@ def retrain_pq_index(
             .dropDuplicates([id_col])
         )
         corpus_vec_col = "vec"
-        manifest = None
     else:
-        manifest = spark.read.parquet(manifest_dir).dropDuplicates(
-            [id_col]
-        )
-        # distinct FILE paths, not rows — control-plane sized; a path
-        # that no longer exists fails the read loudly below
+        from urllib.parse import unquote, urlparse
+
+        # distinct FILE paths, not rows — control-plane sized.
+        # _metadata.file_path yields PERCENT-ENCODED URIs, but both
+        # os.path.exists and DataFrameReader.parquet take UNescaped
+        # (Hadoop Path) strings — a landing directory with a space
+        # records %20 the reader would look for literally — so decode
+        # once here before either use.
         paths = [
-            r.source_path
+            unquote(r.source_path)
             for r in manifest.select("source_path").distinct().collect()
         ]
+
         # existence pre-check for a clearer error than the scan's own
-        # PATH_NOT_FOUND — local paths only ( _metadata.file_path
-        # yields file: URIs); remote schemes (s3://, hdfs://) rely on
-        # the read itself failing loudly
+        # PATH_NOT_FOUND — local paths only; remote schemes (s3://,
+        # hdfs://) rely on the read itself failing loudly
         def _local(p: str) -> str | None:
             if p.startswith("file:"):
-                return p.removeprefix("file:")
+                return urlparse(p).path
             return None if "://" in p else p
 
         missing = [

@@ -736,6 +736,103 @@ def test_run_pq_index_maintenance_retrains_from_manifest(spark, tmp_path):
     )
 
 
+def test_pq_retrain_with_both_side_stores_carries_manifest(
+    spark, tmp_path
+):
+    """r18 (advice): save_ivf_pq_index permits keep_raw=True PLUS
+    manifest_source, so an index can carry BOTH side stores. A retrain
+    feeds its corpus from raw/ when present — but it must still carry
+    manifest/ forward, or a restarted ingest stream would see
+    keep_manifest=False and silently stop accreting pointer rows,
+    breaking the NEXT retrain's manifest path."""
+    from pg2kafka_spark.operators.index_store import (
+        load_ivf_pq_topk,
+        save_ivf_pq_index,
+    )
+    from pg2kafka_spark.streaming.annindex import retrain_pq_index
+
+    emb = _emb(spark)
+    src_store = str(tmp_path / "src_store")
+    emb.write.parquet(src_store)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(
+        spark.read.parquet(src_store),
+        path,
+        keep_raw=True,
+        manifest_source=src_store,
+    )
+    assert os.path.isdir(f"{path}/raw")
+    assert os.path.isdir(f"{path}/manifest")
+    n = emb.count()
+
+    retrain_pq_index(spark, path)
+
+    # raw fed the corpus AND both side stores survive the swap
+    assert os.path.isdir(f"{path}/raw")
+    assert os.path.isdir(f"{path}/manifest")
+    man = spark.read.parquet(f"{path}/manifest")
+    assert man.count() == n  # deduped at rest
+    assert man.select("vec_id").distinct().count() == n
+    # the rebuilt index still serves = a from-scratch build
+    fresh = str(tmp_path / "pq_fresh")
+    save_ivf_pq_index(emb, fresh)
+    assert _topk_rows(
+        load_ivf_pq_topk(spark, path, _queries(spark), k=3), "pq_sim"
+    ) == _topk_rows(
+        load_ivf_pq_topk(spark, fresh, _queries(spark), k=3), "pq_sim"
+    )
+
+
+def test_manifest_precheck_decodes_percent_encoded_paths(
+    spark, tmp_path
+):
+    """r18 (advice): the ingest stream accretes pointer rows from
+    ``_metadata.file_path``, which yields PERCENT-ENCODED file: URIs —
+    a landing directory with a space in its name records %20. The
+    retrain's existence pre-check must decode before os.path.exists,
+    or it wrongly refuses a retrain spark.read.parquet would serve."""
+    from pg2kafka_spark.operators.index_store import save_ivf_pq_index
+    from pg2kafka_spark.streaming.annindex import (
+        retrain_pq_index,
+        start_pq_index_ingest_stream,
+    )
+
+    emb = _emb(spark)
+    src_store = str(tmp_path / "src_store")
+    emb.filter(F.col("vec_id") < STORE_CUT).write.parquet(src_store)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(
+        spark.read.parquet(src_store), path, manifest_source=src_store
+    )
+    # landing dir with a space — the URI form the stream records for
+    # these files percent-encodes it
+    incoming = str(tmp_path / "in coming")
+    _write_vector_slices(
+        spark,
+        emb.filter(F.col("vec_id") >= STORE_CUT),
+        [(300, 500)],
+        incoming,
+    )
+    q = start_pq_index_ingest_stream(
+        spark,
+        incoming,
+        "vec_id bigint, embedding array<float>",
+        index_path=path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(120)
+    man = spark.read.parquet(f"{path}/manifest")
+    paths = [
+        r.source_path
+        for r in man.select("source_path").distinct().collect()
+    ]
+    assert any("%20" in p for p in paths), paths
+
+    retrain_pq_index(spark, path)  # must NOT refuse "no longer exist"
+    man2 = spark.read.parquet(f"{path}/manifest")
+    assert man2.select("vec_id").distinct().count() == emb.count()
+
+
 def test_retrain_recovers_from_stale_old_dir(spark, tmp_path):
     """r17 (advice): a stale index.__old__ left by a crash between a
     prior retrain's sentinel removal and its rmtree must not wedge

@@ -173,6 +173,32 @@ def test_resize_media_box_mean_and_decimation(spark):
     with pytest.raises(Exception, match="divisible|crop"):
         M.resize_media(odd, factor=2).collect()
 
+    # r18 (advice): audio mirrors the image branch's loud refusal — a
+    # sample count (or rate) not divisible by the factor would
+    # silently drift duration/pitch under floor/ceil, so it raises
+    odd_audio = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 3, "media_type": "audio",
+              "content": M.encode_wav_pcm16(
+                  np.arange(15, dtype=np.int16), 8000),
+              "source": "s"}]
+        ),
+        schema=M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="divisible|drift"):
+        M.resize_media(odd_audio, factor=2).collect()
+    odd_rate = spark.createDataFrame(
+        pd.DataFrame(
+            [{"media_id": 4, "media_type": "audio",
+              "content": M.encode_wav_pcm16(
+                  np.arange(16, dtype=np.int16), 8001),
+              "source": "s"}]
+        ),
+        schema=M.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="divisible|drift"):
+        M.resize_media(odd_rate, factor=2).collect()
+
 
 try:
     from hypothesis import given, settings, strategies as st

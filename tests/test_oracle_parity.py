@@ -1,9 +1,21 @@
 """Every queries() entry with an oracle must match DuckDB at sf0.001 —
 a local replica of the driver's correctness gate (row count + schema +
 order-insensitive values), run on the smallest scale factor for speed.
+
+``PARITY_SHARD=k/n`` (r18, r17 verdict item 1) restricts the
+parametrized sweep to every n-th query (round-robin over the sorted
+names, so the expensive families scatter evenly) — tools/run_tests.sh
+runs this file as TWO concurrent lanes (0/2 and 1/2) because the
+single-process sweep alone bound the r17 suite wall at ~997 s. The
+union of the shards is exactly the full name set; with the variable
+unset (plain ``pytest tests/``), nothing is sharded. The two
+unparametrized tests run only in shard 0 (or unsharded) — they need
+the registry, not the sweep.
 """
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -11,6 +23,7 @@ import __spark_entry__ as entrymod
 from pg2kafka_spark.testing import compare_frames, duckdb_connection
 
 SF_DIR = "/root/testdata/sf0.001"
+_SHARD = os.environ.get("PARITY_SHARD")  # "k/n" or unset
 
 
 @pytest.fixture(scope="module")
@@ -21,9 +34,20 @@ def duck():
 
 
 def _oracle_names() -> list[str]:
-    return sorted(entrymod.oracle_sql().keys())
+    names = sorted(entrymod.oracle_sql().keys())
+    if _SHARD:
+        k, n = (int(x) for x in _SHARD.split("/"))
+        names = [m for i, m in enumerate(names) if i % n == k]
+    return names
 
 
+def _in_primary_shard() -> bool:
+    return _SHARD is None or _SHARD.split("/")[0] == "0"
+
+
+@pytest.mark.skipif(
+    not _in_primary_shard(), reason="runs once, in shard 0"
+)
 def test_every_query_has_callable():
     qs = entrymod.queries()
     for name in entrymod.oracle_sql():
@@ -39,6 +63,9 @@ def test_query_matches_oracle(spark, duck, name):
     assert not problems, f"{name}: " + "; ".join(problems[:5])
 
 
+@pytest.mark.skipif(
+    not _in_primary_shard(), reason="runs once, in shard 0"
+)
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0

@@ -17,7 +17,18 @@ the accreted raw store alone — the self-contained retrain's measured
 cost at the accreted size, plus the raw/codes storage ratio (the
 side-store trade quantified).
 
-Usage: [BATCHES=15] [BATCH_SCALE=10] [MODE=pq] PYTHONPATH=. python tools/annindex_stress.py
+MODE=pq SIDE=manifest (r18, r17 verdict item 5) runs the same loop
+over the MANIFEST pointer store instead: every batch lands as a
+durable parquet file first (the landing corpus the manifest points
+at), pointer rows accrete in lockstep from ``_metadata.file_path``
+exactly as the ingest stream does, and the final ``retrain_pq_index``
+re-reads ONLY the manifest-referenced landing files semi-joined on
+the manifest ids — timing the trade's other leg next to the r16
+141.7 s raw-scan retrain: storage 96× cheaper, retrain pays the
+source re-read.
+
+Usage: [BATCHES=15] [BATCH_SCALE=10] [MODE=pq] [SIDE=raw|manifest]
+       PYTHONPATH=. python tools/annindex_stress.py
 """
 
 from __future__ import annotations
@@ -59,6 +70,7 @@ def main() -> None:
     n_batches = int(os.environ.get("BATCHES", "15"))
     batch_scale = int(os.environ.get("BATCH_SCALE", "10"))
     pq = os.environ.get("MODE", "").lower() == "pq"
+    manifest = pq and os.environ.get("SIDE", "raw").lower() == "manifest"
     spark = get_spark("annindex-stress")
     emb = load_table(spark, "embeddings", SF_DIR).select(
         "vec_id", "embedding"
@@ -66,9 +78,20 @@ def main() -> None:
     base_n = emb.count()
     path = os.path.join(tempfile.gettempdir(), "pg2kafka_annindex_stress")
     shutil.rmtree(path, ignore_errors=True)
+    landing = os.path.join(
+        tempfile.gettempdir(), "pg2kafka_annindex_landing"
+    )
+    shutil.rmtree(landing, ignore_errors=True)
 
     t0 = time.monotonic()
-    if pq:
+    if manifest:
+        # the landing corpus the manifest points at — durably at rest
+        base_dir = os.path.join(landing, "base")
+        emb.write.parquet(base_dir)
+        save_ivf_pq_index(
+            spark.read.parquet(base_dir), path, manifest_source=base_dir
+        )
+    elif pq:
         save_ivf_pq_index(emb, path, keep_raw=True)
     else:
         save_ivf_index(emb, path)
@@ -112,7 +135,22 @@ def main() -> None:
     print(f"| bootstrap | {boot_n} | — | {boot_s:.2f} | — |")
     index_rows = boot_n
     for bid in range(n_batches):
-        batch = one_batch(bid).localCheckpoint()
+        if manifest:
+            # the batch LANDS first (upstream of the loop, untimed —
+            # the stream's file source sees it arrive); the loop then
+            # reads it back with its own path, as the ingest stream
+            # does via _metadata.file_path
+            land_dir = os.path.join(landing, f"batch_{bid:03d}")
+            one_batch(bid).write.parquet(land_dir)
+            batch = (
+                spark.read.parquet(land_dir)
+                .select(
+                    "*", F.col("_metadata.file_path").alias("__src")
+                )
+                .localCheckpoint()
+            )
+        else:
+            batch = one_batch(bid).localCheckpoint()
         bn = batch.count()
         t = time.monotonic()
         if pq:
@@ -124,7 +162,13 @@ def main() -> None:
         assigned.drop("cell_sim").write.mode("append").partitionBy(
             "cid"
         ).parquet(f"{path}/cells")
-        if pq:
+        if manifest:
+            # pointer rows accrete in lockstep, as the ingest stream
+            # does — part of the timed per-batch cost
+            batch.select(
+                "vec_id", F.col("__src").alias("source_path")
+            ).write.mode("append").parquet(f"{path}/manifest")
+        elif pq:
             # the raw side store accretes in lockstep, as the ingest
             # stream does — part of the timed per-batch cost
             from pg2kafka_spark.operators.similarity import as_double
@@ -155,22 +199,30 @@ def main() -> None:
             flush=True,
         )
     if pq:
+        side_name = "manifest" if manifest else "raw"
         codes_b = _dir_bytes(f"{path}/cells")
-        raw_b = _dir_bytes(f"{path}/raw")
+        side_b = _dir_bytes(f"{path}/{side_name}")
         t = time.monotonic()
         retrain_pq_index(spark, path)
         retrain_s = time.monotonic() - t
         retrained_n = spark.read.parquet(f"{path}/cells").count()
-        print(
-            f"\nself-contained retrain from raw/ over {retrained_n} "
-            f"vectors: {retrain_s:.2f} s"
+        verb = (
+            "re-reads the manifest-referenced landing files"
+            if manifest
+            else "self-contained, no source re-read"
         )
         print(
-            f"storage: codes {codes_b / 1e6:.1f} MB vs raw side store "
-            f"{raw_b / 1e6:.1f} MB ({raw_b / max(codes_b, 1):.1f}x — "
-            "the documented side-store trade)"
+            f"\nretrain from {side_name}/ over {retrained_n} vectors "
+            f"({verb}): {retrain_s:.2f} s"
+        )
+        print(
+            f"storage: codes {codes_b / 1e6:.1f} MB vs {side_name} side "
+            f"store {side_b / 1e6:.2f} MB "
+            f"({side_b / max(codes_b, 1):.2f}x — the documented "
+            "side-store trade)"
         )
     shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ with incremental_components and (b) cold-rebuild over the full
 accumulated pair list, assert EQUAL labels, and report both walls.
 
 Usage: [NODES=200000] [BATCHES=8] [BATCH_PAIRS=100000]
-       [MODE=direct|stream] PYTHONPATH=. python tools/graph_stress.py
+       [MODE=direct|stream] [CANON=0|1]
+       PYTHONPATH=. python tools/graph_stress.py
 
 MODE=direct (default) times the bare fold (incremental_components →
 fold math only). MODE=stream (r17) drives each batch through the
@@ -25,6 +26,17 @@ an incoming dir and ``run_components_maintenance`` drains it
 (availableNow) into the sentinel-bracketed label store — so the
 measured wall includes the stream trigger, the staged swap, and the
 checkpoint commit, i.e. exactly what a nightly cycle pays.
+
+CANON=1 (r18, r17 verdict item 6) additionally times the CANONICAL
+SERVE each step — ``near_dup_canonical_served``'s exact shape
+(components_with_isolates over a |V|-node attribute table + ONE
+window pass on component_id via canonical_per_component) read off
+the maintained labels (the at-rest store in stream mode) — and the
+same window pass over the cold-rebuilt labels, asserting equal
+keep-lists. The serve claim under test: serve cost tracks |V|,
+independent of the accumulated pair history; the full recompute a
+store-less pipeline pays per day is the ``cold rebuild`` column PLUS
+the ``cold canon`` column.
 """
 
 from __future__ import annotations
@@ -35,6 +47,8 @@ import time
 from pyspark.sql import functions as F
 
 from pg2kafka_spark.operators.graph import (
+    canonical_per_component,
+    components_with_isolates,
     connected_components,
     incremental_components,
 )
@@ -46,6 +60,7 @@ def main() -> None:
     n_batches = int(os.environ.get("BATCHES", "8"))
     batch_pairs = int(os.environ.get("BATCH_PAIRS", "100000"))
     mode = os.environ.get("MODE", "direct")
+    canon = os.environ.get("CANON", "0") == "1"
     spark = get_spark("graph-stress")
 
     k = 20  # cluster span; heads at multiples of k
@@ -99,11 +114,35 @@ def main() -> None:
         ckpt = os.path.join(work, "ckpt")
         os.makedirs(incoming, exist_ok=True)
 
+    if canon:
+        # deterministic per-node attribute (the n_chars stand-in the
+        # canonical rank orders by) — built once, |V| rows
+        nodes_attr = (
+            spark.range(v)
+            .select(
+                F.col("id").alias("node"),
+                (F.col("id") * F.lit(2654435761) % 10000).alias(
+                    "n_chars"
+                ),
+            )
+            .localCheckpoint()
+        )
+
+        def canonical(labels_df):
+            labeled = components_with_isolates(labels_df, nodes_attr)
+            return canonical_per_component(
+                labeled, [F.col("n_chars").desc(), F.col("node").asc()]
+            ).select("node", "component_id", "comp_size", "is_canonical")
+
     history = None
     labels = None
     mode_col = "warm fold s" if mode == "direct" else "stream cycle s"
-    print(f"| step | pairs in history | {mode_col} | cold rebuild s |")
-    print("|---|---|---|---|")
+    canon_cols = " serve canon s | cold canon s |" if canon else ""
+    print(
+        f"| step | pairs in history | {mode_col} | cold rebuild s |"
+        + canon_cols
+    )
+    print("|---|---|---|---|" + ("---|---|" if canon else ""))
     for b in range(n_batches):
         nb = batch(b).localCheckpoint()
         history = (
@@ -139,8 +178,28 @@ def main() -> None:
         cold = connected_components(history)
         cold_s = time.monotonic() - t
         assert rows(labels) == rows(cold), f"warm != cold at step {b}"
+        canon_cells = ""
+        if canon:
+            # the serve reads the MAINTAINED labels — the at-rest
+            # parquet store in stream mode, the fold result in direct
+            serve_src = (
+                spark.read.parquet(labels_dir)
+                if mode == "stream"
+                else labels
+            )
+            t = time.monotonic()
+            served = canonical(serve_src).collect()
+            serve_s = time.monotonic() - t
+            t = time.monotonic()
+            cold_canon = canonical(cold).collect()
+            cold_canon_s = time.monotonic() - t
+            assert sorted(map(tuple, served)) == sorted(
+                map(tuple, cold_canon)
+            ), f"served canonicals != cold canonicals at step {b}"
+            canon_cells = f" {serve_s:.2f} | {cold_canon_s:.2f} |"
         print(
-            f"| batch {b} | {hist_n} | {warm_s:.2f} | {cold_s:.2f} |",
+            f"| batch {b} | {hist_n} | {warm_s:.2f} | {cold_s:.2f} |"
+            + canon_cells,
             flush=True,
         )
 

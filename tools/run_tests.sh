@@ -1,6 +1,6 @@
 #!/bin/bash
 # Default developer test entry (r15 verdict item 4): the full suite in
-# SIX concurrent pytest lanes — the same sharding round_close.sh
+# EIGHT concurrent pytest lanes — the same sharding round_close.sh
 # runs, promoted out of the round-close path so the everyday
 # `make test` pays the overlapped wall instead of the 20+ min
 # single-process run.
@@ -8,19 +8,24 @@
 #   make test            # or: bash tools/run_tests.sh
 #   PYTEST_ARGS="-k wire" bash tools/run_tests.sh   # forwarded to ALL lanes
 #
-# Lane split (6 lanes on the 32-core box — the stream lanes are
+# Lane split (8 lanes on the 32-core box — the stream lanes are
 # trigger-latency-bound and mostly idle-wait, so the CPU
-# oversubscription is mild): streaming e2e files across THREE lanes —
-# a wall-bound lane cannot be helped by more cores, only by fewer
-# files per process, and annindex (bootstraps + retrains, the
-# heaviest single file) gets a lane alone; the two heaviest CPU files
-# each get their OWN lane (r17, r16 verdict item 5: together they
-# bound the r16 wall at 903 s while `rest` finished at 550 s — split,
-# the max lane drops to whichever of the two is longer alone); the
-# rest in a sixth. test_graph rides with retention (the shortest
-# stream lane, ~4 min solo) after growing its maintenance/serve
-# coverage in r17. Each lane gets its OWN TMPDIR: the at-rest session
-# stores (_ensure_bucketed_tables, _ensure_retention_store,
+# oversubscription is mild). r18 rebalance (r17 verdict item 1: the
+# single-process test_oracle_parity bound the wall at ~997 s on the
+# judge's run / 831 s here): the parity sweep runs as TWO lanes via
+# PARITY_SHARD=k/2 (round-robin over sorted names — the expensive ANN
+# rows scatter evenly; union of shards = full coverage, unsharded
+# pytest unaffected); test_annindex.py — the next-heaviest stream
+# file at 782 s — splits into its PQ and non-PQ halves with -k; and
+# test_multimodal_real.py + test_bpe_production.py move from the
+# streaming lane to the retention+graph lane (the shortest, 486 s
+# solo). Measured on a quiet host after the rebalance (warm store
+# dirs, all 593 green): total wall 752 s (~12.5 min), max lane 751 s
+# (the annindex PQ half; parity twins 615/495 s, rest 715 s) —
+# vs 833 s / binding-lane 831 s before the split, and the 999 s
+# judge-measured r17 wall. Under the 15-minute line with margin.
+# Each lane gets its OWN TMPDIR: the at-rest session stores
+# (_ensure_bucketed_tables, _ensure_retention_store,
 # _ensure_ann_index, _ensure_components_store) key their paths off
 # tempfile.gettempdir(); the r16 build lock holds across processes
 # (and r17's _COMPLETE gate makes the bucketed ensure register rather
@@ -29,23 +34,19 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-STREAM_A="tests/test_streaming.py tests/test_multimodal_real.py \
-tests/test_bpe_production.py"
+STREAM_A="tests/test_streaming.py"
 STREAM_B="tests/test_annindex.py"
-STREAM_C="tests/test_retention.py tests/test_graph.py"
+STREAM_C="tests/test_retention.py tests/test_graph.py \
+tests/test_multimodal_real.py tests/test_bpe_production.py"
 HEAVY_A="tests/test_pipeline_ops.py"
 HEAVY_B="tests/test_oracle_parity.py"
 PYTEST_ARGS="${PYTEST_ARGS:-}"
 
-mkdir -p /tmp/rt_pytest_tmp /tmp/rt_pytest_stream_a_tmp \
-  /tmp/rt_pytest_stream_b_tmp /tmp/rt_pytest_stream_c_tmp \
-  /tmp/rt_pytest_heavy_a_tmp /tmp/rt_pytest_heavy_b_tmp
-rest_log=$(mktemp)
-stream_a_log=$(mktemp)
-stream_b_log=$(mktemp)
-stream_c_log=$(mktemp)
-heavy_a_log=$(mktemp)
-heavy_b_log=$(mktemp)
+lanes="rest heavy_a heavy_b0 heavy_b1 stream_a stream_b0 stream_b1 stream_c"
+for lane in $lanes; do
+  mkdir -p "/tmp/rt_pytest_${lane}_tmp"
+  eval "${lane}_log=\$(mktemp)"
+done
 t0=$SECONDS
 
 # shellcheck disable=SC2086  # shard vars / PYTEST_ARGS are word lists
@@ -53,9 +54,13 @@ TMPDIR=/tmp/rt_pytest_stream_a_tmp python -m pytest $STREAM_A -q \
   --durations=10 $PYTEST_ARGS > "$stream_a_log" 2>&1 &
 stream_a_pid=$!
 # shellcheck disable=SC2086
-TMPDIR=/tmp/rt_pytest_stream_b_tmp python -m pytest $STREAM_B -q \
-  --durations=10 $PYTEST_ARGS > "$stream_b_log" 2>&1 &
-stream_b_pid=$!
+TMPDIR=/tmp/rt_pytest_stream_b0_tmp python -m pytest $STREAM_B -q \
+  -k "pq" --durations=10 $PYTEST_ARGS > "$stream_b0_log" 2>&1 &
+stream_b0_pid=$!
+# shellcheck disable=SC2086
+TMPDIR=/tmp/rt_pytest_stream_b1_tmp python -m pytest $STREAM_B -q \
+  -k "not pq" --durations=10 $PYTEST_ARGS > "$stream_b1_log" 2>&1 &
+stream_b1_pid=$!
 # shellcheck disable=SC2086
 TMPDIR=/tmp/rt_pytest_stream_c_tmp python -m pytest $STREAM_C -q \
   --durations=10 $PYTEST_ARGS > "$stream_c_log" 2>&1 &
@@ -64,32 +69,42 @@ stream_c_pid=$!
 TMPDIR=/tmp/rt_pytest_heavy_a_tmp python -m pytest $HEAVY_A -q \
   --durations=10 $PYTEST_ARGS > "$heavy_a_log" 2>&1 &
 heavy_a_pid=$!
+# The parity twins SHARE one TMPDIR on purpose (unlike every other
+# lane pair): both shards serve queries backed by the same at-rest
+# session stores (_ensure_ann_index etc.), and separate TMPDIRs made
+# each twin rebuild every store — the r16 cross-process file lock +
+# r17 _COMPLETE gate mean the second twin blocks briefly and serves
+# the first twin's build instead.
 # shellcheck disable=SC2086
-TMPDIR=/tmp/rt_pytest_heavy_b_tmp python -m pytest $HEAVY_B -q \
-  --durations=10 $PYTEST_ARGS > "$heavy_b_log" 2>&1 &
-heavy_b_pid=$!
+TMPDIR=/tmp/rt_pytest_heavy_b0_tmp PARITY_SHARD=0/2 python -m pytest \
+  $HEAVY_B -q --durations=10 $PYTEST_ARGS > "$heavy_b0_log" 2>&1 &
+heavy_b0_pid=$!
 # shellcheck disable=SC2086
-TMPDIR=/tmp/rt_pytest_tmp python -m pytest tests/ -q --durations=10 \
+TMPDIR=/tmp/rt_pytest_heavy_b0_tmp PARITY_SHARD=1/2 python -m pytest \
+  $HEAVY_B -q --durations=10 $PYTEST_ARGS > "$heavy_b1_log" 2>&1 &
+heavy_b1_pid=$!
+# shellcheck disable=SC2086
+TMPDIR=/tmp/rt_pytest_rest_tmp python -m pytest tests/ -q --durations=10 \
   $(for f in $STREAM_A $STREAM_B $STREAM_C $HEAVY_A $HEAVY_B; do printf -- "--ignore=%s " "$f"; done) \
   $PYTEST_ARGS > "$rest_log" 2>&1 &
 rest_pid=$!
 
 rc=0
-for lane in rest heavy_a heavy_b stream_a stream_b stream_c; do
+for lane in $lanes; do
   pid_var="${lane}_pid"
   wait "${!pid_var}"; lane_rc=$?
   echo "$lane shard done at $((SECONDS - t0))s (rc=$lane_rc)"
   [ "$lane_rc" -ne 0 ] && rc=1
 done
 
-tail -n 18 "$rest_log"
-tail -n 18 "$heavy_a_log"
-tail -n 18 "$heavy_b_log"
-tail -n 18 "$stream_a_log"
-tail -n 18 "$stream_b_log"
-tail -n 18 "$stream_c_log"
+all_logs=""
+for lane in $lanes; do
+  log_var="${lane}_log"
+  tail -n 18 "${!log_var}"
+  all_logs="$all_logs ${!log_var}"
+done
 if [ "$rc" -ne 0 ]; then
-  echo "FAILED (logs: $rest_log $heavy_a_log $heavy_b_log $stream_a_log $stream_b_log $stream_c_log)"
+  echo "FAILED (logs:$all_logs)"
   exit 1
 fi
-echo "OK: all six shards green in $((SECONDS - t0))s"
+echo "OK: all eight shards green in $((SECONDS - t0))s"
