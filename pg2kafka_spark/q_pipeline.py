@@ -2158,7 +2158,10 @@ def near_dup_canonical_served(
     scratch canonicals end to end.
 
     Scale: |V| label rows + one uniform component_id shuffle,
-    independent of how many pair batches ever folded."""
+    independent of how many pair batches ever folded — measured at
+    |V|=200k through an 8× pair-history growth: serve flat 1.5–2.8 s
+    while the store-less recompute grows to ~18 s (BASELINE.md r18
+    canonical-serve axis, tools/graph_stress.py CANON=1)."""
     docs = load_table(spark, "documents", sf_dir)
     labels_dir = _ensure_components_store(spark, sf_dir)
     comps = spark.read.parquet(labels_dir).withColumnRenamed(

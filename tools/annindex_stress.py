@@ -139,9 +139,17 @@ def main() -> None:
             # the batch LANDS first (upstream of the loop, untimed —
             # the stream's file source sees it arrive); the loop then
             # reads it back with its own path, as the ingest stream
-            # does via _metadata.file_path
+            # does via _metadata.file_path. Landed at the CORPUS
+            # schema (array<float>, like the base table) — a landing
+            # corpus has one schema, and the retrain's multi-file
+            # read requires it
             land_dir = os.path.join(landing, f"batch_{bid:03d}")
-            one_batch(bid).write.parquet(land_dir)
+            one_batch(bid).select(
+                "vec_id",
+                F.col("embedding").cast("array<float>").alias(
+                    "embedding"
+                ),
+            ).write.parquet(land_dir)
             batch = (
                 spark.read.parquet(land_dir)
                 .select(
