@@ -15,7 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${ROUND:?set ROUND=<n>}"
 
-echo "== [1+2/6] pytest (2 shards via tools/run_tests.sh) + full-surface parity (concurrent)"
+echo "== [1+2/6] pytest (8 lanes via tools/run_tests.sh) + full-surface parity (concurrent)"
 # Three runners, 8 cores each (32 available), so the walls overlap
 # instead of adding. The pytest sharding lives in tools/run_tests.sh
 # (the default `make test` entry since r16 — one place to tune lane
