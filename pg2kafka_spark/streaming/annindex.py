@@ -46,11 +46,11 @@ State under ``<path>`` (the ``save_ivf_index`` layout plus one log):
   referenced files semi-joined on the manifest ids — ~a path string
   per vector at rest instead of ``dim × 8`` bytes, but a missing
   source path fails the retrain loudly (the corpus never silently
-  shrinks). Measured at 202k vectors (BASELINE.md r16/r18 PQ axes):
-  manifest stores 0.84 MB vs raw's 91.8 MB AND retrains in 39.5 s vs
-  141.7 s — the compact landing files out-read the raw store's
-  cid-fragmented appends — so raw is the right pick only when the
-  landing corpus is not durably retained.
+  shrinks). Measured at 202k vectors, same day (BASELINE.md r18 PQ
+  axes): retrain walls are EQUAL (manifest 39.5 s vs raw 43.5 s —
+  both k-means-training-bound, the corpus re-read adds ~nothing)
+  while manifest stores 0.84 MB vs raw's 91.8 MB, so the choice is
+  purely about whether the landing corpus is durably retained.
 
 Crash contract (at-least-once, never loss): cells are written FIRST,
 the drift row second — a crash between the two costs only a log row

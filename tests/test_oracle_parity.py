@@ -33,12 +33,27 @@ def duck():
     con.close()
 
 
+def _shard_names(names: list[str], shard: str | None) -> list[str]:
+    if not shard:
+        return names
+    k, n = (int(x) for x in shard.split("/"))
+    return [m for i, m in enumerate(names) if i % n == k]
+
+
 def _oracle_names() -> list[str]:
+    return _shard_names(sorted(entrymod.oracle_sql().keys()), _SHARD)
+
+
+def test_parity_shards_partition_the_names():
+    """The k/n shards must be disjoint and their union the FULL name
+    set — a sharding typo must fail here, not silently drop queries
+    from the suite's coverage."""
     names = sorted(entrymod.oracle_sql().keys())
-    if _SHARD:
-        k, n = (int(x) for x in _SHARD.split("/"))
-        names = [m for i, m in enumerate(names) if i % n == k]
-    return names
+    s0 = _shard_names(names, "0/2")
+    s1 = _shard_names(names, "1/2")
+    assert sorted(s0 + s1) == names
+    assert not set(s0) & set(s1)
+    assert _shard_names(names, None) == names
 
 
 def _in_primary_shard() -> bool:
