@@ -23,9 +23,10 @@ durable parquet file first (the landing corpus the manifest points
 at), pointer rows accrete in lockstep from ``_metadata.file_path``
 exactly as the ingest stream does, and the final ``retrain_pq_index``
 re-reads ONLY the manifest-referenced landing files semi-joined on
-the manifest ids — timing the trade's other leg next to the r16
-141.7 s raw-scan retrain: storage 96× cheaper, retrain pays the
-source re-read.
+the manifest ids — timing the trade's other leg next to the raw-scan
+retrain. Measured same-day at 202k vectors (r18): the walls are
+EQUAL (manifest 39.5 s vs raw 43.5 s — both k-means-training-bound),
+so the decision is storage (0.84 MB vs 91.8 MB) vs self-containment.
 
 Usage: [BATCHES=15] [BATCH_SCALE=10] [MODE=pq] [SIDE=raw|manifest]
        PYTHONPATH=. python tools/annindex_stress.py
