@@ -54,7 +54,12 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 #   (5) rows-only queries last (their portable twins are
 #       oracle-backed).
 # r19 NOTE: rotate CDC + relational to the front; keep alternating,
-# and keep tier 0 = new/changed-this-round.
+# and keep tier 0 = new/changed-this-round. Four stale pipeline names
+# spilled past slot 50 this round (last driver row r14; covered by
+# CORRECTNESS_LOCAL at sf0.01 AND the r18 sf0.1 sweep): give
+# simhash_portable, simhash_near_pairs_portable,
+# minhash_lsh_pairs_portable, embedding_cell_drift an early tier when
+# the window next fronts pipeline (r20).
 _FRONT: list[str] = [
     # NEW in r18 — no driver row exists yet
 ]
