@@ -79,6 +79,34 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pg2kafka_spark.operators.similarity import as_double, assign_cells
 
 
+def _manifest_read_path(p: str) -> str:
+    """Normalize one manifest ``source_path`` row for the retrain's
+    reader and existence pre-check.
+
+    The manifest holds two spellings (r18 advice): the ingest stream
+    accretes ``_metadata.file_path`` rows, which are PERCENT-ENCODED
+    ``file:`` URIs (a landing directory with a space records ``%20``),
+    while the bootstrap row is the user-supplied ``manifest_source``
+    string written VERBATIM — usually a plain filesystem path. Both
+    ``os.path.exists`` and ``DataFrameReader.parquet`` want unescaped
+    (Hadoop Path) strings, so:
+
+    * ``file:`` URIs are parsed FIRST and only the ``.path`` component
+      is decoded — decoding before parsing would turn an encoded
+      ``'#'``/``'?'`` (``%23``/``%3F``) in a file name into a live
+      fragment/query delimiter and silently truncate the path;
+    * scheme-less rows are returned untouched — a directory literally
+      named ``data%20v2`` must stay ``data%20v2``;
+    * remote schemes (``s3://``, ``hdfs://``) keep the raw URI — the
+      reader owns their escaping rules.
+    """
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return p
+
+
 def index_ingest_batch(
     batch_df: DataFrame,
     centroids: DataFrame,
@@ -529,25 +557,18 @@ def retrain_pq_index(
         )
         corpus_vec_col = "vec"
     else:
-        from urllib.parse import unquote, urlparse
-
         # distinct FILE paths, not rows — control-plane sized.
-        # _metadata.file_path yields PERCENT-ENCODED URIs, but both
-        # os.path.exists and DataFrameReader.parquet take UNescaped
-        # (Hadoop Path) strings — a landing directory with a space
-        # records %20 the reader would look for literally — so decode
-        # once here before either use.
         paths = [
-            unquote(r.source_path)
+            _manifest_read_path(r.source_path)
             for r in manifest.select("source_path").distinct().collect()
         ]
 
         # existence pre-check for a clearer error than the scan's own
         # PATH_NOT_FOUND — local paths only; remote schemes (s3://,
-        # hdfs://) rely on the read itself failing loudly
+        # hdfs://) rely on the read itself failing loudly.
+        # _manifest_read_path already reduced file: URIs to plain
+        # local paths, so anything still carrying a scheme is remote.
         def _local(p: str) -> str | None:
-            if p.startswith("file:"):
-                return urlparse(p).path
             return None if "://" in p else p
 
         missing = [

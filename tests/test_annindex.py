@@ -833,6 +833,56 @@ def test_manifest_precheck_decodes_percent_encoded_paths(
     assert man2.select("vec_id").distinct().count() == emb.count()
 
 
+def test_manifest_read_path_normalization():
+    """r19 (advice): percent-decoding must happen AFTER URI parsing,
+    and ONLY on ``file:`` URIs. Decoding first turns an encoded
+    '#'/'?' in a file name into a live delimiter that truncates the
+    path; decoding a verbatim ``manifest_source`` filesystem path
+    corrupts a directory literally named with a %xx sequence."""
+    from pg2kafka_spark.streaming.annindex import _manifest_read_path
+
+    # file: URI — decode the path component (the r18 %20 case)
+    assert (
+        _manifest_read_path("file:/land%20ing/part-0.parquet")
+        == "/land ing/part-0.parquet"
+    )
+    # encoded '#' and '?' inside a file: URI survive as literal chars
+    # instead of truncating at a fragment/query delimiter
+    assert (
+        _manifest_read_path("file:/in/part%23a%3Fb.parquet")
+        == "/in/part#a?b.parquet"
+    )
+    # scheme-less manifest_source path stays VERBATIM
+    assert _manifest_read_path("/data%20v2/f.parquet") == "/data%20v2/f.parquet"
+    # remote schemes keep the raw URI — the reader owns their escaping
+    assert _manifest_read_path("s3://bkt/a%20b/f.parquet") == (
+        "s3://bkt/a%20b/f.parquet"
+    )
+
+
+def test_manifest_source_with_literal_percent_stays_verbatim(
+    spark, tmp_path
+):
+    """r19 (advice): the bootstrap manifest row is the user-supplied
+    ``manifest_source`` written verbatim — a directory literally named
+    ``src%20store`` must NOT be percent-decoded into ``src store`` (a
+    path that does not exist), which made the retrain's existence
+    pre-check spuriously refuse."""
+    from pg2kafka_spark.operators.index_store import save_ivf_pq_index
+    from pg2kafka_spark.streaming.annindex import retrain_pq_index
+
+    emb = _emb(spark)
+    src_store = str(tmp_path / "src%20store")
+    emb.filter(F.col("vec_id") < STORE_CUT).write.parquet(src_store)
+    path = str(tmp_path / "pq_index")
+    save_ivf_pq_index(
+        spark.read.parquet(src_store), path, manifest_source=src_store
+    )
+    retrain_pq_index(spark, path)  # must not refuse "no longer exist"
+    man = spark.read.parquet(f"{path}/manifest")
+    assert man.select("vec_id").distinct().count() == STORE_CUT
+
+
 def test_retrain_recovers_from_stale_old_dir(spark, tmp_path):
     """r17 (advice): a stale index.__old__ left by a crash between a
     prior retrain's sentinel removal and its rmtree must not wedge

@@ -45,7 +45,11 @@ PYTEST_ARGS="${PYTEST_ARGS:-}"
 
 lanes="rest heavy_a heavy_b0 heavy_b1 stream_a stream_b0 stream_b1 stream_c"
 for lane in $lanes; do
-  mkdir -p "/tmp/rt_pytest_${lane}_tmp"
+  # heavy_b1 deliberately has no directory of its own: the parity
+  # twins SHARE heavy_b0's TMPDIR (see the comment at their launch),
+  # and creating an unused rt_pytest_heavy_b1_tmp would contradict
+  # the per-lane-TMPDIR convention on disk (r18 advice).
+  [ "$lane" != heavy_b1 ] && mkdir -p "/tmp/rt_pytest_${lane}_tmp"
   eval "${lane}_log=\$(mktemp)"
 done
 t0=$SECONDS
