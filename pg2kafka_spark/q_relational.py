@@ -185,9 +185,10 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "user_value_deciles",
-    oracle="""
+# Shared by user_value_deciles (the exact global-ntile spelling) and
+# user_value_deciles_scalable (the range-partitioned twin): both
+# compute bit-identical deciles, so both check against this SQL.
+_USER_VALUE_DECILES_ORACLE = """
     WITH uv AS (
       SELECT user_id, round(sum(value), 4) AS total_value
       FROM events GROUP BY user_id
@@ -205,8 +206,10 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(prank), 6) AS min_prank,
            round(max(prank), 6) AS max_prank
     FROM ranked GROUP BY decile
-    """,
-)
+    """
+
+
+@query("user_value_deciles", oracle=_USER_VALUE_DECILES_ORACLE)
 def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-LTV decile report (ntile + percent_rank — the rank-family
     window functions the surface didn't yet exercise): users ranked
@@ -229,6 +232,109 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("prank"),
     )
     return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.sum("total_value"), 2).alias("sum_value"),
+        F.round(F.min("prank"), 6).alias("min_prank"),
+        F.round(F.max("prank"), 6).alias("max_prank"),
+    )
+
+
+@query("user_value_deciles_scalable", oracle=_USER_VALUE_DECILES_ORACLE)
+def user_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE spelling of ``user_value_deciles`` (r18 verdict
+    item 6): identical output, but the global total order is computed
+    as a range-SLICED rank instead of a single-partition window —
+    percentile cut points split the value order into contiguous
+    slices, ``row_number`` runs inside a window PARTITIONED by the
+    slice id, and per-slice count offsets fold through a tiny
+    triangle self-join (slices × slices, bounded by
+    ``spark.sql.shuffle.partitions``, broadcast both sides). No stage
+    ever holds more than one slice of users, so the plan survives a
+    user table 1000× this size; the exact global-ntile version stays
+    registered as the oracle-checked reference spelling (both share
+    one oracle — the outputs are bit-identical because the order is
+    fully tie-broken).
+
+    ntile/percent_rank are re-derived from the global row number rn
+    (unique-key order ⇒ rank = rn): with n users and k=10 buckets,
+    the first ``n mod k`` buckets take ``n div k + 1`` rows and the
+    rest ``n div k`` (ntile's contract); percent_rank = (rn-1)/(n-1).
+
+    The slice boundaries are approx-percentile cut points collected
+    ONCE (n_slices-1 doubles — control-plane sized, same class as the
+    repo's other bounded geometry collects) and embedded as literals,
+    so slice assignment is a PURE function of the row: the rank
+    branch and the per-slice-count branch can never disagree, no
+    matter how Spark re-executes the shared subtree. (The tempting
+    ``repartitionByRange`` + ``spark_partition_id`` spelling is NOT
+    safe here — its sampled boundaries may differ between two
+    materializations of the branched subtree unless exchange reuse
+    kicks in.) Boundary skew only costs balance, never correctness.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    uv = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value")
+    )
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / n_slices for i in range(1, n_slices)]
+    row = uv.agg(
+        F.percentile_approx("total_value", qs, 10000).alias("c")
+    ).collect()[0]
+    cuts = [float(c) for c in (row[0] or [])]
+    # slice id = how many cut points sit at-or-above this value —
+    # monotone in DESC value order, so slices partition the global
+    # order into contiguous runs
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        pid = F.size(F.filter(cut_arr, lambda c: c >= F.col("total_value")))
+    else:  # empty input — one (empty) slice
+        pid = F.lit(0)
+    ranged = uv.withColumn("__pid", pid)
+    w = Window.partitionBy("__pid").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    local = ranged.withColumn("__rn", F.row_number().over(w).cast("bigint"))
+    # control-plane side: one row per slice. The cumulative offset is
+    # a strict-lower-triangle self-join rather than a partitionless
+    # window — slices² pairs at most (32² here), both sides broadcast.
+    counts = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    prior = counts.select(
+        F.col("__pid").alias("__ppid"), F.col("__cnt").alias("__pcnt")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("__ppid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid", "__cnt")
+        .agg(F.coalesce(F.sum("__pcnt"), F.lit(0)).alias("__off"))
+    )
+    totals = counts.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    ranked = (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__grn", F.col("__rn") + F.col("__off"))
+    )
+    k = F.lit(10).cast("bigint")
+    base = F.floor(F.col("__n") / k).cast("bigint")
+    rem = F.col("__n") % k
+    cutoff = rem * (base + 1)
+    rn = F.col("__grn")
+    decile = (
+        F.when(rn <= cutoff, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - cutoff - 1) / base) + 1)
+        .cast("bigint")
+    )
+    prank = F.when(F.col("__n") > 1, F.round(
+        (rn - 1).cast("double") / (F.col("__n") - 1), 6
+    )).otherwise(F.lit(0.0))
+    out = ranked.select(
+        decile.alias("decile"),
+        F.col("total_value"),
+        prank.alias("prank"),
+    )
+    return out.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.round(F.sum("total_value"), 2).alias("sum_value"),
         F.round(F.min("prank"), 6).alias("min_prank"),

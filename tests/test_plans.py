@@ -384,6 +384,21 @@ def test_training_order_single_balanced_exchange(spark, sf_dir):
     assert p.count(" Exchange (") == 1
 
 
+def test_user_value_deciles_scalable_has_no_global_window(spark, sf_dir):
+    """r19 (r18 verdict item 6): the scale-safe decile twin must rank
+    inside percentile slices — every Window node partitioned by the
+    slice id, so no single-partition WindowExec over a frame that
+    grows with the users; the offset/total folds stay broadcast."""
+    import re
+
+    p = plan_of(spark, "user_value_deciles_scalable", sf_dir)
+    specs = re.findall(r"windowspecdefinition\(([^,]+)", p)
+    assert specs, p  # the slice-local row_number is still a window
+    assert all("__pid" in s for s in specs), specs
+    # offset triangle join + n cross join: tiny sides, broadcast only
+    assert "SortMergeJoin" not in p
+
+
 def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
     """r8: every k-means assignment/coding argmax is a max_by
     hash-aggregate (map-side partial, one row per id through the

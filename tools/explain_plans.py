@@ -1315,7 +1315,20 @@ COMMENTARY.update({
         "rollup — a single-partition window over users ≪ events, the "
         "same documented class as the global top-n windows. Fully "
         "tie-broken order keeps both engines' decile assignment "
-        "identical."
+        "identical. user_value_deciles_scalable is the spelling that "
+        "removes the global window; this exact version stays as the "
+        "oracle-checked reference."
+    ),
+    "user_value_deciles_scalable": (
+        "The scale-safe decile spelling (r19): approx-percentile cut "
+        "points collected once (n_slices-1 doubles, control-plane) "
+        "become LITERALS, so slice assignment is a pure row function; "
+        "row_number runs in a window PARTITIONED by slice id — no "
+        "single-partition WindowExec anywhere — and the per-slice "
+        "count offsets fold through a broadcast triangle join bounded "
+        "by slices², not data. Identical output to the exact twin "
+        "(order fully tie-broken), shared oracle; survives a user "
+        "table 1000× this size."
     ),
     "daily_new_vs_returning": (
         "New vs returning actives per day: one events-sized distinct "
