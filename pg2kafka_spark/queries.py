@@ -36,74 +36,70 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # registered entries, so coverage rotates across rounds (standing
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
-# regenerated at round close). r10 + r12 + r14 ran pipeline-fronted
-# windows; r11 + r13 + r15 ran CDC + relational; r16 ran pipeline;
-# r17 ran CDC + relational (CORRECTNESS_r17: 50/50 green). r18 (this
-# round) rotates the PIPELINE families back to the front per the r17
-# verdict's item 3, which names the maintained-state serve queries +
-# the graph/BPE families as the staleness candidates. Order:
+# regenerated at round close). r10 + r12 + r14 + r16 + r18 ran
+# pipeline-fronted windows; r11 + r13 + r15 + r17 ran CDC +
+# relational (all green). r19 (this round) rotates CDC + relational
+# back to the front per the r18 verdict's item 1. Order:
 #   (0) queries NEW this round or whose FORMULA CHANGED this round
 #       (no driver row exists for the current code),
-#   (1) the r17-verdict staleness candidates: the maintained-state
-#       serve queries plus the graph and BPE families,
-#   (2) pipeline oracle-backed outside both the r16 and r17 windows
-#       (last driver row r14 — stalest),
-#   (3) pipeline oracle-backed the r16/r17 windows covered,
-#   (4) CDC/relational oracle-backed (every one holds an r15 or r17
-#       driver row — freshest),
+#   (1) CDC/relational oracle-backed outside both the r17 and r18
+#       windows (last driver row r15 — stalest; includes the verdict's
+#       named CDC core: unprocessed_*, update_diff_json, wire_*,
+#       topic_routing, and the TPC-H shapes),
+#   (2) the r17/r18-fresh q_cdc core (snapshot_part,
+#       update_diff_events, latest_state_per_user, state_asof) so the
+#       reference inventory O1–O15 all hold r19 rows,
+#   (3) CDC/relational oracle-backed with an r17/r18 driver row,
+#   (4) pipeline oracle-backed — the four r20-front names first (see
+#       NOTE), the rest freshest-last by registry order,
 #   (5) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r19 NOTE: rotate CDC + relational to the front; keep alternating,
-# and keep tier 0 = new/changed-this-round. Four stale pipeline names
-# spilled past slot 50 this round (last driver row r14; covered by
-# CORRECTNESS_LOCAL at sf0.01 AND the r18 sf0.1 sweep): give
-# simhash_portable, simhash_near_pairs_portable,
-# minhash_lsh_pairs_portable, embedding_cell_drift an early tier when
-# the window next fronts pipeline (r20).
+# r20 NOTE: rotate PIPELINE to the front; keep alternating, and keep
+# tier 0 = new/changed-this-round. Seed r20's _FRONT from _R20_FRONT
+# below — the four stale pipeline names that last took a driver row
+# in r14 and have spilled past slot 50 ever since (covered by
+# CORRECTNESS_LOCAL at sf0.01 AND the r18 sf0.1 sweep).
 _FRONT: list[str] = [
-    # NEW in r18 — no driver row exists yet
+    # NEW in r19 — no driver row exists yet
+    "user_value_deciles_scalable",
 ]
-# r17-verdict item 3's explicit staleness candidates: the four
-# maintained-state serve queries plus the graph and BPE families
-# (near_dup_canonical_served is excluded — driver-green r17).
-_SERVE_GRAPH_BPE = [
-    "ann_ivf_served_incremental", "ann_ivf_pq_served_incremental",
+# stale pipeline names to front when pipeline next leads (r20)
+_R20_FRONT = [
+    "simhash_portable", "simhash_near_pairs_portable",
+    "minhash_lsh_pairs_portable", "embedding_cell_drift",
+]
+# r17/r18-fresh q_cdc core fronted ahead of the relational tail so
+# the reference operator inventory holds r19 driver rows end-to-end
+_CDC_CORE_FRESH = [
+    "snapshot_part", "update_diff_events",
+    "latest_state_per_user", "state_asof",
+]
+# names that took a fresh r18 driver row (CORRECTNESS_r18.json keys) —
+# the pipeline/serve/graph/BPE window
+_R18_WINDOW = {
+    "ann_ivf_pq_served_incremental", "ann_ivf_served_incremental",
+    "bpe_compression_by_source", "bpe_encode_documents",
+    "bpe_encode_production", "bpe_merge_steps", "bpe_pair_counts",
+    "bpe_token_frequencies", "decontamination_check",
+    "doc_char_ngram_stats", "doc_chunk_windows", "doc_duplicate_ngrams",
+    "doc_pack_assignments", "doc_pii_scrub", "doc_quality_extended",
+    "doc_repetition", "doc_rolling_hash", "doc_stratified_sample",
+    "doc_train_val_test_split", "doc_unigram_surprisal",
+    "embedding_ann_ivf", "embedding_ann_lsh",
+    "embedding_diversity_sample", "embedding_near_dup_lsh_portable",
+    "embedding_near_dup_pairs", "embedding_topk",
+    "embedding_topk_quantized", "incremental_dedup_batch",
+    "lang_ngram_profile", "leakage_free_split",
+    "media_frame_fingerprints", "media_frame_sample",
+    "media_near_dup_by_frames", "media_near_dup_real",
+    "multimodal_decode_parity", "multimodal_features",
+    "multimodal_features_real", "nation_trade_pagerank",
+    "nation_trade_pagerank_conserving", "near_dup_canonical",
+    "near_dup_components", "near_dup_components_incremental",
+    "near_dup_components_served", "near_dup_components_star",
+    "near_dup_keep_list", "semantic_dedup_embeddings",
+    "source_mix_rebalance", "tfidf_top_terms",
     "weekly_retention_served", "weekly_retention_served_cohort_window",
-    "near_dup_components_served",
-    "nation_trade_pagerank", "nation_trade_pagerank_conserving",
-    "near_dup_components", "near_dup_components_star",
-    "near_dup_components_incremental", "near_dup_canonical",
-    "bpe_pair_counts", "bpe_merge_steps", "bpe_token_frequencies",
-    "bpe_encode_documents", "bpe_compression_by_source",
-    "bpe_encode_production",
-]
-# names that took a fresh r16 driver row (CORRECTNESS_r16.json keys) —
-# the pipeline/ANN families plus r16's four new queries
-_R16_WINDOW = {
-    "bow_dedup_documents", "bpe_compression_by_source",
-    "bpe_encode_documents", "bpe_merge_steps", "bpe_pair_counts",
-    "bpe_token_frequencies", "corpus_report", "corpus_vocabulary",
-    "cross_source_dup_matrix", "daily_ingest_keep_list",
-    "decontamination_scrub", "doc_bigram_surprisal", "doc_fingerprint",
-    "doc_pack_spans_strict", "doc_quality", "doc_quality_classifier",
-    "doc_segment_scrub", "doc_surprisal_band_fit",
-    "doc_surprisal_band_stratified", "doc_token_stats",
-    "doc_training_order", "doc_weighted_sample",
-    "dsir_importance_weights", "dsir_resample",
-    "embedding_ann_ivf_incremental", "embedding_ann_ivf_pq",
-    "embedding_ann_ivf_sampled", "embedding_ann_ivf_sq8",
-    "embedding_ann_pq", "embedding_ann_pq_sampled",
-    "embedding_knn_graph", "embedding_prototype_prune",
-    "embedding_topk_filtered", "exact_dedup_documents",
-    "hilbert_layout_stats", "incremental_near_dup_batch",
-    "lang_id_heuristic", "minhash_signatures_portable",
-    "nation_trade_pagerank_conserving",
-    "near_dup_components_incremental", "near_dup_components_served",
-    "shingle_jaccard_pairs", "source_capped_sample",
-    "source_epoch_allocation", "source_minhash_overlap",
-    "source_quality_drift", "source_temperature_sample",
-    "training_corpus_assembly", "wire_rescued_keys",
-    "zorder_layout_stats",
 }
 # names that took a fresh r17 driver row (CORRECTNESS_r17.json keys) —
 # the CDC/relational window plus r17's two new queries
@@ -150,13 +146,15 @@ def _tier(n: str) -> tuple:
         return (0, _FRONT.index(n))
     if n not in ORACLES:
         return (5, _reg_pos[n])
-    if n in _SERVE_GRAPH_BPE:
-        return (1, _SERVE_GRAPH_BPE.index(n))
     if n in _cdc_rel_names:
-        return (4, _reg_pos[n])
-    if n not in _R16_WINDOW and n not in _R17_WINDOW:
-        return (2, _reg_pos[n])
-    return (3, _reg_pos[n])
+        if n not in _R17_WINDOW and n not in _R18_WINDOW:
+            return (1, _reg_pos[n])  # last driver row r15 — stalest
+        if n in _CDC_CORE_FRESH:
+            return (2, _CDC_CORE_FRESH.index(n))
+        return (3, _reg_pos[n])
+    if n in _R20_FRONT:
+        return (4, -len(_R20_FRONT) + _R20_FRONT.index(n))
+    return (4, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)
