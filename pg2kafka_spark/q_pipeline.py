@@ -2041,9 +2041,15 @@ def _ensure_components_store(spark: SparkSession, sf_dir: str) -> str:
         )
         cut = 300
         old = pairs.filter((F.col("id_a") < cut) & (F.col("id_b") < cut))
-        new = pairs.filter(
-            (F.col("id_a") >= cut) | (F.col("id_b") >= cut)
-        ).localCheckpoint()
+        # guarded: a RAW localCheckpoint here can land inside a
+        # concurrent _checkpoint's before/after id-diff (bench warms
+        # queries from a thread pool) — the other thread then adopts
+        # the RDD id and a later release unpersists it mid-build
+        # (observed: CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND in the r19
+        # baseline warmup)
+        new = G.guarded_local_checkpoint(
+            pairs.filter((F.col("id_a") >= cut) | (F.col("id_b") >= cut))
+        )
         # two "days" of arrivals, split deterministically
         day1 = new.filter((F.col("id_a") + F.col("id_b")) % 2 == 0)
         day2 = new.filter((F.col("id_a") + F.col("id_b")) % 2 == 1)
@@ -3451,7 +3457,10 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
                 emb.filter(F.col("vec_id") >= mid),
             )
         ):
-            assigned = index_ingest_batch(batch, cents).localCheckpoint()
+            assigned = G.guarded_local_checkpoint(
+                index_ingest_batch(batch, cents)
+            )  # guarded against the _checkpoint id-diff race (see
+            # _ensure_components_store)
             assigned.drop("cell_sim").write.mode("append").partitionBy(
                 "cid"
             ).parquet(f"{root}/cells")
@@ -3536,9 +3545,9 @@ def _ensure_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
                 emb.filter(F.col("vec_id") >= mid),
             )
         ):
-            assigned = pq_index_ingest_batch(
-                batch, coarse, books
-            ).localCheckpoint()
+            assigned = G.guarded_local_checkpoint(
+                pq_index_ingest_batch(batch, coarse, books)
+            )  # guarded (see _ensure_components_store)
             assigned.drop("cell_sim").write.mode("append").partitionBy(
                 "cid"
             ).parquet(f"{root}/cells")
