@@ -19,13 +19,20 @@ built by a nightly batch job and served by any number of readers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window,
+    functions as F,
+)
 
 from pg2kafka_spark.operators.similarity import (
     as_double,
     assign_cells,
     cosine,
     kmeans_centroids,
+    probe_cells,
 )
 
 
@@ -98,21 +105,10 @@ def load_ivf_topk(
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("probe_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            query_id_col,
-            "__qv",
-            "cid",
-            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
-        )
-        .withColumn("__prn", F.row_number().over(probe_w))
-        .filter(F.col("__prn") <= n_probe)
-        .select(query_id_col, "__qv", "cid")
-    )
+    # map-only probe ranking (r19): see similarity.probe_cells — the
+    # broadcast probe list shape (and so the dynamic partition
+    # pruning of the cells scan) is unchanged
+    probes = probe_cells(q, cents, n_probe, query_id_col)
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
@@ -146,42 +142,36 @@ def _pq_codes(
     """Per-vector PQ code WORDS — ``(id, codes: array<bigint>[m])`` —
     the compressed representation the at-rest index stores (the
     in-memory path keeps the reconstruction inline; storage wants the
-    ``m·log2(n_codes)`` bits). Same posexplode + max_by coding plan
-    as ``pq_reconstruct``, but the argmax keeps the code id instead
-    of the centroid vector."""
-    subs = corpus.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
-                    )
-                    for mi in range(m)
-                ]
-            )
-        ).alias("m", "__sv"),
-    ).select(F.col(id_col), F.col("m").cast("int"), "__sv")
-    coded = (
-        subs.join(F.broadcast(cents), "m")
-        .select(
-            id_col,
-            "m",
-            "cid",
-            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
-        )
-        .groupBy(id_col, "m")
-        .agg(
-            F.max_by("cid", F.struct(F.col("code_sim"), -F.col("cid"))).alias(
-                "code"
-            )
-        )
+    ``m·log2(n_codes)`` bits). Same MAP-ONLY coding as
+    ``pq_reconstruct`` (r19: broadcast codebook array + per-subspace
+    array_max, identical (sim desc, cid asc) semantics — the corpus
+    never shuffles; previously a posexplode + two full-corpus
+    aggregates), but the argmax keeps the code id instead of the
+    centroid vector."""
+    cb = cents.agg(
+        F.collect_list(F.struct("m", "cid", "__ce")).alias("__cb")
     )
-    return coded.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("code")))),
-            lambda x: x["code"],
-        ).alias("codes")
+
+    def best_code(mi: int) -> Column:
+        sub = F.slice(F.col("__dv"), mi * sub_dim + 1, sub_dim)
+        cand = F.transform(
+            F.filter(F.col("__cb"), lambda e: e["m"] == F.lit(mi)),
+            lambda e: F.struct(
+                F.round(cosine(sub, e["__ce"]), 6).alias("sim"),
+                (-e["cid"]).alias("ncid"),
+            ),
+        )
+        return -F.array_max(cand)["ncid"]
+
+    return (
+        corpus.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col),
+            F.array(*[best_code(mi) for mi in range(m)]).alias("codes"),
+        )
     )
 
 
@@ -292,21 +282,8 @@ def load_ivf_pq_topk(
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("probe_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(coarse))
-        .select(
-            query_id_col,
-            "__qv",
-            "cid",
-            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
-        )
-        .withColumn("__prn", F.row_number().over(probe_w))
-        .filter(F.col("__prn") <= n_probe)
-        .select(query_id_col, "__qv", "cid")
-    )
+    # map-only probe ranking (r19): see similarity.probe_cells
+    probes = probe_cells(q, coarse, n_probe, query_id_col)
     # Restrict the scan to the probed lists FIRST — a broadcast
     # semi-join on the partition column directly above the scan, so
     # dynamic partition pruning fires at the file level AND
@@ -323,31 +300,38 @@ def load_ivf_pq_topk(
         # (corruption, not just a duplicate rank). Keyed dedup over
         # the probed lists only.
         probed = probed.dropDuplicates([id_col])
-    # reconstruct probed rows from code words: one bounded explode
-    # (m rows per vector), broadcast codebook lookup, ordered concat
-    recon = (
-        probed.select(
-            id_col, "cid", F.posexplode("codes").alias("m", "code")
-        )
-        .join(
-            F.broadcast(
-                books.select(
-                    F.col("m"), F.col("cid").alias("code"), "__ce"
-                )
-            ),
-            ["m", "code"],
-        )
-        .groupBy(id_col, "cid")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("m"), F.col("__ce")))
-                    ),
-                    lambda x: x["__ce"],
-                )
-            ).alias("__de")
-        )
+    # reconstruct probed rows from code words MAP-ONLY (r19): the
+    # codebook rides along as a broadcast one-row array and each code
+    # word looks up its unique (m, code) entry per row — previously a
+    # posexplode + lookup join + regroup, i.e. an exchange over the
+    # probed rows; now zero exchanges between the pruned scan and the
+    # scoring join
+    cbarr = books.agg(
+        F.collect_list(
+            F.struct("m", F.col("cid").alias("code"), "__ce")
+        ).alias("__cb")
+    )
+    recon = probed.crossJoin(F.broadcast(cbarr)).select(
+        id_col,
+        "cid",
+        F.flatten(
+            F.array(
+                *[
+                    F.element_at(
+                        F.filter(
+                            F.col("__cb"),
+                            lambda e: (e["m"] == F.lit(mi))
+                            & (
+                                e["code"]
+                                == F.element_at(F.col("codes"), mi + 1)
+                            ),
+                        ),
+                        1,
+                    )["__ce"]
+                    for mi in range(m)
+                ]
+            )
+        ).alias("__de"),
     )
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_sim").desc(), F.col(id_col).asc()

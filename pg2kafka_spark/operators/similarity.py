@@ -210,6 +210,79 @@ PORTABLE_SAMPLE_MOD = (1 << 31) - 1
 PORTABLE_SAMPLE_OFFSET = 1_000_003
 
 
+def centroid_rows_to_array(cents: DataFrame, *key_cols: str) -> DataFrame:
+    """Collapse a ``(cid, __ce)`` centroid table to ONE row (or one
+    row per ``key_cols`` group) holding ``array<struct<cid,__ce>>`` —
+    the broadcast-attachable form the map-only argmax consumes.
+
+    r19 (guide §2.4/§8): the old assignment shape cross-joined every
+    corpus row against the centroid rows and collapsed the candidates
+    with a ``max_by`` hash-aggregate — correct, but the aggregate's
+    exchange re-shuffled the FULL corpus (id + 64-double vector per
+    row) once per Lloyd pass and once per assignment. With the
+    candidate set riding along as one broadcast array column, the
+    argmax is a pure projection: the corpus never shuffles at all.
+    ``collect_list`` order is nondeterministic, but every consumer
+    (argmax / sort-and-slice) is order-independent with a total
+    tiebreak, so results are bit-identical."""
+    agg = F.collect_list(F.struct("cid", "__ce")).alias("__ca")
+    if key_cols:
+        return cents.groupBy(*key_cols).agg(agg)
+    return cents.agg(agg)
+
+
+def _best_cell(vec: Column, cents_arr: Column) -> Column:
+    """``struct(sim, ncid)`` of the argmax centroid for ``vec``:
+    ``array_max`` over ``struct(6-dp-rounded cosine, -cid)`` — the
+    identical (sim desc, cid asc) tie semantics as the previous
+    ``max_by(cid, struct(sim, -cid))`` / row_number formulations
+    (struct comparison is field-lexicographic with the same NaN-
+    greatest double ordering), evaluated per row with zero shuffle.
+    ``cid = -ncid``; ``sim`` is the winning cell similarity."""
+    return F.array_max(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                F.round(cosine(vec, c["__ce"]), 6).alias("sim"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+
+
+def probe_cells(
+    queries_prepared: DataFrame,
+    cents: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    vec_col: str = "__qv",
+) -> DataFrame:
+    """``(query_id, vec, cid)`` of each query's ``n_probe`` nearest
+    centroids — map-only (r19): the centroid table rides along as a
+    broadcast one-row array, each query's candidates are ranked per ROW
+    via ``reverse(array_sort(struct(sim, -cid)))`` (= sim desc, cid
+    asc, incl. the NaN-first edge of the old ``row_number`` window's
+    desc order) and the top ``n_probe`` slice explodes. Replaces the
+    per-query row_number window — an exchange + sort over
+    queries × centroids rows — with zero exchanges."""
+    carr = centroid_rows_to_array(cents)
+    cand = F.transform(
+        F.col("__ca"),
+        lambda c: F.struct(
+            F.round(cosine(F.col(vec_col), c["__ce"]), 6).alias("sim"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(cand)), 1, int(n_probe))
+    return (
+        queries_prepared.crossJoin(F.broadcast(carr))
+        .select(query_id_col, vec_col, F.explode(top).alias("__p"))
+        .select(
+            query_id_col, vec_col, (-F.col("__p")["ncid"]).alias("cid")
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -270,27 +343,19 @@ def kmeans_centroids(
         else c
     )
     for _ in range(iters):
-        # Assignment argmax as ONE max_by hash-aggregate, not a
-        # row_number window (r8): the window formulation exchanges all
-        # n_centroids candidate rows per id and SORTS each partition;
-        # max_by(cid, struct(sim, -cid)) — identical (sim desc, cid
-        # asc) tie semantics — partial-aggregates map-side, so the
-        # shuffle carries one row per id and no sort runs anywhere.
-        asg = (
-            train.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                "__cv",
-                "cid",
-                F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("cell_sim"), -F.col("cid"))
-                ).alias("cid"),
-                F.first("__cv").alias("__cv"),
-            )
+        # Assignment argmax as a map-only projection (r19; previously
+        # a max_by hash-aggregate, r8, which still exchanged one
+        # full-vector row per id per pass): the centroid table rides
+        # along as a broadcast one-row array and `_best_cell` picks
+        # the (sim desc, cid asc) winner per row — the training
+        # relation never shuffles (guide §2.4).
+        carr = centroid_rows_to_array(cents)
+        asg = train.crossJoin(F.broadcast(carr)).select(
+            id_col,
+            "__cv",
+            (-_best_cell(F.col("__cv"), F.col("__ca"))["ncid"]).alias(
+                "cid"
+            ),
         )
         # Per-component means via EXACT fixed-point bigint sums, not
         # avg(double): a double partial-sum order depends on partition
@@ -501,14 +566,14 @@ def assign_cells(
     keep_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment for a ``(id, __cv)`` frame against a
-    ``(cid, __ce)`` centroid table: centroids broadcast, argmax on
-    6-dp-rounded cosine with cid as tiebreak (the engine-portable
-    discipline shared with :func:`kmeans_centroids`), computed as ONE
-    ``max_by`` hash-aggregate — partial aggregation collapses the
-    n_centroids candidate rows per id map-side, so the only exchange
-    carries one row per id and nothing sorts (r8; the previous
-    row_number window shuffled AND sorted every candidate row).
-    Returns ``(id, __cv, cid)``."""
+    ``(cid, __ce)`` centroid table: argmax on 6-dp-rounded cosine with
+    cid as tiebreak (the engine-portable discipline shared with
+    :func:`kmeans_centroids`), computed as a MAP-ONLY projection
+    against the broadcast centroid array (r19; the r8 max_by
+    hash-aggregate still exchanged one full-vector row per id — now
+    the corpus never shuffles for assignment at all, guide §2.4).
+    Returns ``(id, __cv, cid)``; ``keep_sim`` adds the winning
+    ``cell_sim`` (the max candidate sim, as before)."""
     from pg2kafka_spark.operators.scale import spread_small_input
 
     # spread: n_centroids rounded cosines per row is the corpus-sized
@@ -516,24 +581,21 @@ def assign_cells(
     # event-log capture: single-straggler-task ANN rows); no-op at
     # scale
     prepared = spread_small_input(prepared)
-    scored = prepared.crossJoin(F.broadcast(cents)).select(
+    carr = centroid_rows_to_array(cents)
+    # stage __best once: it is non-cheap and (with keep_sim) multiply
+    # referenced, so CollapseProject keeps the staging projection
+    staged = prepared.crossJoin(F.broadcast(carr)).withColumn(
+        "__best", _best_cell(F.col("__cv"), F.col("__ca"))
+    )
+    return staged.select(
         id_col,
         "__cv",
-        "cid",
-        F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
-    )
-    return scored.groupBy(id_col).agg(
-        F.max_by("cid", F.struct(F.col("cell_sim"), -F.col("cid"))).alias(
-            "cid"
-        ),
-        F.first("__cv").alias("__cv"),
+        (-F.col("__best")["ncid"]).alias("cid"),
         *(
-            [F.max("cell_sim").alias("cell_sim")]
+            [F.col("__best")["sim"].alias("cell_sim")]
             if keep_sim
             else []
         ),
-    ).select(
-        id_col, "__cv", "cid", *(["cell_sim"] if keep_sim else [])
     )
 
 
@@ -722,21 +784,9 @@ def ivf_topk(
     c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
     cells = assign_cells(c, cents, id_col)
     q = queries.select(F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv"))
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("probe_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            query_id_col,
-            "__qv",
-            "cid",
-            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
-        )
-        .withColumn("__prn", F.row_number().over(probe_w))
-        .filter(F.col("__prn") <= n_probe)
-        .select(query_id_col, "__qv", "cid")
-    )
+    # map-only probe ranking (r19): see probe_cells — no exchange, no
+    # sort over the queries × centroids candidates
+    probes = probe_cells(q, cents, n_probe, query_id_col)
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
@@ -1157,21 +1207,8 @@ def ivf_sq8_topk(
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("probe_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            query_id_col,
-            "__qv",
-            "cid",
-            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
-        )
-        .withColumn("__prn", F.row_number().over(probe_w))
-        .filter(F.col("__prn") <= n_probe)
-        .select(query_id_col, "__qv", "cid")
-    )
+    # map-only probe ranking (r19): see probe_cells
+    probes = probe_cells(q, cents, n_probe, query_id_col)
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_sim").desc(), F.col(id_col).asc()
     )
@@ -1245,25 +1282,19 @@ def kmeans_centroids_keyed(
         else c
     )
     for _ in range(iters):
-        # max_by argmax instead of a row_number window — same (sim
-        # desc, cid asc) tie semantics, but partial-aggregated
-        # map-side with no sort (see kmeans_centroids, r8).
-        asg = (
-            train.join(F.broadcast(cents), "__k")
-            .select(
-                "__k",
-                id_col,
-                "__cv",
-                "cid",
-                F.round(cosine(F.col("__cv"), F.col("__ce")), 6).alias("cell_sim"),
-            )
-            .groupBy("__k", id_col)
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("cell_sim"), -F.col("cid"))
-                ).alias("cid"),
-                F.first("__cv").alias("__cv"),
-            )
+        # map-only argmax per key (r19; see kmeans_centroids): the
+        # per-key codebook rides along as a broadcast array keyed by
+        # __k, so the keyed training rows never shuffle for
+        # assignment — previously the max_by aggregate exchanged one
+        # full-slice row per (key, id) per pass.
+        carr = centroid_rows_to_array(cents, "__k")
+        asg = train.join(F.broadcast(carr), "__k").select(
+            "__k",
+            id_col,
+            "__cv",
+            (-_best_cell(F.col("__cv"), F.col("__ca"))["ncid"]).alias(
+                "cid"
+            ),
         )
         sums = asg.groupBy("__k", "cid").agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1352,58 +1383,52 @@ def pq_reconstruct(
     """PQ coding + reconstruction: every vector's ``m`` subspace
     slices argmax-coded against the broadcast codebooks, then the
     per-subspace centroids concatenated back — ``(id, __de)``, what
-    the compressed index can know about each vector. Coding is ONE
-    posexplode + window keyed by the unique (id, subspace) pair
-    (uniform — never m separate id-joins); reconstruction is one
-    groupBy on the unique id. Shared by :func:`pq_topk` and
-    :func:`ivf_pq_topk`."""
+    the compressed index can know about each vector.
+
+    r19 (guide §2.4): ONE map-only pass. The full codebook table
+    (``m·n_codes`` rows) rides along as a broadcast one-row array;
+    each row codes its ``m`` slices by per-subspace ``array_max`` on
+    ``struct(rounded cosine, -cid, __ce)`` (identical (sim desc, cid
+    asc) semantics as the old max_by) and concatenates in subspace
+    order. The previous shape posexploded the corpus ×m and paid TWO
+    full-corpus exchanges (the (id, m) coding aggregate and the id
+    regroup); now the corpus never shuffles — and at 10⁹ vectors the
+    removed exchanges carried the chosen centroid vectors, i.e. the
+    whole reconstruction payload, twice. Shared by :func:`pq_topk`
+    and :func:`ivf_pq_topk`."""
     from pg2kafka_spark.operators.scale import spread_small_input
 
-    # spread: the m-way posexplode + argmax coding is the full-corpus
-    # heavy stage (r14); no-op at scale
-    subs = spread_small_input(corpus).select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        as_double(F.col(vec_col)), mi * sub_dim + 1, sub_dim
-                    )
-                    for mi in range(m)
-                ]
-            )
-        ).alias("m", "__sv"),
-    ).select(F.col(id_col), F.col("m").cast("int"), "__sv")
-    # Coding argmax as max_by over the (id, subspace) key — the chosen
-    # centroid VECTOR rides inside the max_by value struct, so partial
-    # aggregation collapses the n_codes candidates map-side and no
-    # sort runs (r8; previously a row_number window sorted all
-    # m·n_codes candidate rows per vector through the exchange).
-    coded = (
-        subs.join(F.broadcast(cents), "m")
-        .select(
-            id_col,
-            "m",
-            "cid",
-            F.round(cosine(F.col("__sv"), F.col("__ce")), 6).alias("code_sim"),
-            "__ce",
-        )
-        .groupBy(id_col, "m")
-        .agg(
-            F.max_by(
-                "__ce", F.struct(F.col("code_sim"), -F.col("cid"))
-            ).alias("__ce")
-        )
+    cb = cents.agg(
+        F.collect_list(F.struct("m", "cid", "__ce")).alias("__cb")
     )
-    return coded.groupBy(id_col).agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("m"), F.col("__ce")))
-                ),
-                lambda x: x["__ce"],
+
+    def best_sub(mi: int) -> Column:
+        sub = F.slice(F.col("__dv"), mi * sub_dim + 1, sub_dim)
+        cand = F.transform(
+            F.filter(F.col("__cb"), lambda e: e["m"] == F.lit(mi)),
+            lambda e: F.struct(
+                F.round(cosine(sub, e["__ce"]), 6).alias("sim"),
+                (-e["cid"]).alias("ncid"),
+                e["__ce"].alias("ce"),
+            ),
+        )
+        return F.array_max(cand)["ce"]
+
+    # spread: the m × n_codes coding cosines per row are the
+    # full-corpus heavy stage (r14); no-op at scale
+    return (
+        spread_small_input(
+            corpus.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
             )
-        ).alias("__de")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col),
+            F.flatten(
+                F.array(*[best_sub(mi) for mi in range(m)])
+            ).alias("__de"),
+        )
     )
 
 
@@ -1599,21 +1624,8 @@ def ivf_pq_topk(
     q = queries.select(
         F.col(query_id_col), as_double(F.col(vec_col)).alias("__qv")
     )
-    probe_w = Window.partitionBy(query_id_col).orderBy(
-        F.col("probe_sim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.crossJoin(F.broadcast(coarse))
-        .select(
-            query_id_col,
-            "__qv",
-            "cid",
-            F.round(cosine(F.col("__qv"), F.col("__ce")), 6).alias("probe_sim"),
-        )
-        .withColumn("__prn", F.row_number().over(probe_w))
-        .filter(F.col("__prn") <= n_probe)
-        .select(query_id_col, "__qv", "cid")
-    )
+    # map-only probe ranking (r19): see probe_cells
+    probes = probe_cells(q, coarse, n_probe, query_id_col)
     rank_w = Window.partitionBy(query_id_col).orderBy(
         F.col("pq_sim").desc(), F.col(id_col).asc()
     )

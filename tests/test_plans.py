@@ -257,7 +257,14 @@ def test_semantic_dedup_prunes_per_cluster_in_grouped_map(spark, sf_dir):
     # never a pairwise self-join
     assert "FlatMapGroupsInPandas" in p
     assert "SortMergeJoin" not in p
-    assert "collect_list" not in p
+    # no corpus-sized collect_list packing (the round-2 single-row
+    # block failure mode): every collect_list in the plan must be the
+    # bounded centroid-array collapse (n_centroids rows → one
+    # broadcast array for the r19 map-only argmax), i.e. grouped by
+    # nothing/aggregating the tiny cents table — pinned by requiring
+    # each occurrence to collect the centroid struct, never __cv
+    for frag in p.split("collect_list(")[1:]:
+        assert frag.startswith("struct(cid"), frag[:60]
 
 
 def test_chunk_windows_is_map_only(spark, sf_dir):
@@ -400,11 +407,13 @@ def test_user_value_deciles_scalable_has_no_global_window(spark, sf_dir):
 
 
 def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
-    """r8: every k-means assignment/coding argmax is a max_by
-    hash-aggregate (map-side partial, one row per id through the
-    exchange), NOT a row_number window — the training + assignment
-    plan must contain zero Window nodes and no sort beyond the
-    TakeOrdered seed scan."""
+    """r19: every k-means assignment/coding argmax is a MAP-ONLY
+    array_max projection against the broadcast centroid array (r8 had
+    it as a max_by hash-aggregate, which still exchanged one
+    full-vector row per id) — the training + assignment plan must
+    contain zero Window nodes, no sort beyond the TakeOrdered seed
+    scan, and no exchange keyed on the corpus id (the corpus never
+    shuffles for assignment)."""
     import contextlib
     import io
 
@@ -423,7 +432,9 @@ def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
         df.explain("formatted")
     p = buf.getvalue()
     assert "Window" not in p
-    assert "max_by" in p
+    assert "array_max" in p
+    # no exchange ever carries the corpus: assignment is a projection
+    assert "hashpartitioning(vec_id" not in p
     # the only ordered operator is the bounded-heap seed scan
     assert "TakeOrderedAndProject" in p
 
