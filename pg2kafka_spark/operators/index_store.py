@@ -28,10 +28,14 @@ from pyspark.sql import (
 )
 
 from pg2kafka_spark.operators.similarity import (
+    _best_cell,
     as_double,
     assign_cells,
+    centroid_rows_to_array,
+    codebook_array,
     cosine,
     kmeans_centroids,
+    pq_codes_expr,
     probe_cells,
 )
 
@@ -148,29 +152,13 @@ def _pq_codes(
     never shuffles; previously a posexplode + two full-corpus
     aggregates), but the argmax keeps the code id instead of the
     centroid vector."""
-    cb = cents.agg(
-        F.collect_list(F.struct("m", "cid", "__ce")).alias("__cb")
-    )
-
-    def best_code(mi: int) -> Column:
-        sub = F.slice(F.col("__dv"), mi * sub_dim + 1, sub_dim)
-        cand = F.transform(
-            F.filter(F.col("__cb"), lambda e: e["m"] == F.lit(mi)),
-            lambda e: F.struct(
-                F.round(cosine(sub, e["__ce"]), 6).alias("sim"),
-                (-e["cid"]).alias("ncid"),
-            ),
-        )
-        return -F.array_max(cand)["ncid"]
-
     return (
         corpus.select(
             F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
         )
-        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(codebook_array(cents)))
         .select(
-            F.col(id_col),
-            F.array(*[best_code(mi) for mi in range(m)]).alias("codes"),
+            F.col(id_col), pq_codes_expr(m, sub_dim).alias("codes")
         )
     )
 
@@ -233,21 +221,33 @@ def save_ivf_pq_index(
     coarse = kmeans_centroids(
         tr, n_centroids, train_iters, dim, id_col, vec_col, train_sample
     )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
-    cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
     books = pq_codebooks(
         tr, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
     )
-    codes = _pq_codes(corpus, books, m, sub_dim, id_col, vec_col)
+    # r19: cell assignment and PQ coding are both per-row functions of
+    # the broadcast models, so each write is ONE map pass over the
+    # corpus — previously codes ⋈ cells (and raw ⋈ cells) were
+    # id-keyed joins, each an exchange carrying the code/raw payload
+    base = (
+        corpus.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
+        )
+        .crossJoin(F.broadcast(centroid_rows_to_array(coarse)))
+        .withColumn(
+            "cid", -_best_cell(F.col("__dv"), F.col("__ca"))["ncid"]
+        )
+    )
     coarse.write.mode("overwrite").parquet(f"{path}/centroids")
     books.write.mode("overwrite").parquet(f"{path}/codebooks")
-    codes.join(cells, id_col).write.mode("overwrite").partitionBy(
-        "cid"
-    ).parquet(f"{path}/cells")
+    base.crossJoin(F.broadcast(codebook_array(books))).select(
+        F.col(id_col), pq_codes_expr(m, sub_dim).alias("codes"), "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
     if keep_raw:
-        c.withColumnRenamed("__cv", "vec").join(cells, id_col).write.mode(
-            "overwrite"
-        ).partitionBy("cid").parquet(f"{path}/raw")
+        base.select(
+            F.col(id_col), F.col("__dv").alias("vec"), "cid"
+        ).write.mode("overwrite").partitionBy("cid").parquet(
+            f"{path}/raw"
+        )
     if manifest_source is not None:
         corpus.select(
             F.col(id_col), F.lit(manifest_source).alias("source_path")

@@ -77,6 +77,21 @@ def table_profile(
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
             nd(F.col(c)).alias(f"__nd_{c}"),
+        ]
+    # String min/max live in a SEPARATE single-pass aggregate (r19):
+    # a var-length (string) aggregation BUFFER disqualifies
+    # HashAggregate, and with them inline the WHOLE multi-distinct
+    # aggregate — Expand × n_cols rows included — planned as
+    # SortAggregate under a full 7-key Sort (event-log: 27.9 of the
+    # query's 30.2 task-seconds in that one stage; the HLL twin,
+    # which has no string buffers, ran the same rows in 3.6 s). The
+    # side aggregate is global (no grouping), so its SortAggregate
+    # needs no sort; its scan prunes to the string columns only, and
+    # the 1-row result broadcast-joins back. Same values, same
+    # schema, one Expand-free HashAggregate for everything else.
+    str_aggs: list[Column] = []
+    for c in string_cols:
+        str_aggs += [
             F.min(F.col(c)).alias(f"__mn_{c}"),
             F.max(F.col(c)).alias(f"__mx_{c}"),
         ]
@@ -87,6 +102,8 @@ def table_profile(
     from pg2kafka_spark.operators.scale import spread_small_input
 
     one = spread_small_input(df).agg(*aggs)
+    if str_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
 
     rows = []
     for c in (*numeric_cols, *ts_cols):

@@ -1398,9 +1398,36 @@ def pq_reconstruct(
     and :func:`ivf_pq_topk`."""
     from pg2kafka_spark.operators.scale import spread_small_input
 
-    cb = cents.agg(
+    # spread: the m × n_codes coding cosines per row are the
+    # full-corpus heavy stage (r14); no-op at scale
+    return (
+        spread_small_input(
+            corpus.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
+            )
+        )
+        .crossJoin(F.broadcast(codebook_array(cents)))
+        .select(
+            F.col(id_col),
+            pq_reconstruct_expr(m, sub_dim).alias("__de"),
+        )
+    )
+
+
+def codebook_array(cents: DataFrame) -> DataFrame:
+    """Collapse an ``(m, cid, __ce)`` codebook table to ONE row
+    holding ``array<struct<m,cid,__ce>>`` (column ``__cb``) — the
+    broadcast-attachable form :func:`pq_reconstruct_expr` consumes."""
+    return cents.agg(
         F.collect_list(F.struct("m", "cid", "__ce")).alias("__cb")
     )
+
+
+def pq_reconstruct_expr(m: int, sub_dim: int) -> Column:
+    """Per-row PQ reconstruction over a staged ``__dv`` double-array
+    column and an attached ``__cb`` codebook array: per subspace,
+    argmax on struct(rounded cosine, -cid) keeps the winning centroid
+    vector; the m winners concatenate in subspace order."""
 
     def best_sub(mi: int) -> Column:
         sub = F.slice(F.col("__dv"), mi * sub_dim + 1, sub_dim)
@@ -1414,22 +1441,27 @@ def pq_reconstruct(
         )
         return F.array_max(cand)["ce"]
 
-    # spread: the m × n_codes coding cosines per row are the
-    # full-corpus heavy stage (r14); no-op at scale
-    return (
-        spread_small_input(
-            corpus.select(
-                F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
-            )
+    return F.flatten(F.array(*[best_sub(mi) for mi in range(m)]))
+
+
+def pq_codes_expr(m: int, sub_dim: int) -> Column:
+    """Per-row PQ code WORDS over a staged ``__dv`` + attached
+    ``__cb``: same per-subspace argmax as
+    :func:`pq_reconstruct_expr` but keeps the winning code id —
+    ``array<bigint>[m]`` in subspace order."""
+
+    def best_code(mi: int) -> Column:
+        sub = F.slice(F.col("__dv"), mi * sub_dim + 1, sub_dim)
+        cand = F.transform(
+            F.filter(F.col("__cb"), lambda e: e["m"] == F.lit(mi)),
+            lambda e: F.struct(
+                F.round(cosine(sub, e["__ce"]), 6).alias("sim"),
+                (-e["cid"]).alias("ncid"),
+            ),
         )
-        .crossJoin(F.broadcast(cb))
-        .select(
-            F.col(id_col),
-            F.flatten(
-                F.array(*[best_sub(mi) for mi in range(m)])
-            ).alias("__de"),
-        )
-    )
+        return -F.array_max(cand)["ncid"]
+
+    return F.array(*[best_code(mi) for mi in range(m)])
 
 
 def pq_topk(
@@ -1606,19 +1638,33 @@ def ivf_pq_topk(
     the one remaining full-scan trainer in the index family).
     """
     from pg2kafka_spark.operators.dedup import _persist
+    from pg2kafka_spark.operators.scale import spread_small_input
 
     coarse = kmeans_centroids(
         corpus, n_centroids, train_iters, dim, id_col, vec_col, train_sample
     )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
-    cells = assign_cells(c, coarse, id_col).select(id_col, "cid")
     cents = pq_codebooks(
         corpus, m, sub_dim, n_codes, iters, id_col, vec_col, train_sample
     )
-    # (id, cid, reconstruction) — the materialized IVF-PQ index
+    # (id, cid, reconstruction) — the materialized IVF-PQ index.
+    # r19: cell assignment and PQ reconstruction are BOTH per-row
+    # functions of the broadcast models now, so the index builds in
+    # ONE map pass over the corpus — previously recon ⋈ cells was an
+    # id-keyed join, i.e. an exchange carrying every reconstruction.
     indexed = _persist(
-        pq_reconstruct(corpus, cents, m, sub_dim, id_col, vec_col).join(
-            cells, id_col
+        spread_small_input(
+            corpus.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
+            )
+        )
+        .crossJoin(F.broadcast(centroid_rows_to_array(coarse)))
+        .crossJoin(F.broadcast(codebook_array(cents)))
+        .select(
+            F.col(id_col),
+            pq_reconstruct_expr(m, sub_dim).alias("__de"),
+            (-_best_cell(F.col("__dv"), F.col("__ca"))["ncid"]).alias(
+                "cid"
+            ),
         )
     )
     q = queries.select(

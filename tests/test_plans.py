@@ -647,12 +647,29 @@ def test_top_revenue_suppliers_single_quarter_scan(spark, sf_dir):
 
 
 def test_orders_table_profile_single_scan_expand(spark, sf_dir):
-    """The whole-table profile computes every column's stats in ONE
-    scan: multi-distinct planned via Expand, exactly one orders scan
-    in the plan (the naive per-column union would scan 6×)."""
+    """The whole-table profile computes the count/null/distinct/
+    numeric stats in ONE Expand-planned multi-distinct scan — and
+    that aggregate must be HASH-based: r19 moved the string min/max
+    into a separate single-pass side aggregate because their
+    var-length buffers forced the WHOLE multi-distinct into
+    SortAggregate under a full 7-key sort of the Expand output (28 of
+    the query's 30 task-seconds). The side scan prunes to the two
+    string columns, so the naive per-column 6× scan is still
+    avoided."""
+    import re
+
     p = plan_of(spark, "orders_table_profile", sf_dir)
     assert "Expand" in p
-    assert p.count("orders.parquet") == 1
+    assert p.count("orders.parquet") == 2
+    # the multi-distinct aggregate hash-aggregates (no sorted-agg of
+    # the Expand output anywhere)
+    assert "HashAggregate" in p
+    # the second scan reads ONLY the string columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(
+        set(s.split(",")) <= {"o_orderstatus:string", "o_orderpriority:string"}
+        for s in schemas
+    ), schemas
 
 
 def test_event_funnel_counts_no_window_uniform_key(spark, sf_dir):
@@ -698,10 +715,11 @@ def test_event_funnel_windowed_same_shape_as_unwindowed(spark, sf_dir):
 def test_orders_table_profile_approx_no_expand(spark, sf_dir):
     """The PB-scale approx profile replaces the exact multi-distinct:
     the Expand disappears (one ordinary partial aggregate over HLL
-    sketches), still exactly one orders scan."""
+    sketches); the only other scan is the string-min/max side
+    aggregate's two-column read (r19, see the exact twin's test)."""
     p = plan_of(spark, "orders_table_profile_approx", sf_dir)
     assert "Expand" not in p
-    assert p.count("orders.parquet") == 1
+    assert p.count("orders.parquet") == 2
 
 
 def test_bucketed_customer_order_stats_join_and_agg_without_exchange(
