@@ -248,7 +248,11 @@ def unigram_surprisal(
         F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("term")
     )
     cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
-    tot = tok.agg(F.count(F.lit(1)).alias("__t"))
+    # total token count derived from the count table (Σ__c ≡ count of
+    # tok rows, exactly) instead of re-tokenizing the corpus for one
+    # scalar — drops a full tokenize+explode pass (r19, guide §1.2);
+    # same idiom as `vocabulary`'s tot
+    tot = cnt.agg(F.sum("__c").alias("__t"))
     sbits = F.round(
         F.log(F.col("__t").cast("double") / F.col("__c")) / math.log(2.0) * 1e6
     ).cast("bigint")
@@ -352,7 +356,10 @@ def bigram_surprisal(
     base = docs.select(F.col(id_col), toks.alias("__tk"))
     uni = base.select(F.col(id_col), F.explode(F.col("__tk")).alias("term"))
     c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__c1"))
-    v = uni.agg(F.countDistinct("term").alias("__v"))
+    # |vocab| derived from the count table (rows of c1 ≡ countDistinct
+    # over uni, exactly) instead of re-tokenizing the corpus plus a
+    # distinct shuffle for one scalar (r19, guide §1.2)
+    v = c1.agg(F.count(F.lit(1)).alias("__v"))
     bg = base.filter(F.size("__tk") >= 2).select(
         F.col(id_col),
         F.explode(
