@@ -261,7 +261,13 @@ def decode_media(media: DataFrame, mode: str = "fake") -> DataFrame:
             ]
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(decode_batches, schema=FEATURE_SCHEMA)
+    # project to the three columns the kernel reads BEFORE the opaque
+    # stage: Spark cannot see which columns a mapInPandas touches, so
+    # without this the scan ships (and at real scale, reads) every
+    # MEDIA_SCHEMA column into the Python workers (guide §4.1)
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        decode_batches, schema=FEATURE_SCHEMA
+    )
 
 
 def synth_real_media(documents: DataFrame) -> DataFrame:
@@ -482,7 +488,10 @@ def sample_frames(
                     )
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+    # pre-prune to the kernel's inputs — see decode_media (guide §4.1)
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        frame_batches, schema=FRAME_SCHEMA
+    )
 
 
 def frame_overlap_pairs(frames: DataFrame, min_common: int = 2) -> DataFrame:
@@ -595,7 +604,10 @@ def decode_media_checked(media: DataFrame) -> DataFrame:
                     raise ValueError("unsupported container in decode census")
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(census_batches, schema=DECODE_CHECK_SCHEMA)
+    # pre-prune to the kernel's inputs — see decode_media (guide §4.1)
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        census_batches, schema=DECODE_CHECK_SCHEMA
+    )
 
 
 def media_stats(features: DataFrame) -> DataFrame:
