@@ -74,6 +74,14 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python interchange is Arrow-batched, never pickled rows ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Larger Arrow batches amortize the per-batch JVM↔Python
+        # crossing for the narrow-row kernels (minhash folds, BPE
+        # encode, media fingerprints): 7/9 pandas-UDF bench queries
+        # faster, set −5% (guide §4.2). Memory stays bounded because
+        # Spark 4's spark.sql.execution.arrow.maxBytesPerBatch
+        # (default 64 MB) closes a batch at whichever limit hits
+        # first — wide text/binary rows cannot blow up a worker.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # --- deterministic timestamp semantics (parity with DuckDB oracle) ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- TIMESTAMP(NANOS) parquet (events.ts) reads as LONG ns;
