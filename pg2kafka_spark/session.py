@@ -43,15 +43,22 @@ def get_spark(
         # --- adaptive execution: runtime re-plan from real stats ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect advisoryPartitionSizeInBytes when coalescing instead
-        # of maximizing parallelism — the setting Spark's own AQE docs
-        # recommend for production workloads (parallelismFirst=true is
-        # described there as an anti-regression default); measured a
-        # consistent small win locally in both A/B orders (r19)
-        .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            "false",
-        )
+        # parallelismFirst stays at its DEFAULT (true). r19 tried
+        # false (respect advisoryPartitionSizeInBytes when coalescing,
+        # per the AQE docs' production note) and it lost badly on
+        # measurement: AQE sizes the post-shuffle stage by MAP OUTPUT
+        # BYTES, so any reduce stage whose compute is much heavier
+        # than its input bytes — the pair-explode after the baskets
+        # aggregate (part_pair_cooccurrence, ~20× row blow-up in
+        # Generate), the diff-replay fold, the shingle self-join —
+        # coalesced to ONE task and ran single-threaded. 2×4-session
+        # alternating A/B over 15 queries: false 15.56 s vs true
+        # 12.07 s (−29%); worst rows part_pair_cooccurrence 2.17×,
+        # replayed_state_from_diffs 2.92×, shingle_jaccard_pairs
+        # 1.69× — nothing outside noise favored false. The hazard is
+        # scale-independent in kind (bytes are the wrong proxy for
+        # generate-heavy stages), so the default holds in production
+        # too.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- joins: allow shuffled-hash where its size conditions hold
         # (guide §3.1/§9). The planner still requires the build side to
