@@ -1097,26 +1097,47 @@ def embedding_near_dup_lsh(
 
     thr = float(threshold)
 
-    def kernel(key, pdf):
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "cos_sim": pd.Series(dtype="float64"),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+    def bucket_pairs(ids: "np.ndarray", A: "np.ndarray"):
+        # per-bucket math, IDENTICAL to the historical per-group
+        # kernel: exact cosine, 6-dp round, id_a < id_b orientation
         n = np.einsum("ij,ij->i", A, A)
         cos = np.round((A @ A.T) / np.sqrt(np.outer(n, n)), 6)
         mask = (cos >= thr) & (ids[:, None] < ids[None, :])
         ii, jj = np.nonzero(mask)
-        if len(ii) == 0:
-            return empty
+        return ids[ii], ids[jj], cos[ii, jj]
+
+    def kernel(key, pdf):
+        # One call per SUPER-GROUP of whole buckets (see the grouping
+        # note below); buckets are scored independently inside it.
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for _, sub in pdf.groupby("bucket", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub["id"].to_numpy(dtype=np.int64)
+            A = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in sub["e"]]
+            )
+            ia, ib, cs = bucket_pairs(ids, A)
+            if len(ia):
+                out_a.append(ia)
+                out_b.append(ib)
+                out_c.append(cs)
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
         return pd.DataFrame(
-            {"id_a": ids[ii], "id_b": ids[jj], "cos_sim": cos[ii, jj]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
 
     v = _persist(
@@ -1131,6 +1152,30 @@ def embedding_near_dup_lsh(
             if max_bucket_size is not None
             else 8
         )
+    # Grouped-map ships ONE Arrow batch and one Python UDF call PER
+    # GROUP; with the keyspace sized so buckets stay small (expected
+    # N/2^num_planes rows), per-bucket grouping made the Arrow
+    # round-trip + pandas materialization the dominant cost (~3 ms per
+    # ~8-row bucket measured at sf0.1 — the kernel's matmul is
+    # microseconds there; the ratio only worsens as the keyspace
+    # scales with N). Group instead by a HASH SUPER-GROUP of whole
+    # buckets (guide §4.2: keep batches large): the shuffle is the
+    # same one exchange per table, each super-group amortizes the
+    # crossing over ~32 MB of vectors, and the kernel scores each
+    # contained bucket independently — bucket membership, pair set,
+    # and cosines are unchanged. Group count derives from the
+    # OPTIMIZER SIZE ESTIMATE (no extra job, like spread_small_input),
+    # clamped to the session's parallelism so small corpora keep every
+    # core busy; a capped bucket (≤ max_bucket_size rows) cannot blow
+    # up a 32 MB-target group.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        vbytes = int(
+            str(v._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        n_groups = max(par, vbytes >> 25)
+    except Exception:
+        n_groups = par
     out = None
     for t in range(num_tables):
         b = v.select(
@@ -1141,8 +1186,14 @@ def embedding_near_dup_lsh(
             ).alias("bucket"),
         )
         b = _cap_buckets(b, max_bucket_size, "bucket")
-        pairs = b.groupBy("bucket").applyInPandas(
-            kernel, "id_a bigint, id_b bigint, cos_sim double"
+        pairs = (
+            b.withColumn(
+                "__sg", F.pmod(F.xxhash64("bucket"), F.lit(n_groups))
+            )
+            .groupBy("__sg")
+            .applyInPandas(
+                kernel, "id_a bigint, id_b bigint, cos_sim double"
+            )
         )
         out = pairs if out is None else out.unionByName(pairs)
     # a pair found by several tables has the same rounded cosine in

@@ -311,6 +311,57 @@ def test_embedding_lsh_near_dup_subset_and_recall(spark):
     assert recall >= 0.85, f"planted recall {recall:.2f}"
 
 
+def test_embedding_lsh_super_grouping_preserves_bucket_pairs(spark):
+    """The r19 super-group kernel (one Arrow crossing per hash group
+    of whole buckets instead of one per bucket) must emit EXACTLY the
+    per-bucket pair set: for every table, all same-bucket pairs with
+    rounded cosine ≥ threshold, oriented id_a < id_b — nothing across
+    buckets, nothing dropped, cosines bit-identical to the reference
+    numpy formulation."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    thr, num_tables, planes, dim, seed = 0.4, 4, 8, 64, 42
+    v = emb.select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        S.as_double(F.col("embedding")).alias("e"),
+    ).toPandas()
+    vecs = {
+        int(r.id): np.asarray(r.e, dtype=np.float64)
+        for r in v.itertuples()
+    }
+    expected: dict[tuple[int, int], float] = {}
+    for t in range(num_tables):
+        bt = (
+            emb.select(
+                F.col("vec_id").cast("bigint").alias("id"),
+                S.hyperplane_signature(
+                    S.as_double(F.col("embedding")), planes, dim,
+                    seed + 101 * t,
+                ).alias("bucket"),
+            )
+            .toPandas()
+        )
+        for _, grp in bt.groupby("bucket"):
+            ids = sorted(int(i) for i in grp["id"])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = vecs[ids[i]], vecs[ids[j]]
+                    cs = float(np.round(
+                        (a @ b)
+                        / np.sqrt((a @ a) * (b @ b)), 6))
+                    if cs >= thr:
+                        expected[(ids[i], ids[j])] = cs
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.embedding_near_dup_lsh(
+            emb, threshold=thr, num_planes=planes,
+            num_tables=num_tables, seed=seed,
+        ).collect()
+    }
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # IVF: k-means centroids vs first-N stub on a clustered fixture
 # ---------------------------------------------------------------------------
