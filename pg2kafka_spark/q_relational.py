@@ -950,12 +950,22 @@ def session_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the session-assignment exchange already clusters, so the
     funnel stages add sorts and tiny aggregations, never a second
     event-sized shuffle. The oracle is GENERATED from the same stage
-    list over the shared sessionization CTE."""
+    list over the shared sessionization CTE.
+
+    The sessionized frame is persisted (r19, §5): the chained stage
+    frames nest it — stage k's plan contains stages 1..k−1 — so the
+    un-persisted spelling re-ran the event-sized sessionization
+    WindowExec six times per execution (Exchange reuse caught the
+    shuffle, not the window compute above it; static plan: 12
+    Exchange/12 Window nodes → 4/4 persisted). Same tracked-handle
+    registry as every sketch intermediate — released between queries,
+    never across runs."""
+    from pg2kafka_spark.operators.dedup import _persist
     from pg2kafka_spark.operators.funnel import ordered_funnel
     from pg2kafka_spark.operators.paths import assign_sessions
 
     ev = load_table(spark, "events", sf_dir)
-    sess = assign_sessions(ev)
+    sess = _persist(assign_sessions(ev))
     return ordered_funnel(
         sess,
         ["view", "click", "purchase"],
