@@ -323,7 +323,11 @@ def test_components_stream_folds_equal_one_pass(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt"),
         max_files_per_trigger=1,
     )
-    assert q.awaitTermination(120)
+    # 600 s bound: availableNow terminates the moment the last slice
+    # folds (quiet host ~45 s), so the headroom is free there; the slow
+    # sandbox host class under 8-lane contention ran the same stream
+    # ~157 s and falsely tripped the old 120 s bound (r19 re-entry 6).
+    assert q.awaitTermination(600)
     folded = sorted(
         tuple(r) for r in spark.read.parquet(labels_dir).collect()
     )

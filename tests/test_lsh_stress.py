@@ -67,8 +67,12 @@ def test_hot_bucket_cap_under_5k_copy_skew(spark, skewed_corpus, wall_budget):
     # x 16 bands and blows far past this. Load-scaled (r17), and
     # re-measured once before failing: the single-rep in-suite stall
     # class (BASELINE.md r13-r14) never recurs, a quadratic blow-up
-    # recurs every rep.
-    limit = wall_budget(60)
+    # recurs every rep. Base 90 s (was 60): the sentinel-blind host
+    # class (point probes quiet, sustained throughput ~1.2-1.6x slow —
+    # BASELINE.md / r19 re-entry 6, min-of-2 72.1 s at sentinel 0.22)
+    # sits under the sentinel scaling's radar; 90 s still fails a
+    # quadratic blow-up by an order of magnitude.
+    limit = wall_budget(90)
     if wall >= limit:
         wall = min(wall, measure()[0])
     assert wall < limit, (

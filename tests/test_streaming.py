@@ -779,7 +779,12 @@ def test_ingest_stream_equals_sequential_batches(spark, tmp_path):
         max_files_per_trigger=1,
         available_now=True,
     )
-    q.awaitTermination(180)
+    # assert + 600 s bound: the old bare awaitTermination(180) expired
+    # silently on a slow contended host (waves 1-2 unprocessed) and the
+    # test failed downstream with a confusing keep-set diff (r19
+    # re-entry 6). availableNow terminates as soon as the third wave
+    # commits, so the headroom costs nothing on a quiet host (~100 s).
+    assert q.awaitTermination(600)
 
     kept = spark.read.parquet(d["keep"])
     got = {
