@@ -67,12 +67,15 @@ def test_hot_bucket_cap_under_5k_copy_skew(spark, skewed_corpus, wall_budget):
     # x 16 bands and blows far past this. Load-scaled (r17), and
     # re-measured once before failing: the single-rep in-suite stall
     # class (BASELINE.md r13-r14) never recurs, a quadratic blow-up
-    # recurs every rep. Base 90 s (was 60): the sentinel-blind host
-    # class (point probes quiet, sustained throughput ~1.2-1.6x slow —
-    # BASELINE.md / r19 re-entry 6, min-of-2 72.1 s at sentinel 0.22)
-    # sits under the sentinel scaling's radar; 90 s still fails a
-    # quadratic blow-up by an order of magnitude.
-    limit = wall_budget(90)
+    # recurs every rep. Base 180 s (was 60, then 90 at re-entry 6): the
+    # sentinel-blind host class (point probes quiet, sustained
+    # throughput slow) sits under the sentinel scaling's radar, and at
+    # re-entry 7 the 8-lane-contended min-of-2 read 143.4 s at sentinel
+    # 0.27 (isolated same-host rep: 28.6 s) — past the 90 s base's
+    # scaled 97 s on byte-identical code. 180 s still fails the
+    # uncapped quadratic blow-up (~200M pair evaluations) by well over
+    # 5x even before its shuffle explosion.
+    limit = wall_budget(180)
     if wall >= limit:
         wall = min(wall, measure()[0])
     assert wall < limit, (

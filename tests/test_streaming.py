@@ -528,7 +528,13 @@ def test_streaming_ingest_dedups_against_static_store(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # assert + 600 s bound: the old bare awaitTermination(120) expired
+    # silently under 8-lane contention on the slow sandbox host class
+    # (r19 re-entry 7) and the test failed downstream comparing an empty
+    # memory table. availableNow terminates the moment the single wave
+    # commits (isolated quiet run ~30 s), so the headroom costs nothing
+    # on a quiet host.
+    assert q.awaitTermination(600)
     got_fps = {
         r["fp"] for r in spark.sql("select * from ingest_dedup_stream").collect()
     }
