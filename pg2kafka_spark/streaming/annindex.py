@@ -662,6 +662,13 @@ def run_index_maintenance(
             "a concurrent retrain_index is running or crashed mid-swap; "
             "complete/clear it before resuming ingest"
         )
+    from pg2kafka_spark.streaming.relay import scrub_virgin_checkpoint
+
+    # a prior cycle's stop/crash can interrupt the FIRST offset write,
+    # leaving an orphan .tmp that Spark 4.x refuses to restart over
+    # (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) — scrub it; a no-op
+    # the moment any offset has committed.
+    scrub_virgin_checkpoint(spark, checkpoint_dir)
     q = start_index_ingest_stream(
         spark,
         incoming_dir,
@@ -744,6 +751,10 @@ def run_pq_index_maintenance(
             "a concurrent retrain is running or crashed mid-swap; "
             "complete/clear it before resuming ingest"
         )
+    from pg2kafka_spark.streaming.relay import scrub_virgin_checkpoint
+
+    # same virgin-checkpoint scrub as the raw cycle (see there).
+    scrub_virgin_checkpoint(spark, checkpoint_dir)
     q = start_pq_index_ingest_stream(
         spark,
         incoming_dir,

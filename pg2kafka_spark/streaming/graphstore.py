@@ -220,6 +220,13 @@ def run_components_maintenance(
     timeout leaves the checkpoint intact, so re-running the cycle
     resumes the drain with no progress lost (the fold is
     idempotent)."""
+    from pg2kafka_spark.streaming.relay import scrub_virgin_checkpoint
+
+    # a prior cycle's stop/crash can interrupt the FIRST offset write,
+    # leaving an orphan .tmp that Spark 4.x refuses to restart over
+    # (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) — scrub it; a no-op
+    # the moment any offset has committed.
+    scrub_virgin_checkpoint(spark, checkpoint_dir)
     q = start_components_stream(
         spark,
         incoming_dir,

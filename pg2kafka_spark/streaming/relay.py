@@ -210,3 +210,44 @@ def drain_backlog(
         **relay_kwargs,
     )
     return q
+
+
+def scrub_virgin_checkpoint(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Remove orphan metadata-log temp files from a checkpoint that has
+    made NO committed progress; returns how many files were removed.
+
+    The maintained-state loops' drain-timeout contract is "stop + raise,
+    re-run the cycle" — but a ``q.stop()`` (or crash) that interrupts the
+    very FIRST offset write leaves only a ``.0.<uuid>.tmp`` behind in
+    ``<checkpoint>/offsets``: the batch never committed, yet Spark 4.x's
+    restart validation (MicroBatchExecution.verifyNewCheckpointDirectory)
+    sees a non-empty directory for what the empty offset log says is a
+    NEW checkpoint and refuses to start with
+    [STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY], breaking the re-run.
+    Temp files are never progress (HDFSMetadataLog publishes entries by
+    atomic rename), and the scrub refuses to touch a checkpoint holding
+    ANY committed offset entry, so real resume state is unreachable by
+    construction. Goes through the Hadoop FileSystem of the checkpoint
+    path, so non-local checkpoint schemes behave the same.
+    """
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(checkpoint_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    offsets = hadoop_path(root, "offsets")
+    if not fs.exists(offsets):
+        return 0
+    names = [st.getPath().getName() for st in fs.listStatus(offsets)]
+    if any(n.isdigit() for n in names):
+        return 0  # committed progress — never touch
+    removed = 0
+    for sub in ("offsets", "commits"):
+        d = hadoop_path(root, sub)
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            n = st.getPath().getName()
+            if n.startswith(".") and n.endswith(".tmp"):
+                fs.delete(st.getPath(), False)
+                removed += 1
+    return removed

@@ -368,6 +368,13 @@ def run_retention_maintenance(
     drain is checkpointed, the compaction value-preserving."""
     import os
 
+    from pg2kafka_spark.streaming.relay import scrub_virgin_checkpoint
+
+    # a prior cycle's stop/crash can interrupt the FIRST offset write,
+    # leaving an orphan .tmp that Spark 4.x refuses to restart over
+    # (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) — scrub it; a no-op
+    # the moment any offset has committed.
+    scrub_virgin_checkpoint(spark, checkpoint_dir)
     q = start_retention_stream(
         spark,
         incoming_dir,

@@ -443,6 +443,57 @@ def test_run_components_maintenance_drains_and_times_out(spark, tmp_path):
     assert folded == cold
 
 
+def test_maintenance_restarts_over_interrupted_first_offset_write(
+    spark, tmp_path
+):
+    """A stop/crash that interrupts the very FIRST offset write leaves
+    only an orphan ``.0.<uuid>.tmp`` in ``ckpt/offsets``; Spark 4.x's
+    restart validation then refuses to start over the non-empty "new"
+    checkpoint (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY — observed
+    as a drain-timeout race at r19 re-entry 7). The scheduled cycle
+    must scrub the zero-progress crud and complete to the cold-pass
+    labels; a checkpoint with ANY committed offset must be left alone
+    (scrub_virgin_checkpoint unit-covered in test_streaming.py)."""
+    import os
+
+    from pg2kafka_spark.operators.graph import connected_components
+    from pg2kafka_spark.streaming.graphstore import (
+        run_components_maintenance,
+    )
+
+    slices = [[(1, 2), (3, 4)], [(2, 3), (10, 11)]]
+    incoming = str(tmp_path / "incoming")
+    labels_dir = str(tmp_path / "labels")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pair_slices(spark, slices, incoming)
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with open(
+        os.path.join(
+            ckpt, "offsets", ".0.6ba7b810-9dad-11d1-80b4-00c04fd430c8.tmp"
+        ),
+        "w",
+    ):
+        pass
+    run_components_maintenance(
+        spark,
+        incoming,
+        "id_a bigint, id_b bigint",
+        labels_dir=labels_dir,
+        checkpoint_dir=ckpt,
+        timeout_s=300,
+    )
+    folded = sorted(
+        tuple(r) for r in spark.read.parquet(labels_dir).collect()
+    )
+    all_pairs = spark.createDataFrame(
+        [p for sl in slices for p in sl], "id_a bigint, id_b bigint"
+    )
+    cold = sorted(
+        tuple(r) for r in connected_components(all_pairs).collect()
+    )
+    assert folded == cold
+
+
 def test_components_fold_recovers_from_stale_old_dir(spark, tmp_path):
     """r17 (advice): a crash after the sentinel removal but before
     the __old__ rmtree leaves a value-complete-but-stale __old__

@@ -1804,3 +1804,42 @@ def test_wire_roundtrip_through_relay_sink(spark, outbox, tmp_path):
         .collect()
     }
     assert latest == {"1": "max", "2": "team"}
+
+
+def test_scrub_virgin_checkpoint_semantics(spark, tmp_path):
+    """The virgin-checkpoint scrub removes orphan metadata-log temp
+    files ONLY while the offset log holds zero committed entries — the
+    exact crud an interrupted first offset write leaves (Spark then
+    refuses the restart with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY;
+    see the graphstore e2e twin). The moment any offset has committed,
+    the scrub is a guaranteed no-op."""
+    import os
+
+    from pg2kafka_spark.streaming.relay import scrub_virgin_checkpoint
+
+    ckpt = str(tmp_path / "ckpt")
+    # missing checkpoint / missing offsets dir: no-op
+    assert scrub_virgin_checkpoint(spark, ckpt) == 0
+    off = os.path.join(ckpt, "offsets")
+    os.makedirs(off)
+    assert scrub_virgin_checkpoint(spark, ckpt) == 0
+    # zero committed entries + orphan temps in offsets AND commits:
+    # all removed
+    com = os.path.join(ckpt, "commits")
+    os.makedirs(com)
+    t1 = os.path.join(off, ".0.6ba7b810-9dad-11d1-80b4-00c04fd430c8.tmp")
+    t2 = os.path.join(com, ".0.deadbeef-0000-0000-0000-000000000000.tmp")
+    for t in (t1, t2):
+        with open(t, "w"):
+            pass
+    assert scrub_virgin_checkpoint(spark, ckpt) == 2
+    assert not os.path.exists(t1) and not os.path.exists(t2)
+    # a committed offset entry freezes the scrub: the orphan temp (and
+    # everything else) is left alone
+    with open(os.path.join(off, "0"), "w") as f:
+        f.write("v1")
+    with open(t1, "w"):
+        pass
+    assert scrub_virgin_checkpoint(spark, ckpt) == 0
+    assert os.path.exists(t1)
+    assert os.path.exists(os.path.join(off, "0"))
