@@ -52,9 +52,15 @@ Methodology (the round-5 lesson, recorded in BASELINE.md):
   buffer, so eight rounds of driver bench artifacts were
   unparseable). The stdout line is therefore a COMPACT summary:
   total/unit/sf plus per-query seconds for as many queries as fit
-  under a 1700-char budget, most expensive first (the cheap tail it
-  drops is summarized in ``queries_omitted`` / ``queries_omitted_secs``
-  and fully recorded in the committed BENCH_LOCAL.json).
+  under a 1700-char budget (the cheap tail it drops is summarized in
+  ``queries_omitted`` / ``queries_omitted_secs`` and fully recorded
+  in the committed BENCH_LOCAL.json). Selection (r19 verdict item 6):
+  every name that appeared in the previous round's parsed stdout line
+  is ALWAYS included — additions-only, so a query that merely got
+  faster can never vanish from the line and be mis-reported as
+  "dropped_from_bench" by the round-over-round diff (r19's PERF
+  artifact flagged 8 healthy, faster rows that way) — then the most
+  expensive remaining queries fill the leftover budget.
 """
 
 from __future__ import annotations
@@ -334,10 +340,43 @@ def main() -> int:
         compact["n_drift_persisting"] = sum(
             1 for d in drift.values() if d["still_drifted"]
         )
-    sel: dict[str, float] = {}
+    # Names published in the r19 driver-parsed stdout line
+    # (BENCH_r19.json "queries" keys). Additions-only contract: once a
+    # name has appeared in a parsed line it keeps appearing, so the
+    # driver's round-over-round diff never sees a healthy row
+    # disappear. Extend this list with any NEW names the next
+    # committed BENCH_LOCAL run publishes.
+    _published = [
+        "embedding_ann_ivf_pq", "embedding_ann_pq_sampled",
+        "embedding_ann_ivf_sq8", "part_pair_cooccurrence",
+        "embedding_ann_ivf", "embedding_prototype_prune",
+        "embedding_knn_graph", "orders_table_profile",
+        "minhash_lsh_pairs", "embedding_ann_ivf_sampled",
+        "economy_revenue_share", "shingle_jaccard_pairs",
+        "embedding_diversity_sample", "embedding_ann_ivf_incremental",
+        "training_corpus_assembly", "semantic_dedup_embeddings",
+        "embedding_cell_drift", "doc_bigram_surprisal",
+        "multimodal_features_real", "embedding_ann_pq",
+        "embedding_near_dup_lsh_pairs", "bpe_encode_documents",
+        "brand_share_by_year", "important_part_stock",
+        "brand_supplier_revenue", "revenue_by_region",
+        "near_dup_keep_list", "zorder_layout_stats",
+        "hilbert_layout_stats", "media_near_dup_real",
+        "large_quantity_orders", "embedding_topk_quantized",
+        "bpe_encode_production", "doc_repetition",
+        "orders_table_profile_approx", "lang_ngram_profile",
+        "order_line_arrays", "daily_ingest_keep_list",
+        "bloom_semijoin_prune", "regional_min_cost_supplier",
+        "ann_ivf_pq_served_incremental", "dsir_importance_weights",
+    ]
+    sel: dict[str, float] = {
+        n: timings[n] for n in _published if n in timings
+    }
+    compact["queries"] = sel
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if name in sel:
+            continue
         sel[name] = secs
-        compact["queries"] = sel
         if len(json.dumps(compact)) > 1700:
             del sel[name]
             break

@@ -37,42 +37,64 @@ from pg2kafka_spark import q_relational as _q_relational  # noqa: F401
 # alternation since r5; whatever falls outside the window is always
 # covered by the committed full-surface CORRECTNESS_LOCAL artifact
 # regenerated at round close). r10 + r12 + r14 + r16 + r18 ran
-# pipeline-fronted windows; r11 + r13 + r15 + r17 ran CDC +
-# relational (all green). r19 (this round) rotates CDC + relational
-# back to the front per the r18 verdict's item 1. Order:
-#   (0) queries NEW this round or whose FORMULA CHANGED this round
-#       (no driver row exists for the current code),
-#   (1) CDC/relational oracle-backed outside both the r17 and r18
-#       windows (last driver row r15 — stalest; includes the verdict's
-#       named CDC core: unprocessed_*, update_diff_json, wire_*,
-#       topic_routing, and the TPC-H shapes),
-#   (2) the r17/r18-fresh q_cdc core (snapshot_part,
-#       update_diff_events, latest_state_per_user, state_asof) so the
-#       reference inventory O1–O15 all hold r19 rows,
-#   (3) CDC/relational oracle-backed with an r17/r18 driver row,
-#   (4) pipeline oracle-backed — the four r20-front names first (see
-#       NOTE), the rest freshest-last by registry order,
-#   (5) rows-only queries last (their portable twins are
+# pipeline-fronted windows; r11 + r13 + r15 + r17 + r19 ran CDC +
+# relational (all green). r20 (this round) rotates PIPELINE back to
+# the front per the r19 verdict's item 1: the round-19 optimization
+# work rewrote the ANN/k-means assignment, the IVF-PQ index build,
+# the surprisal scalars, the table profiler and the iterative-graph
+# persists, and the CDC/relational-fronted r19 window meant NONE of
+# those queries took an r19 driver-oracle row (they are covered by
+# the committed CORRECTNESS_LOCAL_r19 + CORRECTNESS_LOCAL_SF01_r19
+# full-surface sweeps). Order:
+#   (0) queries whose FORMULA/PLAN CHANGED in r19 or r20 without a
+#       fresh driver row for the changed code (the verdict's tier-0
+#       mandate: the whole map-only-argmax ANN family, the served
+#       IVF twins, the LSH portable twin, the surprisal pair, the
+#       split-aggregate table profile, the persist-backed graph
+#       consumers) — plus anything r20 touches, appended as changed,
+#   (1) pipeline oracle-backed with no r18 driver row (last driver
+#       row r14 — stalest; the four _R20_FRONT names seeded by r19
+#       first),
+#   (2) pipeline oracle-backed with an r18 driver row, registry
+#       order,
+#   (3) CDC/relational oracle-backed (all hold r17/r19 rows; the
+#       r19 window just re-verified 50 of them), registry order,
+#   (4) rows-only queries last (their portable twins are
 #       oracle-backed).
-# r20 NOTE: rotate PIPELINE to the front; keep alternating, and keep
-# tier 0 = new/changed-this-round. Seed r20's _FRONT from _R20_FRONT
-# below — the four stale pipeline names that last took a driver row
-# in r14 and have spilled past slot 50 ever since (covered by
-# CORRECTNESS_LOCAL at sf0.01 AND the r18 sf0.1 sweep).
+# r21 NOTE: rotate CDC/relational back to the front; keep
+# alternating, and keep tier 0 = new/changed-this-round.
 _FRONT: list[str] = [
-    # NEW in r19 — no driver row exists yet
-    "user_value_deciles_scalable",
+    # r19 map-only-argmax ANN family (similarity.py change 1) — the
+    # round's biggest semantic surgery, driver-oracle row pending
+    "embedding_ann_ivf", "embedding_ann_ivf_sq8",
+    "embedding_ann_ivf_pq", "embedding_ann_pq",
+    "embedding_ann_pq_sampled", "embedding_ann_ivf_sampled",
+    "embedding_ann_ivf_incremental", "embedding_prototype_prune",
+    "embedding_diversity_sample", "semantic_dedup_embeddings",
+    "embedding_cell_drift", "embedding_knn_graph",
+    "embedding_topk_quantized",
+    # r19 fused IVF-PQ index build + map-only serve (index_store.py)
+    "ann_ivf_served_incremental", "ann_ivf_pq_served_incremental",
+    # r19 LSH super-grouping landed in embedding_near_dup_lsh (rows
+    # only); its oracle-checkable portable twin takes the window row
+    "embedding_near_dup_lsh_portable",
+    # r19 surprisal scalar derivation (text.py change 6)
+    "doc_unigram_surprisal", "doc_bigram_surprisal",
+    # r19 split string-min/max table profile (profile.py change 5)
+    "orders_table_profile",
+    # r19 iterative-graph persist/checkpoint consumers (graph.py
+    # change 3)
+    "nation_trade_pagerank", "nation_trade_pagerank_conserving",
+    "near_dup_components", "near_dup_components_star",
+    "near_dup_canonical", "near_dup_components_incremental",
+    "near_dup_components_served",
 ]
-# stale pipeline names to front when pipeline next leads (r20)
+# stale pipeline names seeded by r19 for this rotation (last driver
+# row r14; embedding_cell_drift from the original seed is already in
+# tier 0 above)
 _R20_FRONT = [
     "simhash_portable", "simhash_near_pairs_portable",
-    "minhash_lsh_pairs_portable", "embedding_cell_drift",
-]
-# r17/r18-fresh q_cdc core fronted ahead of the relational tail so
-# the reference operator inventory holds r19 driver rows end-to-end
-_CDC_CORE_FRESH = [
-    "snapshot_part", "update_diff_events",
-    "latest_state_per_user", "state_asof",
+    "minhash_lsh_pairs_portable",
 ]
 # names that took a fresh r18 driver row (CORRECTNESS_r18.json keys) —
 # the pipeline/serve/graph/BPE window
@@ -101,34 +123,10 @@ _R18_WINDOW = {
     "source_mix_rebalance", "tfidf_top_terms",
     "weekly_retention_served", "weekly_retention_served_cohort_window",
 }
-# names that took a fresh r17 driver row (CORRECTNESS_r17.json keys) —
-# the CDC/relational window plus r17's two new queries
-_R17_WINDOW = {
-    "bloom_semijoin_prune", "brand_share_by_year",
-    "bucketed_customer_order_stats", "customer_event_activity",
-    "customer_order_distribution", "discount_band_revenue_delta",
-    "disjunctive_part_revenue", "dormant_customer_balances",
-    "economy_revenue_share", "event_funnel_counts",
-    "event_funnel_stages", "event_funnel_windowed_counts",
-    "events_hourly_gapfill", "events_hourly_interpolate",
-    "excess_shipment_suppliers", "funnel_conversion_latency",
-    "grouping_sets_flag_status", "important_part_stock",
-    "json_extract_events", "large_quantity_orders",
-    "late_shipment_priority_counts", "latest_state_per_user",
-    "mktsegment_rollup_salted_join", "multimodal_resize_parity",
-    "nation_trade_volume", "near_dup_canonical_served",
-    "order_stats_global", "order_value_percentiles",
-    "orders_above_avg", "orders_table_profile",
-    "part_pair_cooccurrence", "part_supplier_diversity",
-    "part_type_profit_by_nation", "props_key_profile",
-    "props_variant_extract", "purchase_error_full_outer",
-    "regional_min_cost_supplier", "returned_item_customer_revenue",
-    "scalar_functions", "small_quantity_revenue", "snapshot_part",
-    "sole_late_suppliers", "state_asof", "top_revenue_suppliers",
-    "update_diff_events", "user_event_rollup_salted",
-    "user_heavy_hitters_cm", "user_value_sketches_portable",
-    "weekly_retention_cohorts", "weekly_retention_incremental",
-}
+# (The r17 CDC/relational window set that earlier rotations keyed on
+# is gone: every CDC/relational oracle-backed name now holds an r17,
+# r19 or both driver rows, so they share one tier. r21's rotation
+# should key CDC/rel staleness on CORRECTNESS_r19.json's keys.)
 from pg2kafka_spark.q_cdc import __name__ as _qcdc_mod  # noqa: E402
 from pg2kafka_spark.q_relational import (  # noqa: E402
     __name__ as _qrel_mod,
@@ -147,14 +145,13 @@ def _tier(n: str) -> tuple:
     if n not in ORACLES:
         return (5, _reg_pos[n])
     if n in _cdc_rel_names:
-        if n not in _R17_WINDOW and n not in _R18_WINDOW:
-            return (1, _reg_pos[n])  # last driver row r15 — stalest
-        if n in _CDC_CORE_FRESH:
-            return (2, _CDC_CORE_FRESH.index(n))
-        return (3, _reg_pos[n])
-    if n in _R20_FRONT:
-        return (4, -len(_R20_FRONT) + _R20_FRONT.index(n))
-    return (4, _reg_pos[n])
+        return (4, _reg_pos[n])
+    if n not in _R18_WINDOW:
+        # stale pipeline — last driver row r14; seeded names first
+        if n in _R20_FRONT:
+            return (1, -len(_R20_FRONT) + _R20_FRONT.index(n))
+        return (1, _reg_pos[n])
+    return (3, _reg_pos[n])
 
 
 _ordered = sorted(QUERIES, key=_tier)

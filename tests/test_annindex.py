@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg2kafka_spark.catalog import load_table
@@ -23,6 +24,13 @@ from pg2kafka_spark.streaming.annindex import (
     retrain_flag,
     start_index_ingest_stream,
 )
+
+# Every test here drives a streaming accretion/retrain/maintenance
+# cycle against an at-rest store (9-110 s each sequentially, ~860 s
+# for the file) — the default serve-path coverage lives in the
+# oracle-parity rows that build and serve the same stores
+# (ann_ivf_served_incremental / ann_ivf_pq_served_incremental).
+pytestmark = pytest.mark.heavy_e2e
 
 SF = "/root/testdata/sf0.001"
 STORE_CUT = 300  # bootstrap store: vec_id < 300; the rest arrives

@@ -77,6 +77,7 @@ class TestFoldEquivalence:
         self._assert_equal(spark, docs, merges)
 
     @pytest.mark.slow
+    @pytest.mark.heavy_e2e
     def test_corpus_64_merges(self, spark, sf_dir):
         """8× the oracle's table depth — the regime where the fold
         starts paying per-table-row and the scan kernel does not;
@@ -85,6 +86,7 @@ class TestFoldEquivalence:
         merges = X.bpe_train_merges(docs, n_merges=64)
         self._assert_equal(spark, docs, merges)
 
+    @pytest.mark.heavy_e2e
     def test_unseen_text_same_table(self, spark, sf_dir):
         """Serving means encoding NEW text with a persisted table —
         words the trainer never saw must still encode identically."""
@@ -115,6 +117,7 @@ class TestScaleShape:
             "abab", padded
         )
 
+    @pytest.mark.heavy_e2e
     def test_distinct_word_stage_is_vocab_sized(self, spark, sf_dir):
         """The Arrow kernel runs over DISTINCT words: the plan must
         contain exactly one ArrowEvalPython, fed below the final

@@ -296,6 +296,7 @@ def _write_pair_slices(spark, pair_lists, incoming):
         os.utime(dst, (t0 + i, t0 + i))
 
 
+@pytest.mark.heavy_e2e
 def test_components_stream_folds_equal_one_pass(spark, tmp_path):
     """The 4th maintained-state loop (r16): candidate-pair batches
     streamed through start_components_stream leave a label table
@@ -391,6 +392,7 @@ def test_components_store_mid_swap_raises(spark, tmp_path):
         )
 
 
+@pytest.mark.heavy_e2e
 def test_run_components_maintenance_drains_and_times_out(spark, tmp_path):
     """r17 (r16 verdict item 4): the label store's scheduled cycle —
     a drain exceeding the timeout stops the stream and raises (never
@@ -443,6 +445,7 @@ def test_run_components_maintenance_drains_and_times_out(spark, tmp_path):
     assert folded == cold
 
 
+@pytest.mark.heavy_e2e
 def test_maintenance_restarts_over_interrupted_first_offset_write(
     spark, tmp_path
 ):
@@ -494,6 +497,7 @@ def test_maintenance_restarts_over_interrupted_first_offset_write(
     assert folded == cold
 
 
+@pytest.mark.heavy_e2e
 def test_components_fold_recovers_from_stale_old_dir(spark, tmp_path):
     """r17 (advice): a crash after the sentinel removal but before
     the __old__ rmtree leaves a value-complete-but-stale __old__
@@ -542,6 +546,7 @@ def test_canonical_served_equals_recompute(spark):
     assert served == recomputed
 
 
+@pytest.mark.heavy_e2e
 def test_components_store_wipe_clears_skip_gate(spark):
     """r17 (advice): the completeness marker lives INSIDE the store
     root, so an rm -rf of the store atomically clears the skip gate —

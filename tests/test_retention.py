@@ -244,6 +244,7 @@ def _write_day_slice_files(spark, ev_raw, slices, incoming, offset=0):
         os.utime(dst, (t0 + i, t0 + i))
 
 
+@pytest.mark.heavy_e2e
 def test_retention_stream_maintains_partials_e2e(spark, tmp_path):
     """N micro-batches through start_retention_stream produce a
     partials table whose served triangle EQUALS the one-pass batch
@@ -442,6 +443,7 @@ def test_candidates_reader_raises_mid_compaction(spark, tmp_path):
         _candidates_or_empty(spark, fs_dir, like)
 
 
+@pytest.mark.heavy_e2e
 def test_run_retention_maintenance_drains_and_compacts(spark, tmp_path):
     """The scheduled cycle (drain → compact between runs) serves the
     same triangle as the one-pass batch build, leaves the candidates
@@ -493,6 +495,7 @@ def test_run_retention_maintenance_drains_and_compacts(spark, tmp_path):
     assert cands.count() == cands.select("user_id").distinct().count()
 
 
+@pytest.mark.heavy_e2e
 def test_sketch_stream_maintains_cells_e2e(spark, tmp_path):
     """Sketch-mode maintenance (PB-scale twin): N micro-batches
     through start_retention_sketch_stream estimate every cell
@@ -587,6 +590,7 @@ def test_compact_sketches_preserves_estimates(spark, tmp_path):
     assert served() == before
 
 
+@pytest.mark.heavy_e2e
 def test_run_retention_maintenance_timeout_aborts_before_compaction(
     spark, tmp_path
 ):

@@ -348,6 +348,7 @@ def test_per_key_cap_fuzz_matches_naive_window(spark):
     check()
 
 
+@pytest.mark.heavy_e2e
 def test_ivf_index_save_load_roundtrip_prunes_partitions(spark, sf_dir, tmp_path):
     """The index AT REST (r8): save_ivf_index writes centroids + a
     cid-partitioned cells layout; load_ivf_topk must (a) return
@@ -391,6 +392,7 @@ def test_ivf_index_save_load_roundtrip_prunes_partitions(spark, sf_dir, tmp_path
     assert "PartitionFilters" in p
 
 
+@pytest.mark.heavy_e2e
 def test_ivf_pq_index_stores_codes_and_serves_identically(spark, sf_dir, tmp_path):
     """The COMPRESSED index at rest (r8): cells hold (id, codes[m]) —
     raw vectors are NOT stored — plus tiny centroid/codebook tables.

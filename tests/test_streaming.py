@@ -206,6 +206,7 @@ def test_streaming_session_windows_match_batch(spark, outbox):
     assert got == {("a", 2), ("a", 1), ("b", 1)}
 
 
+@pytest.mark.heavy_e2e
 def test_latest_state_stream_folds_across_batches(spark, outbox):
     # Two micro-batches (page_files=1 over two files); the stateful
     # operator must carry key state across them.
@@ -323,6 +324,7 @@ def test_snapshot_prefix_precedes_changes_in_drain(spark, outbox, tmp_path):
     assert all(s == "UPDATE" for s in seen[first_change:])
 
 
+@pytest.mark.heavy_e2e
 def test_stream_stream_join_within_matches_batch(spark, tmp_path):
     from pg2kafka_spark.streaming import join_streams_within
 
@@ -757,6 +759,7 @@ def _write_wave(spark, rows, incoming_dir, idx):
             os.utime(os.path.join(root, f), (1700000000 + idx, 1700000000 + idx))
 
 
+@pytest.mark.heavy_e2e
 def test_ingest_stream_equals_sequential_batches(spark, tmp_path):
     """Sequential-batch equivalence (streaming/ingest.py docstring):
     3 file waves through start_ingest_stream with maxFilesPerTrigger=1
@@ -819,6 +822,7 @@ def test_ingest_stream_equals_sequential_batches(spark, tmp_path):
     assert store_ids == [1, 2, 6, 9]
 
 
+@pytest.mark.heavy_e2e
 def test_ingest_replay_is_idempotent_against_grown_store(spark, tmp_path):
     """Replay contract (streaming/ingest.py:14-24): re-running a batch
     against the store that already absorbed its survivors yields ZERO
@@ -866,6 +870,7 @@ def test_ingest_store_or_empty_only_swallows_missing_path(spark, tmp_path):
         _store_or_empty(spark, str(bad), like).collect()
 
 
+@pytest.mark.heavy_e2e
 def test_ingest_stream_bucketed_store_same_results(spark, tmp_path):
     """The bucketed-store mode (store_table=...) must produce exactly
     the plain-store keep-set over the 3 waves, while the store lands
@@ -898,6 +903,7 @@ def test_ingest_stream_bucketed_store_same_results(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ingest_store_bkt_test")
 
 
+@pytest.mark.heavy_e2e
 def test_ingest_bucketed_store_survives_catalog_loss(spark, tmp_path):
     """Driver-restart window (r12 advice, medium): the bucketed store
     keys its dedup state on a catalog entry that does NOT survive a
@@ -1024,6 +1030,7 @@ def test_ingest_bucketed_store_anti_join_saves_store_exchange(
         spark.sql("DROP TABLE IF EXISTS ingest_ab_bkt")
 
 
+@pytest.mark.heavy_e2e
 def test_ingest_band_table_mode_same_results_and_restart(spark, tmp_path):
     """band_table mode (the maintained LSH-key table): the 3-wave keep
     set must be unchanged, the band table must hold keys for exactly
@@ -1077,6 +1084,7 @@ def test_ingest_band_table_mode_same_results_and_restart(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {btbl}")
 
 
+@pytest.mark.heavy_e2e
 def test_store_bands_skips_store_minhash_in_plan(spark, tmp_path):
     """The point of the maintained band table: with store_bands given,
     incremental_near_dup's plan must not re-minhash the store text —
@@ -1127,6 +1135,7 @@ def test_store_bands_skips_store_minhash_in_plan(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.heavy_e2e
 def test_store_bands_results_match_recompute(spark):
     """store_bands mode = recompute mode on data WITH near-dup hits:
     same verified pairs, same jaccard values."""
@@ -1264,10 +1273,12 @@ def _run_funnel_parity(spark, tmp_path, window_us):
     return want
 
 
+@pytest.mark.heavy_e2e
 def test_funnel_state_stream_matches_batch_funnel(spark, tmp_path):
     _run_funnel_parity(spark, tmp_path, window_us=None)
 
 
+@pytest.mark.heavy_e2e
 def test_funnel_state_stream_windowed_matches_batch(spark, tmp_path):
     """The 7-day-band streaming funnel reproduces the batch
     event_funnel_windowed_counts stage frames — and the band binds
@@ -1591,6 +1602,7 @@ def test_per_key_order_survives_parallel_sink(spark, outbox, tmp_path):
         assert per_key[key] == want, f"{key} delivered out of order"
 
 
+@pytest.mark.heavy_e2e
 def test_funnel_state_stream_stages_matches_batch_4stage(spark, tmp_path):
     """The N-stage streaming funnel (r14) over the r13 4-stage list
     must reproduce the batch cascading-min stage instants per user —
