@@ -13,10 +13,10 @@ thousands of splits and this is a no-op (never repartitions DOWN).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, key: str | Column | None = None) -> DataFrame:
     """Repartition up to the session's parallelism when the input is
     small; identity otherwise.
 
@@ -26,7 +26,21 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     conversion per call (the round-5 lesson). Threshold: anything
     under ``parallelism × 128 MiB`` gains more from the extra cores
     on the per-row compute than the one small round-robin shuffle
-    costs; above it the scan already has ≥ parallelism splits."""
+    costs; above it the scan already has ≥ parallelism splits.
+
+    ``key`` (r20): spread by HASH of a high-cardinality column
+    instead of round-robin. Every keyless ``repartition(n)`` first
+    pays a local sort of its input (``sortBeforeRepartition``, kept
+    on for retry determinism — guide §2.5), which the r20 event logs
+    showed dominating the serial single-row-group scan task the
+    spread exists to relieve (sort+write 0.6–0.8 s vs decode ~0.2 s).
+    A hash spread needs no sort, is retry-deterministic by
+    construction (the guide's own recommendation over round-robin),
+    and when ``key`` is the next aggregation's grouping column the
+    downstream exchange collapses into this one. The pinned partition
+    number also keeps AQE from byte-coalescing the downstream stage —
+    the right call exactly here, where the stage's compute is far
+    heavier than its input bytes."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         # py4j hands back a Java BigInt proxy for parquet scans but a
@@ -44,5 +58,8 @@ def spread_small_input(df: DataFrame) -> DataFrame:
         # kernel that needed no spread (r14 ADVICE, medium).
         return df
     if size < target * (128 << 20):
+        if key is not None:
+            col = F.col(key) if isinstance(key, str) else key
+            return df.repartition(target, col)
         return df.repartition(target)
     return df

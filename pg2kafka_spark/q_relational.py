@@ -2123,7 +2123,24 @@ def economy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: part broadcasts (dim-sized); one year-keyed exchange
     with map-side partial sums."""
-    li = load_table(spark, "lineitem", sf_dir)
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: event-log attribution showed the whole query serial — the
+    # sf parquet is ONE row group, so the scan stage (decode + BHJ
+    # probe + DECIMAL partial aggregation, ~0.95 task-s) ran as a
+    # single real task and wall == that task (guide §2.5, the 8-core
+    # inversion in PERF_r19 scaling: 0.74). Project to the four used
+    # columns (§2.3 insurance) and hash-spread the small scan by
+    # l_partkey (200 k distinct — no sortBeforeRepartition cost, see
+    # spread_small_input) so the decimal compute and partial agg run
+    # at session parallelism; identity at real scale, where the scan
+    # has ≥ parallelism row groups already.
+    li = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+        ),
+        key="l_partkey",
+    )
     part = load_table(spark, "part", sf_dir)
     rev = F.expr(
         "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -3742,7 +3759,25 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (23.4 vs 24.7 s), and at cluster scale — where the second scan
     is real I/O — the one-scan spelling is the only defensible one.
     Top-50 is a bounded heap (TakeOrdered), key-tiebroken."""
-    li = load_table(spark, "lineitem", sf_dir)
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20 (guide §2.5): two serial/narrow stages attributed from the
+    # event log. (1) The single-row-group scan ran the partial
+    # collect_set as ONE task (0.62 task-s). (2) AQE coalesced the
+    # basket-merge reduce stage to 4 tasks from its ~6 MB of map
+    # bytes, but that stage carries the ~20× pair Generate + partial
+    # pair count (2.8 CPU-s) — bytes are the wrong proxy for
+    # generate-heavy stages (the session.py parallelismFirst note).
+    # ONE hash-spread by l_orderkey fixes both: the serial task
+    # shrinks to decode+write (no sortBeforeRepartition, no partial
+    # agg), the groupBy reuses the spread's partitioning (no second
+    # basket exchange), and the set-build + explode + partial pair
+    # count all run in the pinned-width stage AQE cannot coalesce.
+    # Identity at real scale (size-estimate guard).
+    li = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey"),
+        key="l_orderkey",
+    )
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))

@@ -522,14 +522,24 @@ def test_late_shipment_exists_plans_as_semi_join(spark, sf_dir):
 
 def test_economy_share_broadcasts_part_single_exchange(spark, sf_dir):
     """Q14 shape: part is dim-sized and must broadcast; numerator and
-    denominator ride ONE aggregation pass (a single plain exchange),
-    no self-join."""
+    denominator ride ONE aggregation pass (a single plain aggregation
+    exchange), no self-join. r20 adds a deterministic hash spread of
+    the small single-row-group scan (REPARTITION_BY_NUM, keyed on
+    l_partkey — no sortBeforeRepartition) so the decimal compute and
+    partial agg run wide instead of inside the serial scan task; the
+    spread must NOT be round-robin (that pays a local sort)."""
     p = plan_of(spark, "economy_revenue_share", sf_dir)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    assert "RoundRobinPartitioning" not in p
     import re
 
-    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    spreads = p.count("REPARTITION_BY_NUM")
+    # one aggregation exchange; at test SF the spread adds exactly one
+    # pinned-width repartition exchange (identity at scale)
+    assert exchanges - spreads == 1
+    assert spreads <= 1
 
 
 def test_bpe_merge_steps_step_plan_shape(spark, sf_dir):
@@ -821,6 +831,17 @@ def test_part_pair_cooccurrence_no_self_join(spark, sf_dir):
     assert p.count("lineitem.parquet") == 1
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+    # r20: the basket build must ride the keyed spread's partitioning
+    # — one pinned-width hash exchange feeding set-build + explode +
+    # partial pair count in a single wide stage, no extra basket
+    # exchange, no round-robin sort
+    assert "RoundRobinPartitioning" not in p
+    import re
+
+    exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    spreads = p.count("REPARTITION_BY_NUM")
+    assert exchanges - spreads == 1  # only the pair-count aggregation
+    assert spreads <= 1
 
 
 def test_funnel_conversion_latency_stage_filters_pushed(spark, sf_dir):

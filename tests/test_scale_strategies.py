@@ -461,6 +461,34 @@ def test_spread_small_input_spreads_small_and_fails_open(spark):
         df._jdf = real_jdf
 
 
+def test_spread_small_input_keyed_hash_spread(spark):
+    """Keyed spread (r20): ``key=`` must produce a HASH repartition at
+    the session's parallelism — not round-robin, whose
+    sortBeforeRepartition local sort was the dominant cost of the
+    serial scan task the spread exists to relieve — and stay identity
+    when stats are unavailable."""
+    from unittest import mock
+
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).coalesce(1)
+    spread = spread_small_input(df, key="id")
+    assert spread.rdd.getNumPartitions() == target
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan
+    assert "RoundRobinPartitioning" not in plan
+
+    real_jdf = df._jdf
+    try:
+        df._jdf = mock.Mock(
+            queryExecution=mock.Mock(side_effect=RuntimeError("no stats"))
+        )
+        assert spread_small_input(df, key="id") is df
+    finally:
+        df._jdf = real_jdf
+
+
 def test_spread_small_input_identity_above_threshold(spark):
     """The at-scale branch: when the optimizer's size estimate says
     the input already exceeds parallelism × 128 MiB, the helper must
