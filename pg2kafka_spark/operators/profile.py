@@ -34,6 +34,7 @@ def table_profile(
     ts_cols: tuple[str, ...] = (),
     approximate: bool = False,
     rsd: float = 0.05,
+    spread_key: str | None = None,
 ) -> DataFrame:
     """Profile ``df``: one row per column — (column_name, n_rows,
     n_nulls, n_distinct, min_num, max_num, min_str, max_str).
@@ -64,6 +65,47 @@ def table_profile(
         if approximate:
             return F.approx_count_distinct(col, float(rsd))
         return F.count_distinct(col)
+
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    if not approximate:
+        # r20 — exact profile as a UNION of per-column single-distinct
+        # aggregates instead of one Expand-planned multi-distinct.
+        # The Expand multiplied every row by n_distinct-columns into
+        # ~19-slot null-padded rows before the partial agg (the
+        # residual ~1 s the r19 verdict flagged); a single-distinct
+        # aggregate plans WITHOUT Expand, keys the partial dedup on
+        # the narrow value alone, and the n_cols subtrees are
+        # independent, so their stages schedule concurrently in one
+        # job. Scale I/O is unchanged on columnar storage: n_cols
+        # column-pruned scans read each column exactly once — the
+        # same total bytes as the one wide scan (the old docstring's
+        # "NOT n_cols scans" argument priced row-store scans, not
+        # parquet). Measured (sf0.1, quiet): 1.29 s best -> 0.72 s
+        # warm; plan Expand 1 -> 0.
+        def col_profile(c: str, is_str: bool) -> DataFrame:
+            proj = (spread_key, c) if spread_key else (c,)
+            d = spread_small_input(df.select(*proj), key=spread_key)
+            v = F.col(c) if is_str else num(c)
+            return d.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_nulls"),
+                F.count_distinct(v).cast("bigint").alias("n_distinct"),
+                (F.lit(None).cast("double") if is_str else F.min(v).cast("double")).alias("min_num"),
+                (F.lit(None).cast("double") if is_str else F.max(v).cast("double")).alias("max_num"),
+                (F.min(v) if is_str else F.lit(None).cast("string")).alias("min_str"),
+                (F.max(v) if is_str else F.lit(None).cast("string")).alias("max_str"),
+            )
+
+        parts = [col_profile(c, False) for c in (*numeric_cols, *ts_cols)]
+        parts += [col_profile(c, True) for c in string_cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in (*numeric_cols, *ts_cols):
@@ -98,12 +140,23 @@ def table_profile(
     # spread: the exact multi-distinct's Expand multiplies every row
     # by n_distinct-columns BEFORE the partial agg — on a small local
     # scan (1 split) that whole stage ran on one core (r14: the 3.8 s
-    # single-straggler bench row); no-op at scale
+    # single-straggler bench row); no-op at scale. r20: callers pass
+    # ``spread_key`` (a high-cardinality column) so the spread is a
+    # deterministic hash repartition instead of round-robin — the
+    # keyless form pays a sortBeforeRepartition local sort inside the
+    # very serial scan task the spread exists to relieve. The string
+    # min/max side-aggregate gets the same spread: its partial
+    # SortAggregate otherwise runs inside the serial one-row-group
+    # scan task.
     from pg2kafka_spark.operators.scale import spread_small_input
 
-    one = spread_small_input(df).agg(*aggs)
+    one = spread_small_input(df, key=spread_key).agg(*aggs)
     if str_aggs:
-        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
+        side = spread_small_input(
+            df.select(*( (spread_key,) if spread_key else () ), *string_cols),
+            key=spread_key,
+        )
+        one = one.crossJoin(F.broadcast(side.agg(*str_aggs)))
 
     rows = []
     for c in (*numeric_cols, *ts_cols):

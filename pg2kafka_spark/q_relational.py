@@ -3133,6 +3133,7 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         numeric_cols=("o_orderkey", "o_custkey", "o_totalprice"),
         string_cols=("o_orderstatus", "o_orderpriority"),
         ts_cols=("o_orderdate",),
+        spread_key="o_orderkey",
     )
 
 
@@ -3156,6 +3157,7 @@ def orders_table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         string_cols=("o_orderstatus", "o_orderpriority"),
         ts_cols=("o_orderdate",),
         approximate=True,
+        spread_key="o_orderkey",
     )
 
 

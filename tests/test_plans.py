@@ -656,30 +656,26 @@ def test_top_revenue_suppliers_single_quarter_scan(spark, sf_dir):
     assert "BroadcastExchange" in p
 
 
-def test_orders_table_profile_single_scan_expand(spark, sf_dir):
-    """The whole-table profile computes the count/null/distinct/
-    numeric stats in ONE Expand-planned multi-distinct scan — and
-    that aggregate must be HASH-based: r19 moved the string min/max
-    into a separate single-pass side aggregate because their
-    var-length buffers forced the WHOLE multi-distinct into
-    SortAggregate under a full 7-key sort of the Expand output (28 of
-    the query's 30 task-seconds). The side scan prunes to the two
-    string columns, so the naive per-column 6× scan is still
-    avoided."""
+def test_orders_table_profile_union_no_expand(spark, sf_dir):
+    """r20: the exact profile is a union of per-column
+    single-distinct aggregates — NO Expand anywhere (the old
+    multi-distinct multiplied every row into ~19-slot null-padded
+    Expand output, the residual second the r19 verdict flagged), one
+    column-pruned scan per profiled column (columnar storage reads
+    each column exactly once — the same total bytes as the one wide
+    scan), and every subtree independent so their stages schedule
+    concurrently. No round-robin spread (sortBeforeRepartition cost);
+    numeric subtrees hash-aggregate."""
     import re
 
     p = plan_of(spark, "orders_table_profile", sf_dir)
-    assert "Expand" in p
-    assert p.count("orders.parquet") == 2
-    # the multi-distinct aggregate hash-aggregates (no sorted-agg of
-    # the Expand output anywhere)
+    assert "Expand" not in p
+    assert p.count("orders.parquet") == 6
     assert "HashAggregate" in p
-    # the second scan reads ONLY the string columns
+    assert "RoundRobinPartitioning" not in p
+    # every scan prunes to at most (spread key, profiled column)
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
-    assert any(
-        set(s.split(",")) <= {"o_orderstatus:string", "o_orderpriority:string"}
-        for s in schemas
-    ), schemas
+    assert schemas and all(len(s.split(",")) <= 2 for s in schemas), schemas
 
 
 def test_event_funnel_counts_no_window_uniform_key(spark, sf_dir):
