@@ -176,7 +176,7 @@ def shingle_sets(
     # row-local stalls adjudicated in BASELINE.md (r12). Staged, every
     # evaluation mode computes the split once per row; __tk is
     # non-cheap and multiply-referenced, so CollapseProject keeps it.
-    base = _spread(df.select(id_col, text_col)).select(
+    base = _spread(df.select(id_col, text_col), key=id_col).select(
         F.col(id_col), tokens(t).alias("__tk")
     )
     return base.select(
@@ -504,7 +504,7 @@ def minhash_lsh_pairs(
     # _minhash_from_tokens_udf for why this beats building shingle
     # strings row-side by ~10×.
     sig = _persist(
-        _spread(df.select(id_col, text_col))
+        _spread(df.select(id_col, text_col), key=id_col)
         .select(F.col(id_col), token_hashes(F.col(text_col)).alias("__th"))
         .filter(F.size("__th") >= shingle_n)
         .select(
@@ -673,7 +673,7 @@ def simhash_near_pairs(
     # persist: the sketch table feeds both sides of every rotation's
     # self-join; without it the token-hash + UDF pass runs 2r times
     sh = _persist(
-        with_simhash(_spread(df.select(id_col, text_col)), text_col)
+        with_simhash(_spread(df.select(id_col, text_col), key=id_col), text_col)
         .select(id_col, "simhash")
     )
     if prefix_bits is None:
@@ -861,7 +861,7 @@ def _gram_hash_rows(
     multiply-referenced — the same pinned property as
     ``minhash_signatures_portable``."""
     return (
-        _spread(df.select(id_col, text_col))
+        _spread(df.select(id_col, text_col), key=id_col)
         .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
         .select(
             id_col,
@@ -1019,7 +1019,7 @@ def _portable_sig_stage(
     from pg2kafka_spark.operators.text import normalized_text
 
     return (
-        _spread(df.select(id_col, text_col))
+        _spread(df.select(id_col, text_col), key=id_col)
         .filter(F.size(F.split(normalized_text(F.col(text_col)), " ")) >= n)
         .select(id_col, token_hash_pairs(F.col(text_col)).alias("__hp"))
         .select(id_col, shingle_hashes_from_pairs(F.col("__hp"), n).alias("__sh"))
@@ -1110,7 +1110,7 @@ def simhash_portable(
     # family's hot one and the intermittent-stall class multiplies
     # whatever it touches). IsNotNull pushes to the scan for free.
     staged = (
-        _spread(df.select(id_col, text_col).filter(F.col(text_col).isNotNull()))
+        _spread(df.select(id_col, text_col).filter(F.col(text_col).isNotNull()), key=id_col)
         .select(id_col, hs.alias("__h"))
     )
     n = F.size("__h")
@@ -1190,7 +1190,7 @@ def duplicated_segment_scrub(
         lambda i: F.array_join(F.slice(F.col("__toks"), i * w + 1, w), " "),
     )
     seg_rows = (
-        _spread(df.select(id_col, text_col))
+        _spread(df.select(id_col, text_col), key=id_col)
         .select(id_col, toks.alias("__toks"))
         .select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
     )
@@ -1447,7 +1447,7 @@ def decontamination_scrub(
         lambda i: F.array_join(F.slice(F.col("__toks"), i * w + 1, w), " "),
     )
     seg_rows = (
-        _spread(docs.select(id_col, text_col))
+        _spread(docs.select(id_col, text_col), key=id_col)
         .select(id_col, toks.alias("__toks"))
         .select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
     )

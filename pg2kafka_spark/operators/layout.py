@@ -145,7 +145,7 @@ def zorder_bucket_stats(
     # spread BEFORE the z projection: the interleave is the heavy
     # per-row stage, and a small local scan plans 1-3 splits (r14 —
     # the 5.4 s single-straggler-task bench row); no-op at scale
-    j = spread_small_input(df).crossJoin(F.broadcast(stats))
+    j = spread_small_input(df, key=key).crossJoin(F.broadcast(stats))
     qd = quantize(day.cast("long"), F.col("__dlo"), F.col("__dhi"), bits)
     qk = quantize(key.cast("long"), F.col("__klo"), F.col("__khi"), bits)
     z = z_value(qd, qk, bits)
@@ -290,7 +290,8 @@ def hilbert_bucket_stats(
     j = spread_small_input(
         df.select(
             day.cast("long").alias("__d"), key.cast("long").alias("__k")
-        )
+        ),
+        key="__k",
     ).crossJoin(F.broadcast(stats))
     qd = quantize(F.col("__d"), F.col("__dlo"), F.col("__dhi"), bits)
     qk = quantize(F.col("__k"), F.col("__klo"), F.col("__khi"), bits)

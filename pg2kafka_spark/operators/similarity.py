@@ -73,7 +73,8 @@ def brute_force_topk(
     # spread: |queries| cosines per corpus row on a 1-split local scan
     # otherwise run on one core (r14); no-op at scale
     c = spread_small_input(
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv"))
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv")),
+        key=id_col,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -340,7 +341,8 @@ def kmeans_centroids(
     train = spread_small_input(
         ordered.limit(train_sample).select(id_col, "__cv")
         if train_sample is not None
-        else c
+        else c,
+        key=id_col,
     )
     for _ in range(iters):
         # Assignment argmax as a map-only projection (r19; previously
@@ -526,7 +528,8 @@ def quantized_topk(
         spread_small_input(
             corpus.select(
                 F.col(id_col), as_double(F.col(vec_col)).alias("__cv")
-            )
+            ),
+            key=id_col,
         )
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), _quantize_expr("__cv", dim).alias("__q"))
@@ -580,7 +583,7 @@ def assign_cells(
     # heavy stage, and a small local scan plans 1 split (r14 labeled
     # event-log capture: single-straggler-task ANN rows); no-op at
     # scale
-    prepared = spread_small_input(prepared)
+    prepared = spread_small_input(prepared, key=id_col)
     carr = centroid_rows_to_array(cents)
     # stage __best once: it is non-cheap and (with keep_sim) multiply
     # referenced, so CollapseProject keeps the staging projection
@@ -980,7 +983,7 @@ def embedding_near_dup_lsh_portable(
     # spread: the per-row signature (num_planes rounded dot folds) on
     # a 1-split local scan otherwise runs on one core (r14); no-op at
     # scale
-    sig = spread_small_input(df).select(
+    sig = spread_small_input(df, key=id_col).select(
         F.col(id_col).cast("bigint").alias("id"),
         as_double(F.col(vec_col)).alias("e"),
         portable_lsh_signature(F.col(vec_col), num_planes, dim, seed).alias(
@@ -1330,7 +1333,8 @@ def kmeans_centroids_keyed(
             "__k", id_col, "__cv"
         )
         if train_sample is not None
-        else c
+        else c,
+        key=id_col,
     )
     for _ in range(iters):
         # map-only argmax per key (r19; see kmeans_centroids): the
@@ -1455,7 +1459,8 @@ def pq_reconstruct(
         spread_small_input(
             corpus.select(
                 F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
-            )
+            ),
+            key=id_col,
         )
         .crossJoin(F.broadcast(codebook_array(cents)))
         .select(
@@ -1706,7 +1711,8 @@ def ivf_pq_topk(
         spread_small_input(
             corpus.select(
                 F.col(id_col), as_double(F.col(vec_col)).alias("__dv")
-            )
+            ),
+            key=id_col,
         )
         .crossJoin(F.broadcast(centroid_rows_to_array(coarse)))
         .crossJoin(F.broadcast(codebook_array(cents)))

@@ -623,7 +623,8 @@ def doc_char_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: O(chars) gram transform + distinct per row on a 1-split
     # local scan otherwise runs on one core (r14); no-op at scale
     staged = spread_small_input(
-        docs.select("doc_id", normalized_text(F.col("text")).alias("__nt"))
+        docs.select("doc_id", normalized_text(F.col("text")).alias("__nt")),
+        key="doc_id",
     )
     grams = F.when(
         F.length("__nt") >= 5,

@@ -120,16 +120,19 @@ def test_salted_rollup_is_two_phase(spark, sf_dir):
 
 
 def test_portable_sketch_twins_have_no_data_shuffle(spark, sf_dir):
-    # the only allowed exchange is _spread's round-robin fan-out (a
-    # no-op at scale: it never repartitions DOWN, and a 100 TB scan
-    # already has thousands of splits); no hash/range shuffle anywhere
+    # the only allowed exchange is _spread's fan-out (a no-op at
+    # scale: it never repartitions DOWN, and a 100 TB scan already
+    # has thousands of splits) — r20: keyed by doc_id
+    # (REPARTITION_BY_NUM hash, no sortBeforeRepartition) instead of
+    # round-robin; no planner-inserted (ENSURE_REQUIREMENTS) shuffle
+    # anywhere
     p = plan_of(spark, "minhash_signatures_portable", sf_dir)
-    assert p.count(" Exchange (") <= 1 and "hashpartitioning" not in p
+    assert p.count(" Exchange (") <= 1 and "ENSURE_REQUIREMENTS" not in p
     # the min-fold happens before the explode: the Generate's input
     # carries the k-element signature, never the shingle array
     assert "Generate" in p and "__sh" not in p.split("Generate")[1].split("Input")[1].split("]")[0]
     p2 = plan_of(spark, "simhash_portable", sf_dir)
-    assert p2.count(" Exchange (") <= 1 and "hashpartitioning" not in p2
+    assert p2.count(" Exchange (") <= 1 and "ENSURE_REQUIREMENTS" not in p2
     assert "Generate" not in p2
 
 
@@ -301,11 +304,14 @@ def test_zorder_stats_single_bucket_exchange(spark, sf_dir):
     p = plan_of(spark, "zorder_layout_stats", sf_dir)
     # 1-row global stats broadcast back; the only data shuffles are the
     # single-partition stats reduction, the 64-key bucket agg, and
-    # (r14) spread_small_input's round-robin fan-out before the heavy
-    # z projection — a no-op at scale, never keyed
+    # (r14) spread_small_input's fan-out before the heavy z projection
+    # — a no-op at scale; r20: the spread is a deterministic hash on
+    # the layout key (no sortBeforeRepartition), so exactly TWO
+    # hashpartitioning exchanges appear (spread + bucket agg)
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert p.count(" Exchange (") <= 3
-    assert p.count("hashpartitioning") <= 1  # only the bucket agg keys
+    assert p.count("hashpartitioning") <= 2  # keyed spread + bucket agg
+    assert "RoundRobinPartitioning" not in p
     # both scans read just the two layout dims
     assert "l_comment" not in p and "l_extendedprice" not in p
 
@@ -433,8 +439,15 @@ def test_kmeans_assignment_has_no_window_no_sort(spark, sf_dir):
     p = buf.getvalue()
     assert "Window" not in p
     assert "array_max" in p
-    # no exchange ever carries the corpus: assignment is a projection
-    assert "hashpartitioning(vec_id" not in p
+    # no PLANNER-inserted exchange ever carries the corpus: assignment
+    # is a projection (the r8 max_by aggregate exchanged one
+    # full-vector row per id). The only vec_id-keyed exchanges allowed
+    # are spread_small_input's pinned-width hash spreads (r20 — keyed,
+    # REPARTITION_BY_NUM, no sortBeforeRepartition, identity at scale).
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(vec_id[^\n]*", p):
+        assert "REPARTITION_BY_NUM" in m.group(0), m.group(0)
     # the only ordered operator is the bounded-heap seed scan
     assert "TakeOrderedAndProject" in p
 
