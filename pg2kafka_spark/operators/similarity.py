@@ -344,6 +344,17 @@ def kmeans_centroids(
         else c,
         key=id_col,
     )
+    # r20: the iteration state is the broadcast ARRAY itself, not a
+    # (cid, __ce) table. The old tail of every Lloyd pass — means
+    # projection → BroadcastExchange(means) → LeftOuter join with the
+    # prior table → collect_list re-aggregate → BroadcastExchange —
+    # cost one extra broadcast-build job per iteration under AQE plus
+    # a join subtree in every replan. Folding the means into the
+    # prior array with a transform expression keeps the identical
+    # per-component arithmetic and the identical empty-cell fallback
+    # (a cell with no assigned rows keeps its previous centroid), in
+    # one broadcast build per pass.
+    carr = centroid_rows_to_array(cents)
     for _ in range(iters):
         # Assignment argmax as a map-only projection (r19; previously
         # a max_by hash-aggregate, r8, which still exchanged one
@@ -351,7 +362,6 @@ def kmeans_centroids(
         # along as a broadcast one-row array and `_best_cell` picks
         # the (sim desc, cid asc) winner per row — the training
         # relation never shuffles (guide §2.4).
-        carr = centroid_rows_to_array(cents)
         asg = train.crossJoin(F.broadcast(carr)).select(
             id_col,
             "__cv",
@@ -386,24 +396,60 @@ def kmeans_centroids(
                 for i in range(dim)
             ],
         )
-        means = sums.select(
-            "cid",
-            F.array(
-                *[
-                    F.round(
-                        F.col(f"__s{i}").cast("double")
-                        / (F.col("__n").cast("double") * F.lit(1.0e9)),
-                        6,
+        # Collapse the per-cell means to ONE row without a new
+        # exchange (coalesce(1) over the ≤n_centroids-partition agg
+        # output), attach the prior array via the SAME broadcast the
+        # assignment already built (exchange-reused — no extra
+        # broadcast-build job per pass), and fold: per element, the
+        # matching mean if the cell received rows, else the previous
+        # centroid — the exact semantics of the old LeftOuter +
+        # coalesce, with the identical round(sum/(n·1e9), 6)
+        # per-component arithmetic. (A fully EMPTY training relation
+        # now yields an empty table rather than the seeds — only
+        # reachable via train_sample=0, which no consumer uses; any
+        # real index build trains on ≥ n_centroids rows.)
+        carr = (
+            sums.coalesce(1)
+            .crossJoin(F.broadcast(carr))
+            .agg(
+                F.first("__ca").alias("__pa"),
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"),
+                        F.array(
+                            *[
+                                F.round(
+                                    F.col(f"__s{i}").cast("double")
+                                    / (F.col("__n").cast("double") * F.lit(1.0e9)),
+                                    6,
+                                )
+                                for i in range(dim)
+                            ]
+                        ).alias("__me"),
                     )
-                    for i in range(dim)
-                ]
-            ).alias("__me"),
+                ).alias("__ma"),
+            )
+            .select(
+                F.transform(
+                    "__pa",
+                    lambda c: F.struct(
+                        c["cid"].alias("cid"),
+                        F.coalesce(
+                            F.get(
+                                F.filter(
+                                    "__ma", lambda m: m["cid"] == c["cid"]
+                                ),
+                                0,
+                            )["__me"],
+                            c["__ce"],
+                        ).alias("__ce"),
+                    ),
+                ).alias("__ca")
+            )
         )
-        # both sides are n_centroids rows; hint anyway — an aggregate
-        # output has no stats, so the planner would SMJ it
-        cents = cents.join(F.broadcast(means), "cid", "left").select(
-            "cid", F.coalesce(F.col("__me"), F.col("__ce")).alias("__ce")
-        )
+    cents = carr.select(F.explode("__ca").alias("__c")).select(
+        F.col("__c")["cid"].alias("cid"), F.col("__c")["__ce"].alias("__ce")
+    )
     # persist the trained table (n_centroids rows): its lineage holds
     # `iters` full assignment passes over the corpus, and IVF consumes
     # it from two places (cell assignment + query probes) — uncached,
@@ -1336,13 +1382,18 @@ def kmeans_centroids_keyed(
         else c,
         key=id_col,
     )
+    # r20: keyed analog of the array-state iteration in
+    # kmeans_centroids — the per-key codebook array is the state, the
+    # per-(key,cell) means collapse to ONE row (coalesce(1), no new
+    # exchange) and fold into the prior arrays by expression, with
+    # the identical empty-cell fallback and per-component arithmetic.
+    carr = centroid_rows_to_array(cents, "__k")
     for _ in range(iters):
         # map-only argmax per key (r19; see kmeans_centroids): the
         # per-key codebook rides along as a broadcast array keyed by
         # __k, so the keyed training rows never shuffle for
         # assignment — previously the max_by aggregate exchanged one
         # full-slice row per (key, id) per pass.
-        carr = centroid_rows_to_array(cents, "__k")
         asg = train.join(F.broadcast(carr), "__k").select(
             "__k",
             id_col,
@@ -1360,23 +1411,60 @@ def kmeans_centroids_keyed(
                 for i in range(dim)
             ],
         )
-        means = sums.select(
-            "__k",
-            "cid",
-            F.array(
-                *[
-                    F.round(
-                        F.col(f"__s{i}").cast("double")
-                        / (F.col("__n").cast("double") * F.lit(1.0e9)),
-                        6,
+        # Attach each key's prior array via the SAME broadcast the
+        # assignment already built (exchange-reused), collapse to one
+        # partition (a single partition satisfies the per-key
+        # clustering, so the groupBy adds NO exchange), and fold the
+        # means into the prior arrays — identical arithmetic and
+        # empty-cell fallback, one broadcast build per pass instead
+        # of two. (Same empty-training-relation note as
+        # kmeans_centroids.)
+        carr = (
+            sums.join(F.broadcast(carr), "__k")
+            .coalesce(1)
+            .groupBy("__k")
+            .agg(
+                F.first("__ca").alias("__pa"),
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"),
+                        F.array(
+                            *[
+                                F.round(
+                                    F.col(f"__s{i}").cast("double")
+                                    / (F.col("__n").cast("double") * F.lit(1.0e9)),
+                                    6,
+                                )
+                                for i in range(dim)
+                            ]
+                        ).alias("__me"),
                     )
-                    for i in range(dim)
-                ]
-            ).alias("__me"),
+                ).alias("__ma"),
+            )
+            .select(
+                "__k",
+                F.transform(
+                    "__pa",
+                    lambda c: F.struct(
+                        c["cid"].alias("cid"),
+                        F.coalesce(
+                            F.get(
+                                F.filter(
+                                    "__ma", lambda m: m["cid"] == c["cid"]
+                                ),
+                                0,
+                            )["__me"],
+                            c["__ce"],
+                        ).alias("__ce"),
+                    ),
+                ).alias("__ca"),
+            )
         )
-        cents = cents.join(F.broadcast(means), ["__k", "cid"], "left").select(
-            "__k", "cid", F.coalesce(F.col("__me"), F.col("__ce")).alias("__ce")
-        )
+    cents = carr.select("__k", F.explode("__ca").alias("__c")).select(
+        "__k",
+        F.col("__c")["cid"].alias("cid"),
+        F.col("__c")["__ce"].alias("__ce"),
+    )
     return cents.withColumnRenamed("__k", key_col)
 
 
