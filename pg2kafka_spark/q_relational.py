@@ -419,12 +419,22 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for the join — the only shuffle is the final 5-group agg.
     At 100 TB customer may exceed the broadcast threshold; AQE would
     then pick sort-merge with the same plan text.
+
+    r20: projected + hash-spread by l_orderkey (serial-scan-head
+    attribution, guide §2.5); identity at scale.
     """
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     region = load_table(spark, "region", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     customer = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
-    lineitem = load_table(spark, "lineitem", sf_dir)
+    lineitem = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        key="l_orderkey",
+    )
     joined = (
         # orders is a FACT table: no broadcast hint — the planner
         # broadcasts it at test SFs from file-size stats, and at real
@@ -523,8 +533,19 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def brand_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact with two broadcast dims on different keys — no fact shuffle
-    until the final small agg."""
-    lineitem = load_table(spark, "lineitem", sf_dir)
+    until the final small agg. r20: the single-row-group test scan ran
+    the whole join+decimal-agg stage as ONE task (the
+    economy_revenue_share attribution, guide §2.5); project to the
+    four used columns and hash-spread by l_partkey — identity at
+    scale."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    lineitem = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        ),
+        key="l_partkey",
+    )
     part = load_table(spark, "part", sf_dir)
     supplier = load_table(spark, "supplier", sf_dir)
     return (
@@ -1912,8 +1933,17 @@ def brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbucketed, AQE picks SMJ/shuffle-hash), while at test scale AQE
     broadcasts it. Both sums run in DECIMAL (the revenue expression
     is a per-row double product cast BEFORE summing, so partial order
-    can't flip bits) with ONE final double division rounded to 6."""
-    li = load_table(spark, "lineitem", sf_dir)
+    can't flip bits) with ONE final double division rounded to 6.
+    r20: projected + hash-spread by l_orderkey (serial-scan-head
+    attribution, guide §2.5); identity at scale."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    li = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+        ),
+        key="l_orderkey",
+    )
     orders = load_table(spark, "orders", sf_dir)
     part = load_table(spark, "part", sf_dir)
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
@@ -2027,8 +2057,21 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the IN into a LeftSemi), so the detail re-read never
     shuffles on the full key space; customer/orders join broadcast on
     the shrunken fact side. DECIMAL sums (double partial-sum order is
-    partition-dependent; the r5 lesson)."""
-    li = load_table(spark, "lineitem", sf_dir)
+    partition-dependent; the r5 lesson).
+
+    r20: ONE projected hash-spread by l_orderkey feeds BOTH consumers
+    (the big-order key aggregate — whose groupBy reuses the spread
+    partitioning, no extra exchange — and the semi-joined detail
+    re-read; the spread exchange is runtime-reused between them).
+    Serial-scan-head attribution per guide §2.5; identity at scale."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    li = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_orderkey", "l_quantity"
+        ),
+        key="l_orderkey",
+    )
     cust = load_table(spark, "customer", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     qty = F.col("l_quantity").cast("decimal(12,2)")
@@ -3592,8 +3635,21 @@ def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back (never a correlated re-scan); the comparison is pure
     integer cents (value×n > 3×total — no engine-specific
     decimal/double mixing), and the fact is scanned ONCE: both
-    threshold inputs derive from the grouped frame itself."""
-    li = load_table(spark, "lineitem", sf_dir)
+    threshold inputs derive from the grouped frame itself.
+
+    r20: projected + hash-spread by l_partkey (the
+    economy_revenue_share serial-scan-head attribution, guide §2.5);
+    the spread partitioning is a subset of the (nation, partkey)
+    grouping, so the pv aggregation needs no further exchange.
+    Identity at scale."""
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    li = spread_small_input(
+        load_table(spark, "lineitem", sf_dir).select(
+            "l_partkey", "l_suppkey", "l_extendedprice"
+        ),
+        key="l_partkey",
+    )
     supplier = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir)
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
