@@ -244,7 +244,15 @@ def unigram_surprisal(
     """
     import math
 
-    tok = docs.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: spread the (id, text) projection by id before tokenizing —
+    # the O(chars) tokenize+explode otherwise runs inside the serial
+    # single-row-group scan task (guide §2.5); keyed hash spread, no
+    # sortBeforeRepartition, identity at scale.
+    tok = spread_small_input(
+        docs.select(id_col, text_col), key=id_col
+    ).select(
         F.col(id_col), F.explode(tokens(normalized_text(F.col(text_col)))).alias("term")
     )
     cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("__c"))
@@ -352,8 +360,18 @@ def bigram_surprisal(
     """
     import math
 
+    from pg2kafka_spark.operators.scale import spread_small_input
+
     toks = tokens(normalized_text(F.col(text_col)))
-    base = docs.select(F.col(id_col), toks.alias("__tk"))
+    # r20: spread the (id, text) projection by id before tokenizing —
+    # BOTH consumers (unigram + bigram explode) re-run the tokenize
+    # from the scan, and unspread each pass sat in the serial
+    # single-row-group scan task (event log: two wall==cpu==max-task
+    # jobs of 0.60 s and 0.47 s per rep). The shared spread exchange
+    # is runtime-reused; identity at scale (guide §2.5).
+    base = spread_small_input(
+        docs.select(id_col, text_col), key=id_col
+    ).select(F.col(id_col), toks.alias("__tk"))
     uni = base.select(F.col(id_col), F.explode(F.col("__tk")).alias("term"))
     c1 = uni.groupBy("term").agg(F.count(F.lit(1)).alias("__c1"))
     # |vocab| derived from the count table (rows of c1 ≡ countDistinct
@@ -435,7 +453,12 @@ def dsir_importance_weights(
     """
     import math
 
-    tok_all = docs.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: keyed spread before the serial-scan tokenize (guide §2.5)
+    tok_all = spread_small_input(
+        docs.select(id_col, text_col), key=id_col
+    ).select(
         F.col(id_col),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
     )
@@ -714,7 +737,11 @@ def vocabulary_top_terms(
     """
     from pg2kafka_spark.operators.dedup import _persist
 
-    tok = df.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: keyed spread before the serial-scan tokenize (guide §2.5);
+    # the text itself is the only available high-cardinality key
+    tok = spread_small_input(df.select(text_col), key=text_col).select(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
     )
     # persist the vocab-sized count table: top-n AND the corpus total
@@ -765,7 +792,10 @@ def bpe_pair_stats(
     one word ("aaa" → (a,a)×2) counts both occurrences, as BPE
     requires.
     """
-    words = df.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: keyed spread before the serial-scan tokenize (guide §2.5)
+    words = spread_small_input(df.select(text_col), key=text_col).select(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
     )
     wc = (
@@ -948,7 +978,10 @@ def _bpe_train(
     def _cut(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=False) if checkpoint else frame
 
-    words = df.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    # r20: keyed spread before the serial-scan tokenize (guide §2.5)
+    words = spread_small_input(df.select(text_col), key=text_col).select(
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("w")
     )
     wc = (
@@ -1147,7 +1180,11 @@ def bpe_encode(
             F.collect_list(F.struct("step", "pair_a", "pair_b"))
         ).alias("ms")
     )
-    words = docs.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    words = spread_small_input(
+        docs.select(id_col, text_col), key=id_col
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.split(normalized_text(F.col(text_col)), " ")
@@ -1332,7 +1369,11 @@ def bpe_encode_production(
         ]),
     )
 
-    words = docs.select(
+    from pg2kafka_spark.operators.scale import spread_small_input
+
+    words = spread_small_input(
+        docs.select(id_col, text_col), key=id_col
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.split(normalized_text(F.col(text_col)), " ")
