@@ -4206,14 +4206,29 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match the SQL twin (6-dp rounding + DECIMAL gradient sums —
     the k-means discipline applied to SGD). See ``operators/ml``."""
     from pg2kafka_spark.operators import ml
+    from pg2kafka_spark.operators.dedup import _persist
+    from pg2kafka_spark.operators.scale import spread_small_input
 
-    docs = load_table(spark, "documents", sf_dir)
+    # r20: the tokenize-heavy feature projection ran inside the serial
+    # single-row-group scan task, re-computed by EVERY gradient pass
+    # (2 GD iterations + scoring = 3 serial passes). Spread the scan
+    # (keyed, guide §2.5) and persist the tiny (id, x1, x2, y) frame
+    # through the tracked registry so train + score read it once;
+    # released between queries like every sketch intermediate.
+    docs = spread_small_input(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "text", "lang"
+        ),
+        key="doc_id",
+    )
     t = F.col("text")
-    feats = docs.select(
-        "doc_id",
-        F.round(X.unique_token_count(t) * 1.0 / X.token_count(t), 6).alias("x1"),
-        F.round(X.stopword_ratio(t), 6).alias("x2"),
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    feats = _persist(
+        docs.select(
+            "doc_id",
+            F.round(X.unique_token_count(t) * 1.0 / X.token_count(t), 6).alias("x1"),
+            F.round(X.stopword_ratio(t), 6).alias("x2"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
     )
     w = ml.logistic_train(feats, ["x1", "x2"], "y", iters=2, lr=4.0)
     return ml.logistic_score(feats, w, ["x1", "x2"])
